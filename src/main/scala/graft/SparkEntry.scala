@@ -1,9 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.etl.{Cleanse, DateDim, Reports, Star}
+import graft.mm.Multimodal
 import graft.ops.Exact
+import graft.sim.Ann
+import graft.text.{TextFunctions => TF}
 
 /** Driver contract — one entry per implemented operator class from
   * SURVEY.md §2, each with a DuckDB oracle twin in [[oracleSql]].
@@ -33,7 +38,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extensionQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A3/A4-class: grouped aggregation with deterministic sums & means
     // (reference report shape, platinum.py:88-112).
     "q01_pricing_summary" -> ((s, dir) => {
@@ -148,6 +156,115 @@ object SparkEntry {
     }),
   )
 
+  /** Seconds-since-epoch for TIMESTAMP or TIMESTAMP_NTZ columns (NTZ
+    * interpreted in the UTC session zone, matching DuckDB's naive ts). */
+  private def epochSec(c: Column): Column = unix_timestamp(c.cast("timestamp"))
+
+  /** LLM-pipeline extension operators (SURVEY.md §7.4): text analysis,
+    * dedup, similarity search, multimodal, event windows/sessions. */
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace tokenizer, codegen'd HOFs).
+    "q11_token_stats" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+    }),
+
+    // Quality scoring: length/punctuation/stopword signals.
+    "q12_quality_score" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+        .withColumn("punct_cnt", TF.punctCount(col("text")))
+        .withColumn("stop_cnt", TF.hitCount(col("text"), TF.stopEn))
+      d.select(
+        col("doc_id"), col("n_tokens"), col("punct_cnt"), col("stop_cnt"),
+        (col("stop_cnt") / col("n_tokens")).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "\\s", "")) / col("n_tokens"))
+          .as("avg_token_len"),
+        when(col("n_tokens").between(5, 1000) &&
+          col("stop_cnt") / col("n_tokens") > 0.01, 1).otherwise(0)
+          .as("quality_ok"))
+    }),
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    "q13_lang_id" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("lang"), TF.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Fingerprint dedup groups (normalized-content MD5).
+    "q14_fingerprint_groups" -> ((s, dir) =>
+      Dedup.exactGroups(documents(s, dir), "doc_id", "text")),
+
+    // Exact dedup survivors (left-semi against min-id-per-group).
+    "q15_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // Streaming-shaped batch: hourly tumbling windows over events
+    // (streaming twin: graft.streaming.EventStreams.hourlyAgg).
+    "q16_event_windows" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // Gap-based sessionization via window functions (streaming twin:
+    // EventStreams.sessionize with flatMapGroupsWithState).
+    "q17_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = epochSec(col("ts")) - epochSec(lag(col("ts"), 1).over(w))
+      val tagged = events(s, dir)
+        .withColumn("new_sess", when(gap.isNull || gap > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      tagged.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .withColumn("duration_sec",
+          epochSec(col("session_end")) - epochSec(col("session_start")))
+    }),
+
+    // Multimodal metadata through the typed mapPartitions path
+    // (payload bytes + SHA-256 checksum; codec itself is stubbed).
+    "q18_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "q19_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // --- rows-only (no SQL-expressible oracle): LSH family ---
+    "q20_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(documents(s, dir), "doc_id", "text",
+        shingleK = 3, nHashes = 16, bands = 4, minJaccard = 0.3)),
+    "q21_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)),
+    "q22_multimodal_decode" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir))).toDF()),
+    "q23_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingPairs(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, nPlanes = 8)),
+    "q24_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.4)),
+    "q25_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+    }),
+  )
+
   /** Shared gold-style fact: lineitem ⋈ orders ⋈ customer with derived
     * calendar attributes (reference fact build, gold.py:256-330). */
   private def factBase(s: SparkSession, dir: String): DataFrame = {
@@ -245,5 +362,83 @@ object SparkEntry {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q11_token_stats" ->
+      s"""SELECT doc_id, ${TF.sql.tokenCount("text")} AS n_tokens,
+         | CAST(length(text) AS INTEGER) AS len_chars
+         |FROM documents""".stripMargin,
+
+    "q12_quality_score" ->
+      s"""SELECT doc_id, n_tokens, punct_cnt, stop_cnt,
+         | stop_cnt / n_tokens AS stop_ratio,
+         | CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER)
+         |   / n_tokens AS avg_token_len,
+         | CASE WHEN n_tokens BETWEEN 5 AND 1000
+         |   AND stop_cnt / n_tokens > 0.01 THEN 1 ELSE 0 END AS quality_ok
+         |FROM (SELECT doc_id, text,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens,
+         |  ${TF.sql.punctCount("text")} AS punct_cnt,
+         |  ${TF.sql.hitCount("text", TF.stopEn)} AS stop_cnt
+         |  FROM documents)""".stripMargin,
+
+    "q13_lang_id" ->
+      s"""SELECT lang, ${TF.sql.langId("text")} AS pred_lang,
+         | count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q14_fingerprint_groups" ->
+      s"""SELECT ${TF.sql.fingerprint("text")} AS fp,
+         | min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q15_exact_dedup" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id IN (SELECT min(doc_id) FROM documents
+         |  GROUP BY ${TF.sql.fingerprint("text")})""".stripMargin,
+
+    "q16_event_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        | event_type, count(*) AS n_events,
+        | sum(round(value*100))/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q17_sessionize" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR datediff('second', lag(ts) OVER w, ts) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM tagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  datediff('second', min(ts), max(ts)) AS duration_sec
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q18_multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | sha256(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    "q19_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS sim
+        |  FROM q, e WHERE e.vec_id <> q.qid)
+        |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
   )
 }

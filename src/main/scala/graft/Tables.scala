@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver testdata star schema (see TESTDATA.md).
   *
@@ -21,7 +23,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** Events ship with TIMESTAMP(NANOS) — unsupported by Spark's parquet
+    * reader. Sessions set `spark.sql.legacy.parquet.nanosAsLong`, and we
+    * truncate to micros here (integer DIV — DuckDB also truncates, and a
+    * double division would lose precision above 2^53 nanos). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      // NTZ keeps the wall-clock naive like every other testdata
+      // timestamp (and like DuckDB's reading of them).
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _        => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

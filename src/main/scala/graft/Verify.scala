@@ -15,6 +15,7 @@ object Verify {
       // duckdb-readable timestamps (INT96 default confuses nothing, but
       // micros is the modern annotated form both engines agree on)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming shapes over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.10); these are the
+  * streaming-native equivalents of its incremental patterns: windowed
+  * aggregation with watermark (the streaming form of the batch
+  * watermark filter, gold.py:56-65), and custom session state via
+  * `flatMapGroupsWithState`. Batch twins live in SparkEntry
+  * (q16/q17) so correctness is oracle-checked; these functions are
+  * exercised by the streaming spec with a memory sink.
+  */
+object EventStreams {
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+  private final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** File-source stream over a directory of event parquet. */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Hourly tumbling-window counts/sums with a late-data watermark —
+    * state is bounded by (watermark horizon × event types). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (30-min inactivity) with explicit state —
+    * the `flatMapGroupsWithState` form of q17's batch window query. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if t - s.end <= gapSeconds =>
+                cur = Some(s.copy(end = t, n = s.n + 1))
+              case Some(s) =>
+                out += Session(userId, new java.sql.Timestamp(s.start * 1000),
+                  new java.sql.Timestamp(s.end * 1000), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

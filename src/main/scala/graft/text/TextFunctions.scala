@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * Everything here is built-in-function composition (codegen'd, no
+  * UDFs), so the expressions stay inside whole-stage codegen and scale
+  * linearly with no shuffle. Each function has a DuckDB oracle twin in
+  * [[sql]] — kept adjacent so Spark and oracle semantics cannot drift.
+  *
+  * Extension surface beyond the reference (which has no text ops —
+  * SURVEY.md §2.9): language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting.
+  */
+object TextFunctions {
+  /** Whitespace tokens, empty strings removed. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Count of tokens found in `set` (stopword hits). */
+  def hitCount(c: Column, set: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(set.map(_.asInstanceOf[Any]): _*)))
+
+  /** ASCII punctuation count. */
+  def punctCount(c: Column): Column = regexp_count(c, lit("[\\p{Punct}]"))
+
+  /** CJK character count (cheap zh signal). */
+  def cjkCount(c: Column): Column = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]"))
+
+  val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  val stopEs = Seq("el", "la", "los", "de", "que", "y")
+  val stopDe = Seq("der", "die", "das", "und", "ist")
+  val stopFr = Seq("le", "les", "des", "et", "est")
+
+  /** Deterministic n-gram/stopword language-ID heuristic: CJK chars win
+    * for zh, else argmax of per-language stopword hits with a fixed
+    * tie-break order (en, es, de, fr). */
+  def langId(c: Column): Column = {
+    val en = hitCount(c, stopEn); val es = hitCount(c, stopEs)
+    val de = hitCount(c, stopDe); val fr = hitCount(c, stopFr)
+    when(cjkCount(c) > 0, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Normalized-text MD5 fingerprint (case/whitespace-insensitive). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** 64-bit rolling polynomial hash over tokens (base 257, wraps in
+    * Long) — an order-sensitive fingerprint; not SQL-expressible, used
+    * by the rows-only dedup variants. */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => acc * lit(257L) + xxhash64(t))
+
+  /** Oracle twins (DuckDB SQL fragments over a text expression). */
+  object sql {
+    def tokens(c: String): String =
+      s"list_filter(string_split_regex($c, '\\s+'), t -> t <> '')"
+    def tokenCount(c: String): String = s"CAST(len(${tokens(c)}) AS INTEGER)"
+    def hitCount(c: String, set: Seq[String]): String = {
+      val inList = set.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(${tokens(c)}, t -> t IN ($inList))) AS INTEGER)"
+    }
+    def punctCount(c: String): String =
+      s"CAST(len(regexp_extract_all($c, '[[:punct:]]')) AS INTEGER)"
+    def cjkCount(c: String): String =
+      s"CAST(len(regexp_extract_all($c, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER)"
+    def langId(c: String): String = {
+      val en = hitCount(c, stopEn); val es = hitCount(c, stopEs)
+      val de = hitCount(c, stopDe); val fr = hitCount(c, stopFr)
+      s"""CASE WHEN ${cjkCount(c)} > 0 THEN 'zh'
+         | WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         | WHEN $es >= $de AND $es >= $fr THEN 'es'
+         | WHEN $de >= $fr THEN 'de'
+         | ELSE 'fr' END""".stripMargin
+    }
+    def fingerprint(c: String): String =
+      s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"
+  }
+}
