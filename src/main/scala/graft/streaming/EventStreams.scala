@@ -20,7 +20,9 @@ object EventStreams {
                          user_id: Long, event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
-  private final case class SessionState(start: Long, end: Long, n: Long)
+  // millisecond bounds; gap decisions use floor-seconds to match the
+  // batch twin's unix_timestamp semantics exactly
+  private final case class SessionState(startMs: Long, endMs: Long, n: Long)
 
   /** File-source stream over a directory of event parquet. */
   def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
@@ -30,12 +32,16 @@ object EventStreams {
     * state is bounded by (watermark horizon × event types). */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
+      // watermarks accept TIMESTAMP only; NTZ input is interpreted in
+      // the UTC session zone and the window start is converted back so
+      // batch and stream emit identical NTZ wall-clock values
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
 
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the `flatMapGroupsWithState` form of q17's batch window query. */
@@ -50,13 +56,13 @@ object EventStreams {
           var cur = state.getOption
           val out = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
+            val t = e.ts.getTime
             cur match {
-              case Some(s) if t - s.end <= gapSeconds =>
-                cur = Some(s.copy(end = t, n = s.n + 1))
+              case Some(s) if t / 1000 - s.endMs / 1000 <= gapSeconds =>
+                cur = Some(s.copy(endMs = t, n = s.n + 1))
               case Some(s) =>
-                out += Session(userId, new java.sql.Timestamp(s.start * 1000),
-                  new java.sql.Timestamp(s.end * 1000), s.n)
+                out += Session(userId, new java.sql.Timestamp(s.startMs),
+                  new java.sql.Timestamp(s.endMs), s.n)
                 cur = Some(SessionState(t, t, 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))

@@ -53,11 +53,12 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
-  /** 64-bit rolling polynomial hash over tokens (base 257, wraps in
-    * Long) — an order-sensitive fingerprint; not SQL-expressible, used
-    * by the rows-only dedup variants. */
+  /** 64-bit chained-hash rolling fingerprint over tokens — order-
+    * sensitive (unlike [[fingerprint]]); each step rehashes the running
+    * state with the next token, so no arithmetic overflow under ANSI
+    * mode. Not SQL-expressible; used by rows-only dedup variants. */
   def rollingHash(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => acc * lit(257L) + xxhash64(t))
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Oracle twins (DuckDB SQL fragments over a text expression). */
   object sql {

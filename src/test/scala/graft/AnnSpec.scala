@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Ann, Vectors}
+
+/** sim.Ann + sim.Vectors: exact and LSH-bucketed cosine top-k. */
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1.0, orthogonal is 0.0") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), Array(-2.0, 1.0, 0.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosine(col("a"), col("b")),
+      Vectors.dot(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks the known nearest neighbor first") {
+    val e = Tables.embeddings(spark, sf)
+    val top = Ann.bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 3)
+    val rows = top.orderBy("rank").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Double]("sim")).sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L)) // self excluded
+  }
+
+  test("lshTopK sims agree with brute force on shared pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 4)
+    val bf = Ann.bruteForceTopK(e, q, k = 5)
+      .select("qid", "vec_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => ((a, b), s) }.toMap
+    val lsh = Ann.lshTopK(e, q, k = 5, nPlanes = 4)
+      .select("qid", "vec_id", "sim").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case ((a, b, s)) =>
+      bf.get((a, b)).foreach(bfSim => assert(bfSim == s)) // identical math
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** dedup.Dedup: exact, MinHash-LSH, SimHash, n-gram Jaccard. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "THE  quick   brown fox jumps over the lazy dog near the river bank"), // exact after norm of 1
+    (4L, "completely different text about spark query engines and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank"), // verbatim dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups normalized-identical docs, keeps min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 3) // {1,3,5} collapse
+    val grp = g.filter(col("n_docs") === 3).head()
+    assert(grp.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exactDedup keeps first id per content group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L))
+  }
+
+  test("minhashPairs surfaces the planted near-dup and not the unrelated doc") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 2, nHashes = 16, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash jaccard: verbatim dup scores 1.0, case-variant stays high") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleK = 2, nHashes = 16, bands = 8, minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 5L)) == 1.0)
+    pairs.get((1L, 3L)).foreach(j => assert(j > 0.7)) // only 'THE' shingles differ
+  }
+
+  test("simhash: verbatim dup collides at hamming 0, near-dups stay close") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(pairs((1L, 5L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 16))
+  }
+
+  test("ngramJaccardPairs: normalized-identical pair scores 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 4,
+        threshold = 0.5, nHashes = 16, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 3L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("embeddingPairs finds the planted duplicate vector") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = 4, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

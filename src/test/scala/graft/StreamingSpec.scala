@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** streaming.EventStreams: memory-sink runs must agree with the batch
+  * twins (q16/q17), which are themselves oracle-checked. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hourlyAgg over a file stream matches the batch q16 result") {
+    val batchEvents = Tables.events(spark, sf)
+    // stage the normalized events as a stream source dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEvents(spark, dir,
+      spark.read.parquet(dir).schema)
+    val q = EventStreams.hourlyAgg(stream).writeStream
+      .outputMode("complete").format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q16_event_windows")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize agrees with the batch window-function twin") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val sessions = EventStreams.sessionize(events).collect()
+    val batch = SparkEntry.queries("q17_sessionize")(spark, sf).collect()
+    // flatMapGroupsWithState emits only CLOSED sessions in one pass over
+    // a batch Dataset; every closed session must appear in the batch
+    // result with the same start (to the second) and event count.
+    val batchSet = batch.map { r =>
+      val start = r.getAs[java.time.LocalDateTime]("session_start")
+      (r.getAs[Long]("user_id"),
+        start.toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getAs[Long]("n_events"))
+    }.toSet
+    assert(sessions.nonEmpty)
+    sessions.foreach { s =>
+      assert(batchSet.contains((s.user_id,
+        s.session_start.getTime / 1000, s.n_events)), s"missing $s")
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** text.TextFunctions: tokenizer edges, lang-ID, fingerprint. */
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c).head().getAs[T](0)
+
+  test("tokenCount handles runs of whitespace and empty-ish strings") {
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "a  b\t c") == 3)
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "   ") == 0)
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "solo") == 1)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one[String](TextFunctions.langId(col("t")),
+      "the cat and the dog of the house") == "en")
+    assert(one[String](TextFunctions.langId(col("t")),
+      "el perro y la casa de los gatos que ladran") == "es")
+    assert(one[String](TextFunctions.langId(col("t")),
+      "der hund und die katze ist hier") == "de")
+    assert(one[String](TextFunctions.langId(col("t")),
+      "le chien et les chats est des amis") == "fr")
+    assert(one[String](TextFunctions.langId(col("t")), "你好世界") == "zh")
+  }
+
+  test("fingerprint is whitespace- and case-insensitive") {
+    val a = one[String](TextFunctions.fingerprint(col("t")), "Hello   World")
+    val b = one[String](TextFunctions.fingerprint(col("t")), "hello world ")
+    val c = one[String](TextFunctions.fingerprint(col("t")), "hello earth")
+    assert(a == b && a != c)
+  }
+
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    val ab = one[Long](TextFunctions.rollingHash(col("t")), "alpha beta")
+    val ba = one[Long](TextFunctions.rollingHash(col("t")), "beta alpha")
+    assert(ab != ba)
+  }
+
+  test("punct and cjk counters") {
+    assert(one[Int](TextFunctions.punctCount(col("t")), "a,b. c! (d)") == 5)
+    assert(one[Int](TextFunctions.cjkCount(col("t")), "abc 中文 def") == 2)
+  }
+}
