@@ -125,6 +125,26 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     }),
 
+    // E2-class: the gold fact build end-to-end — silver cleanse (dedup +
+    // required keys) → join orders → two composite date-dim joins →
+    // surrogate keys (gold.py:256-330, defects R1/R2 fixed).
+    "q26_fact_build" -> ((s, dir) => {
+      val dd = DateDim.build(s, "1995-01-01", "2001-12-31")
+      val li = Cleanse.derive(
+        Cleanse.requireNonNull(Cleanse.dedup(lineitem(s, dir)),
+          Seq("l_orderkey", "l_shipdate")),
+        "disc_price" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      val o = orders(s, dir)
+      Star.joinDateDim(
+        Star.joinDateDim(
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "inner"),
+          dd, "o_orderdate", "date_o_id"),
+        dd, "l_shipdate", "date_s_id")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("disc_price"), col("o_orderpriority"),
+          col("date_o_id"), col("date_s_id"))
+    }),
+
     // E3-class: the platinum monthly report shape — date-dim join +
     // multi-key groupBy with avg+sum per measure + count
     // (platinum.py:69-154).
@@ -362,6 +382,18 @@ object SparkEntry {
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q26_fact_build" ->
+      s"""WITH dd AS (${DateDim.sql("1995-01-01", "2001-12-31")}),
+         |li AS (SELECT DISTINCT * FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_quantity,
+         |  l_extendedprice*(1-l_discount) AS disc_price, o_orderpriority,
+         |  d_o.dateID AS date_o_id, d_s.dateID AS date_s_id
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN dd d_o ON d_o.date = CAST(o_orderdate AS DATE)
+         |JOIN dd d_s ON d_s.date = CAST(l_shipdate AS DATE)
+         |WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL""".stripMargin,
 
     "q11_token_stats" ->
       s"""SELECT doc_id, ${TF.sql.tokenCount("text")} AS n_tokens,

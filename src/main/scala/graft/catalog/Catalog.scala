@@ -1,0 +1,61 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table IO seam — the reference talks to MinIO (s3a parquet), MySQL
+  * and SQL Server (JDBC) (reference: bronze.py:21-45, gold.py:36-54,
+  * platinum.py:31-39); operators should not care which. Everything in
+  * the engine reads/writes through this trait, so swapping object-store
+  * or JDBC backends touches no operator code.
+  */
+trait TableCatalog {
+  def read(spark: SparkSession, table: String): DataFrame
+  def exists(spark: SparkSession, table: String): Boolean
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+}
+
+/** Directory-of-parquet catalog (the offline stand-in for MinIO/JDBC;
+  * an `s3a://` root works unchanged given hadoop-aws credentials).
+  * Partitioned writes give downstream partition pruning for free.
+  */
+final class ParquetCatalog(root: String) extends TableCatalog {
+  private def path(table: String) = s"$root/$table"
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  override def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.exists(p)
+  }
+
+  override def append(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+  }
+
+  override def overwrite(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+  }
+}
+
+/** JDBC catalog matching the reference's warehouse sinks (gold.py:36-54
+  * MySQL, platinum.py:31-39 SQL Server). Compiles against stock Spark
+  * JDBC; untestable in this offline container (no database), kept for
+  * API completeness — `Pipeline` is catalog-agnostic either way.
+  */
+final class JdbcCatalog(url: String, props: java.util.Properties) extends TableCatalog {
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.jdbc(url, table, props)
+  override def exists(spark: SparkSession, table: String): Boolean =
+    scala.util.Try(read(spark, table).schema).isSuccess
+  override def append(df: DataFrame, table: String, partitionBy: Seq[String]): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+  override def overwrite(df: DataFrame, table: String, partitionBy: Seq[String]): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
+}

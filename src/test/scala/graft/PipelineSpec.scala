@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.ParquetCatalog
+import graft.runner.Pipeline
+
+/** runner.Pipeline: full medallion run + incremental re-run safety. */
+class PipelineSpec extends SparkTestBase {
+
+  lazy val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
+  lazy val cfg = Pipeline.Config(sf, new ParquetCatalog(root))
+
+  test("full run materializes every layer") {
+    Pipeline.runAll(spark, cfg)
+    val fact = cfg.catalog.read(spark, "fact_sales")
+    assert(fact.count() > 0)
+    // facts survive only within the calendar dim's range (inner join)
+    assert(cfg.catalog.read(spark, "report_monthly").count() > 0)
+    assert(cfg.catalog.read(spark, "report_weekly").count() > 0)
+    assert(cfg.catalog.read(spark, "dim_priority").count() > 0)
+    // partitioned fact layout: month_o=... subdirectories exist
+    val dirs = new java.io.File(s"$root/fact_sales").list()
+    assert(dirs.exists(_.startsWith("month_o=")))
+  }
+
+  test("gold re-run is a no-op: watermark blocks re-insert, dims stable") {
+    Pipeline.runAll(spark, cfg) // ensure first run happened
+    val factBefore = cfg.catalog.read(spark, "fact_sales").count()
+    val dimBefore = cfg.catalog.read(spark, "dim_priority").count()
+    Pipeline.gold(spark, cfg)
+    assert(cfg.catalog.read(spark, "fact_sales").count() == factBefore)
+    assert(cfg.catalog.read(spark, "dim_priority").count() == dimBefore)
+  }
+
+  test("silver cleanse drops duplicate rows and null keys") {
+    val li = Tables.lineitem(spark, sf).withColumn("month_s", month(col("l_shipdate")))
+    val withDups = li.unionByName(li.limit(5))
+    assert(Pipeline.silverLineitem(withDups).count() == li.count())
+  }
+
+  test("dim upsert labels unseen keys with Unknown default") {
+    val dim = cfg.catalog.read(spark, "dim_priority")
+    val r = dim.head()
+    assert(r.getAs[String]("priority_name").startsWith("Unknown "))
+  }
+}
