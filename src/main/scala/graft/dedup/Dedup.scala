@@ -12,15 +12,24 @@ import graft.text.TextFunctions
   *
   *  - exact: hash-groupBy on (normalized) content — one shuffle keyed
   *    on a 128-bit fingerprint, the canonical 100 TB exact-dedup plan;
-  *  - MinHash + LSH: word-shingles → H minhashes → B bands; candidate
-  *    pairs come from equal band signatures (equi-join), never from a
-  *    quadratic cross join;
+  *  - MinHash + LSH: word-shingles → one-pass minhash signature array →
+  *    band explode → bucket groupBy → in-bucket pair expansion;
   *  - SimHash: 64-bit sign-aggregated token hash; near-dups are pairs
   *    within Hamming distance `maxHamming`, found by pigeonholing the
   *    64 bits into chunks (a pair within distance d must agree on one
   *    of d+1 chunks);
   *  - embedding cosine: sign-bit LSH buckets over the embedding column,
   *    verified by exact cosine above a threshold.
+  *
+  * Candidate generation NEVER self-joins the corpus: signatures are
+  * computed in a single scan, exploded per band, grouped by bucket, and
+  * pairs are expanded inside each bucket (`collect_list` + in-plan
+  * combination). The earlier self-join formulation re-ran the full
+  * signature computation once per band per side — 18× the work; this
+  * shape computes it once, and the only shuffle is the bucket groupBy,
+  * which partitions cleanly at any scale. Oversized buckets (degenerate
+  * content, hash floods) are dropped via the explicit `maxBucket`
+  * parameter — a documented recall bound, not a silent cap.
   */
 object Dedup {
   // ------------------------------------------------------------ exact
@@ -40,154 +49,147 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  // ------------------------------------------------- bucketed pair gen
+
+  /** Distinct (id_a < id_b) pairs of rows sharing any (bucket_no,
+    * bucket_sig), with one payload column carried per side. Pairs are
+    * expanded inside each bucket after a groupBy — one shuffle, no
+    * corpus self-join. Buckets larger than `maxBucket` are skipped
+    * (LSH premise: buckets are small; a flood means degenerate input). */
+  private def bucketPairs(bucketed: DataFrame, idCol: String,
+                          payloadCol: String, maxBucket: Int): DataFrame = {
+    val item = struct(col(idCol).as("id"), col(payloadCol).as("p"))
+    bucketed
+      .groupBy(col("bucket_no"), col("bucket_sig"))
+      .agg(collect_list(item).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("xs"), x =>
+        filter(transform(col("xs"), y => struct(x.as("a"), y.as("b"))),
+          p => p.getField("a").getField("id") < p.getField("b").getField("id")))))
+        .as("pair"))
+      .select(
+        col("pair.a.id").as("id_a"), col("pair.b.id").as("id_b"),
+        col("pair.a.p").as("p_a"), col("pair.b.p").as("p_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------- minhash
 
-  /** k-word shingles of the token array (distinct). */
-  def shingles(textCol: Column, k: Int): Column = {
-    val toks = TextFunctions.tokens(textCol)
-    array_distinct(
-      when(size(toks) < k, array(array_join(toks, " ")))
-        .otherwise(transform(sequence(lit(1), size(toks) - k + 1),
-          i => array_join(slice(toks, i, lit(k)), " "))))
-  }
+  /** k-word shingles of the token array (distinct, tight-loop expr). */
+  def shingles(textCol: Column, k: Int): Column =
+    graft.functions.exprs.word_shingles(TextFunctions.tokens(textCol), k)
 
-  /** One minhash value: min over shingles of a seeded 64-bit hash. */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, s => xxhash64(s, lit(seed))))
+  /** `n`-element minhash signature in ONE pass over the shingle set:
+    * sig[i] = min over shingles of xxhash64(shingle, seed=i). Custom
+    * tight-loop Expression — the equivalent HOF fold is interpreted
+    * per element and dominated LSH runtime. */
+  def minhashSignature(sh: Column, n: Int): Column =
+    graft.functions.exprs.minhash_signature(sh, n)
 
-  /** MinHash signature as `nHashes` columns mh0..mh{n-1} plus band
-    * signatures band0..band{b-1} (xxhash of the band's row hashes). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4): DataFrame = {
+  /** (id, sig, band_no, bucket_sig) — one row per band per doc. */
+  private def bandedSignatures(base: DataFrame, idCol: String,
+                               setCol: String, nHashes: Int,
+                               bands: Int): DataFrame = {
     val rows = nHashes / bands
-    val withSh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
-    val withMh = (0 until nHashes).foldLeft(withSh) { (d, i) =>
-      d.withColumn(s"mh$i", minhash(col("sh"), i))
-    }
-    (0 until bands).foldLeft(withMh) { (d, b) =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      d.withColumn(s"band$b", xxhash64(cols: _*))
-    }
+    val withSig = base.withColumn("sig", minhashSignature(col(setCol), nHashes))
+    val bandSigs = array((0 until bands).map { b =>
+      struct(lit(b).as("no"),
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(col("sig"), i + 1)): _*).as("sig"))
+    }: _*)
+    withSig
+      .select(col(idCol), col("sig"), explode(bandSigs).as("band"))
+      .select(col(idCol), col("sig"),
+        col("band.no").as("bucket_no"), col("band.sig").as("bucket_sig"))
   }
 
-  /** Candidate near-dup pairs from LSH banding, with the estimated
-    * Jaccard (fraction of agreeing minhashes) and the exact shingle-set
-    * Jaccard for verification. Pairs are (a < b), distinct. */
+  /** Fraction of agreeing signature positions (Jaccard estimator). */
+  private def sigAgreement(a: Column, b: Column, n: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v) / lit(n.toDouble)
+
+  /** Candidate near-dup pairs from LSH banding: estimated Jaccard
+    * (minhash agreement) prefilters cheaply, exact shingle-set Jaccard
+    * verifies. Pairs are (a < b), distinct. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
-                   minJaccard: Double = 0.5): DataFrame = {
-    val sig = signatures(docs, idCol, textCol, shingleK, nHashes, bands)
-    val bandCols = (0 until bands).map(b => s"band$b")
-    val exploded = sig.select(
-      (Seq(col(idCol), col("sh")) ++
-        (0 until nHashes).map(i => col(s"mh$i"))): _*)
-    val banded = bandCols.zipWithIndex.map { case (bc, bi) =>
-      sig.select(lit(bi).as("band_no"), col(bc).as("band_sig"), col(idCol))
-    }.reduce(_.unionByName(_))
-    val l = banded.withColumnRenamed(idCol, "id_a")
-    val r = banded.withColumnRenamed(idCol, "id_b")
-    val cand = l.join(r, Seq("band_no", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val la = exploded.toDF(exploded.columns.map(c => s"a_$c"): _*)
-    val rb = exploded.toDF(exploded.columns.map(c => s"b_$c"): _*)
-    val mhAgree = (0 until nHashes)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+                   minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val base = docs.select(col(idCol), shingles(col(textCol), shingleK).as("set"))
+    val banded = bandedSignatures(base, idCol, "set", nHashes, bands)
+    val cand = bucketPairs(banded, idCol, "sig", maxBucket)
+      .withColumn("est_jaccard", sigAgreement(col("p_a"), col("p_b"), nHashes))
+      .filter(col("est_jaccard") >= minJaccard * 0.5) // cheap prefilter
+      .select("id_a", "id_b", "est_jaccard")
     cand
-      .join(la, col("id_a") === col(s"a_$idCol"))
-      .join(rb, col("id_b") === col(s"b_$idCol"))
-      .withColumn("est_jaccard", mhAgree / lit(nHashes.toDouble))
+      .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))) /
-          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
   // ---------------------------------------------------------- simhash
 
-  /** Per-token ±1 bit vector of the 64-bit token hash. */
-  private def bitVector(t: Column): Column =
-    array((0 until 64).map(j =>
-      when(shiftright(xxhash64(t), j).bitwiseAND(1) === 1, lit(1L))
-        .otherwise(lit(-1L))): _*)
-
-  /** 64-bit SimHash of the token multiset — per-row fold, no shuffle.
-    * Two-step (bit sums column, then sign reconstruction) so the bit-sum
-    * aggregate appears once in the plan instead of 64 times. */
-  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val bitSums = aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitVector(t), (a, b) => a + b))
-    df.withColumn("__bitsums", bitSums)
-      .withColumn(out, (0 until 64).map(j =>
-        when(element_at(col("__bitsums"), j + 1) > 0, lit(1L << j))
-          .otherwise(lit(0L))).reduce(_ + _))
-      .drop("__bitsums")
-  }
+  /** 64-bit SimHash of the token multiset — per-row, no shuffle. Custom
+    * tight-loop Expression ([[graft.functions.SimHash64]]); the HOF
+    * formulation (±1 bit-vote arrays folded per token) was interpreted
+    * per element per bit. */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn(out,
+      graft.functions.exprs.simhash64(TextFunctions.tokens(col(textCol))))
 
   /** Near-dup pairs within `maxHamming` bits, via chunk pigeonhole:
     * split 64 bits into maxHamming+1 chunks; any qualifying pair agrees
-    * exactly on ≥1 chunk, so candidates come from chunk equi-joins. */
+    * exactly on ≥1 chunk, so candidates come from chunk buckets. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sh = withSimhash(docs.select(col(idCol), col(textCol)), textCol, "sim")
       .select(col(idCol), col("sim"))
-    val chunked = (0 until nChunks).map { ci =>
-      sh.select(lit(ci).as("chunk_no"),
+    val chunks = array((0 until nChunks).map { ci =>
+      struct(lit(ci).as("no"),
         shiftright(col("sim"), ci * chunkBits)
-          .bitwiseAND((1L << chunkBits) - 1).as("chunk_val"),
-        col(idCol), col("sim"))
-    }.reduce(_.unionByName(_))
-    val l = chunked.toDF("chunk_no", "chunk_val", "id_a", "sim_a")
-    val r = chunked.toDF("chunk_no", "chunk_val", "id_b", "sim_b")
-    l.join(r, Seq("chunk_no", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+          .bitwiseAND((1L << chunkBits) - 1).as("sig"))
+    }: _*)
+    val banded = sh
+      .select(col(idCol), col("sim"), explode(chunks).as("c"))
+      .select(col(idCol), col("sim"),
+        col("c.no").as("bucket_no"), col("c.sig").as("bucket_sig"))
+    bucketPairs(banded, idCol, "sim", maxBucket)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+        bit_count(col("p_a").bitwiseXOR(col("p_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
   // ----------------------------------------------------- ngram jaccard
 
-  /** Character n-gram set of a text column. */
-  def charNgrams(textCol: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(textCol), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - n + 1, lit(1))),
-      i => norm.substr(i, lit(n))))
-  }
+  /** Character n-gram set of a text column (normalized whitespace and
+    * case; tight-loop expr). */
+  def charNgrams(textCol: Column, n: Int): Column =
+    graft.functions.exprs.char_ngrams(
+      regexp_replace(lower(textCol), "\\s+", " "), n)
 
-  /** Pairs with character-n-gram Jaccard ≥ threshold. Candidates are
-    * pre-filtered by minhash banding over the n-gram set (same LSH
-    * machinery), keeping the pair generation sub-quadratic. */
+  /** Pairs with character-n-gram Jaccard ≥ threshold. Same LSH shape as
+    * [[minhashPairs]] over the n-gram set; the signature-agreement
+    * prefilter matters here — char n-grams of same-vocabulary corpora
+    * overlap heavily, so banding alone admits many false candidates. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.6,
-                        nHashes: Int = 16, bands: Int = 8): DataFrame = {
-    val rows = nHashes / bands
-    val base = docs.select(col(idCol), charNgrams(col(textCol), n).as("ng"))
-    val withMh = (0 until nHashes).foldLeft(base) { (d, i) =>
-      d.withColumn(s"mh$i", minhash(col("ng"), i))
-    }
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      withMh.select(lit(b).as("band_no"), xxhash64(cols: _*).as("band_sig"),
-        col(idCol))
-    }.reduce(_.unionByName(_))
-    val cand = banded.withColumnRenamed(idCol, "id_a")
-      .join(banded.withColumnRenamed(idCol, "id_b"), Seq("band_no", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+                        nHashes: Int = 16, bands: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
+    val base = docs.select(col(idCol), charNgrams(col(textCol), n).as("set"))
+    val banded = bandedSignatures(base, idCol, "set", nHashes, bands)
+    val cand = bucketPairs(banded, idCol, "sig", maxBucket)
+      .withColumn("est", sigAgreement(col("p_a"), col("p_b"), nHashes))
+      .filter(col("est") >= threshold * 0.7) // kill false candidates cheaply
+      .select("id_a", "id_b")
     cand
-      .join(base.select(col(idCol).as("id_a"), col("ng").as("ng_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("ng").as("ng_b")), Seq("id_b"))
+      .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("ng_a"), col("ng_b"))) /
-          size(array_union(col("ng_a"), col("ng_b"))).cast("double"))
+        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -195,20 +197,17 @@ object Dedup {
   // ----------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
-    * random-hyperplane LSH so the pair join is an equi-join. */
+    * random-hyperplane LSH so candidates come from bucket groups. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, nPlanes: Int = 8,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val planes = Vectors.seededPlanes(nPlanes, dim)
     val b = emb.select(col(idCol), Vectors.asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), planes))
-    val l = b.select(col("bucket"), col(idCol).as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col(idCol).as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
+      .withColumn("bucket_no", lit(0))
+      .withColumn("bucket_sig", Vectors.hyperplaneBucket(col("v"), planes))
+    bucketPairs(b, idCol, "v", maxBucket)
+      .withColumn("cosine", Vectors.cosine(col("p_a"), col("p_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .distinct()
   }
 }

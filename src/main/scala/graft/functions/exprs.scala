@@ -1,0 +1,246 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot loops the built-in
+  * higher-order functions evaluate interpretively (ArrayAggregate /
+  * ArrayTransform have no codegen and re-enter the expression
+  * interpreter per element — measured 3-25s per LSH query at sf0.1).
+  * Each expression here is one `eval` call per ROW with a tight Scala
+  * loop inside, using Spark's own XxHash64 kernel; semantics stay those
+  * of the declarative forms they replace.
+  *
+  * Registered as Columns via [[graft.functions.exprs]] helpers.
+  */
+
+/** n-element MinHash signature of an array<string> in one pass:
+  * sig[i] = min over elements of xxhash64(element, seed=i). */
+case class MinHashSignature(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        var j = 0
+        while (j < n) {
+          val h = XxHash64Function.hash(s, StringType, j.toLong)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<string>: per-element xxhash64, ±1 bit
+  * votes, sign-of-sum reconstruction. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = XxHash64Function.hash(s, StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ordered dot product of two array<double> columns. The accumulation
+  * is a strict left-to-right fold — the SAME IEEE-754 operation sequence
+  * as `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and as DuckDB's
+  * list_dot_product, so results are bit-identical to both (oracle
+  * parity depends on this). */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val m = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc = acc + x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Distinct character n-grams of a string, in input order. The HOF
+  * equivalent (`transform(sequence(...), i => substr(...))` +
+  * `array_distinct`) re-enters the interpreter per character position —
+  * 15s per 5000 docs at sf0.1; this is one eval per row. Strings
+  * shorter than `n` yield the whole string as the single gram. */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val out = new java.util.LinkedHashSet[String]()
+    if (s.length <= n) out.add(s)
+    else {
+      var i = 0
+      val m = s.length - n
+      while (i <= m) { out.add(s.substring(i, i + n)); i += 1 }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct k-word shingles of an array<string> of tokens (space-
+  * joined), in input order; fewer than k tokens yield one shingle of
+  * all tokens. */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) "" else s.toString
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (m < k) out.add(toks.mkString(" "))
+    else {
+      i = 0
+      while (i <= m - k) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) {
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Set Jaccard similarity of two array<string> columns in one pass
+  * (inputs are already distinct sets from CharNgrams/WordShingles;
+  * the built-in array_intersect + array_union pair walks both arrays
+  * twice with intermediate allocations). */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < x.numElements()) { seen.add(x.getUTF8String(i)); i += 1 }
+    val nx = seen.size
+    var inter = 0
+    var ny = 0
+    val seenY = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i)
+      if (seenY.add(s)) { ny += 1; if (seen.contains(s)) inter += 1 }
+      i += 1
+    }
+    val union = nx + ny - inter
+    java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points for the custom expressions. */
+object exprs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  private def toExpr(c: Column): Expression = ColumnBridge.expression(c)
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+
+  def minhash_signature(c: Column, n: Int): Column =
+    toCol(MinHashSignature(toExpr(c), n))
+  def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProductD(toExpr(a), toExpr(b)))
+  def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
+  def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
+  def jaccard_sim(a: Column, b: Column): Column =
+    toCol(JaccardSim(toExpr(a), toExpr(b)))
+}

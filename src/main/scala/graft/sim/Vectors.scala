@@ -14,9 +14,12 @@ object Vectors {
   /** Lossless float→double element cast. */
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Ordered-fold dot product. */
+  /** Ordered-fold dot product. Backed by a custom tight-loop Expression
+    * ([[graft.functions.DotProductD]]) — the HOF formulation
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` is semantically identical
+    * (same IEEE op order) but interpreted per element. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.exprs.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
