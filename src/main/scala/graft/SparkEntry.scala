@@ -283,6 +283,35 @@ object SparkEntry {
       val e = embeddings(s, dir)
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
+
+    // P10/F5/F7-class + semi-structured: coalesce, NULL sentinel
+    // handling, casts, JSON payload extraction from the props column.
+    "q27_cleanse_events" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("etype",
+          coalesce(nullif(col("event_type"), lit("error")), lit("unknown")))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumIntegral(col("k_val").cast("double")).as("sum_k"),
+          max(col("value")).as("max_value"))
+    }),
+
+    // Window analytics (beyond the reference, which has none — §2.6):
+    // rank within partition, lag delta, running sum.
+    "q28_window_analytics" -> ((s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("order_rank", row_number().over(byCust))
+        .withColumn("prev_gap_days",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byCust)))
+        .withColumn("running_spend",
+          (sum(round(col("o_totalprice") * 100))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, 0)) / 100.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_rank"),
+          col("prev_gap_days"), col("running_spend"))
+    }),
   )
 
   /** Shared gold-style fact: lineitem ⋈ orders ⋈ customer with derived
@@ -458,6 +487,24 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | sha256(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q27_cleanse_events" ->
+      """SELECT coalesce(nullif(event_type, 'error'), 'unknown') AS etype,
+        | count(*) AS n,
+        | sum(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE)) AS sum_k,
+        | max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q28_window_analytics" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(row_number() OVER w AS INTEGER) AS order_rank,
+        | CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+        |   AS prev_gap_days,
+        | sum(round(o_totalprice*100)) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
+        |FROM orders WINDOW w AS
+        | (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q19_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
