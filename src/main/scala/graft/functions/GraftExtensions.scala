@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the engine's custom
+  * expressions as SQL functions, so `spark.sql` users can call them:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT minhash_signature(shingles, 16) FROM docs")
+  * }}}
+  *
+  * (DataFrame users go through [[graft.functions.exprs]] directly.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.registrations
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach(ext.injectFunction)
+}
+
+/** Same registrations, applied directly to a live session (builder
+  * extensions only take effect on session creation — `getOrCreate`
+  * against an existing session ignores them). */
+object GraftExtensions {
+
+  /** Register all graft SQL functions on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
+    }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private type Reg =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def registrations: Seq[Reg] = Seq(
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(arr, n) - n-seed MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "n"))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(arr) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(str, n) - distinct character n-grams"),
+      (args: Seq[Expression]) => CharNgrams(args.head, intArg(args(1), "n"))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(arr, k) - distinct k-word shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head, intArg(args(1), "k"))),
+    (FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim", "jaccard_sim(a, b) - set Jaccard of two string arrays"),
+      (args: Seq[Expression]) => JaccardSim(args.head, args(1))),
+    (FunctionIdentifier("dot_product_d"),
+      info("dot_product_d", "dot_product_d(a, b) - ordered dot product of double arrays"),
+      (args: Seq[Expression]) => DotProductD(args.head, args(1))))
+}
