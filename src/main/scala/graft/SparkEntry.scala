@@ -284,6 +284,18 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
 
+    // Approximate aggregates for corpus profiling (HLL++ distinct,
+    // quantile sketch) — rows-only: sketch internals differ per engine,
+    // accuracy bounds are asserted in ApproxSpec instead.
+    "q29_corpus_profile" -> ((s, dir) => {
+      documents(s, dir).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
+        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(1000))
+          .as("chars_p50_p90"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+    }),
+
     // P10/F5/F7-class + semi-structured: coalesce, NULL sentinel
     // handling, casts, JSON payload extraction from the props column.
     "q27_cleanse_events" -> ((s, dir) => {
