@@ -284,6 +284,21 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
 
+    // As-of (point-in-time) join: every event gets the user's most
+    // recent purchase value/time at-or-before its timestamp — window
+    // composition (ops.AsOf); oracle uses DuckDB's native ASOF JOIN.
+    "q30_asof_purchase" -> ((s, dir) => {
+      graft.ops.AsOf.lastObservation(
+        events(s, dir),
+        partitionBy = Seq(col("user_id")),
+        time = col("ts"), tiebreak = col("event_id"),
+        isObservation = col("event_type") === "purchase",
+        "last_purchase_value" -> col("value"),
+        "last_purchase_ts" -> col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_purchase_value"), col("last_purchase_ts"))
+    }),
+
     // Approximate aggregates for corpus profiling (HLL++ distinct,
     // quantile sketch) — rows-only: sketch internals differ per engine,
     // accuracy bounds are asserted in ApproxSpec instead.
@@ -499,6 +514,18 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | sha256(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q30_asof_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT user_id, ts, value,
+        |      row_number() OVER (PARTITION BY user_id, ts
+        |                         ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  p.value AS last_purchase_value, p.ts AS last_purchase_ts
+        |FROM events e
+        |ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
 
     "q27_cleanse_events" ->
       """SELECT coalesce(nullif(event_type, 'error'), 'unknown') AS etype,

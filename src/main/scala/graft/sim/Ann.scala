@@ -39,6 +39,41 @@ object Ann {
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
 
+  /** IVF-style ANN: corpus is partitioned into `nCentroids` inverted
+    * lists (nearest-centroid assignment); each query probes only its
+    * `nProbe` closest lists. Centroid selection is deterministic (the
+    * lowest-id vectors) — at scale you'd swap in sampled k-means
+    * centroids, which changes only `centroids`. The scan cost drops
+    * from |C| to ≈ |C|·nProbe/nCentroids per query, and the list
+    * assignment is a plain equi-join that partitions cleanly. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol)
+    val centroids = corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    def assign(df: DataFrame, outCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(df.columns.map(col) :+ col("cid").as(outCol): _*)
+    }
+    val lists = assign(corpus, "list_id", 1)
+    val probes = assign(prep(queries, idCol, vecCol), "list_id", nProbe)
+      .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id").asc)
+    lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: candidates limited to equal sign-bit buckets. */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
               dim: Int = 64, idCol: String = "vec_id",

@@ -43,6 +43,20 @@ object EventStreams {
       .select(col("window.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming-incremental append into a catalog table — the streaming
+    * form of the reference's batch watermark load (gold.py:56-65,278):
+    * the checkpoint replaces the max-date probe, so each file is
+    * ingested exactly once across restarts. */
+  def incrementalAppend(stream: DataFrame, catalog: graft.catalog.TableCatalog,
+                        table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        catalog.append(batch.toDF(), table)
+      }
+      .start()
+
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the `flatMapGroupsWithState` form of q17's batch window query. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {

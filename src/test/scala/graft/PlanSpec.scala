@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan regressions: the scale posture (pushdown, pruning,
+  * broadcast choice, shuffle count) must not silently erode. */
+class PlanSpec extends SparkTestBase {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def finalPlan(df: DataFrame) = {
+    // force execution so AQE settles
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // pre-AQE plan: AdaptiveSparkPlanExec hides children from collect
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+
+  test("q01: shipdate filter pushed to the parquet scan, columns pruned") {
+    val df = q("q01_pricing_summary")
+    val s = planString(df)
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), s)
+    val scan = scans(df).head
+    assert(!scan.requiredSchema.fieldNames.contains("l_orderkey"),
+      "scan should not read unused key columns")
+  }
+
+  test("q03: dimension joins are broadcast, not shuffle") {
+    val p = finalPlan(q("q03_region_revenue"))
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("q09: single aggregation exchange, partial aggregation map-side") {
+    val p = finalPlan(q("q09_monthly_report"))
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected 1 exchange, got ${shuffles.size}:\n$p")
+    val s = p.toString
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("q02: projection prunes the lineitem scan to the 5 used columns") {
+    val scan = scans(q("q02_filter_project")).head
+    assert(scan.requiredSchema.fields.length == 5,
+      scan.requiredSchema.treeString)
+  }
+}
