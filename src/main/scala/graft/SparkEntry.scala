@@ -191,6 +191,14 @@ object SparkEntry {
         length(col("text")).as("len_chars"))
     }),
 
+    // BPE-ish regex token counting (subword-tokenizer upper bound).
+    "q31_bpe_tokens" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        TF.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TF.tokenCount(col("text")).as("n_ws_tokens"))
+    }),
+
     // Quality scoring: length/punctuation/stopword signals.
     "q12_quality_score" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -468,6 +476,11 @@ object SparkEntry {
          |  ${TF.sql.punctCount("text")} AS punct_cnt,
          |  ${TF.sql.hitCount("text", TF.stopEn)} AS stop_cnt
          |  FROM documents)""".stripMargin,
+
+    "q31_bpe_tokens" ->
+      s"""SELECT doc_id, ${TF.sql.bpeTokenCount("text")} AS n_bpe_tokens,
+         | ${TF.sql.tokenCount("text")} AS n_ws_tokens
+         |FROM documents""".stripMargin,
 
     "q13_lang_id" ->
       s"""SELECT lang, ${TF.sql.langId("text")} AS pred_lang,

@@ -74,18 +74,31 @@ object Ann {
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates limited to equal sign-bit buckets. */
+  /** LSH-bucketed ANN: candidates limited to matching sign-bit buckets.
+    * Multi-probe: each query also probes every bucket at Hamming
+    * distance 1 from its own (one flipped hyperplane bit), recovering
+    * the neighbors that fell just across a plane — the standard recall
+    * fix that beats adding independent hash tables at the same cost.
+    * The query side stays tiny (×(nPlanes+1) rows, broadcast); the
+    * corpus is scanned once and joined by bucket equi-key. */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
-              dim: Int = 64, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              dim: Int = 64, multiProbe: Boolean = true,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = Vectors.seededPlanes(nPlanes, dim)
     val corpus = prep(emb, idCol, vecCol)
       .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), planes))
+    val probeSet =
+      if (multiProbe)
+        array(col("bucket") +: (0 until nPlanes)
+          .map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
+      else array(col("bucket"))
     val q = prep(queries, idCol, vecCol)
       .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), planes))
-      .select(col("id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(probeSet).as("bucket"))
     val scored = corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
       .withColumn("sim", Vectors.cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id").asc)

@@ -49,6 +49,15 @@ object TextFunctions {
       .otherwise("fr")
   }
 
+  /** BPE-ish pre-tokenization pattern (GPT-2-style): contraction
+    * suffixes, letter runs, digit runs, punctuation runs, whitespace.
+    * Identical semantics in Java regex (Spark) and RE2 (DuckDB). */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Count of BPE-ish pre-tokens (upper-bounds subword token count). */
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePattern))
+
   /** Normalized-text MD5 fingerprint (case/whitespace-insensitive). */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
@@ -84,5 +93,9 @@ object TextFunctions {
     }
     def fingerprint(c: String): String =
       s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"
+    def bpeTokenCount(c: String): String = {
+      val p = bpePattern.replace("'", "''") // SQL string-literal escape
+      s"CAST(len(regexp_extract_all($c, '$p')) AS INTEGER)"
+    }
   }
 }
