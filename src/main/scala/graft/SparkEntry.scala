@@ -292,6 +292,17 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
 
+    // Rollup report: year/month subtotal lattice in one pass (Spark
+    // rollup ≡ SQL ROLLUP; NULL markers on subtotal rows match).
+    "q32_rollup_report" -> ((s, dir) => {
+      orders(s, dir)
+        .withColumn("year_o", year(col("o_orderdate")))
+        .withColumn("month_o", month(col("o_orderdate")))
+        .rollup(col("year_o"), col("month_o"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("sum_total"))
+    }),
+
     // As-of (point-in-time) join: every event gets the user's most
     // recent purchase value/time at-or-before its timestamp — window
     // composition (ops.AsOf); oracle uses DuckDB's native ASOF JOIN.
@@ -527,6 +538,13 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | sha256(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q32_rollup_report" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year_o,
+         | CAST(month(o_orderdate) AS INTEGER) AS month_o,
+         | count(*) AS n_orders,
+         | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
+         |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
 
     "q30_asof_purchase" ->
       """WITH p AS (

@@ -66,4 +66,14 @@ object Star {
     * (reference relies on auto-broadcast; we pin it). */
   def joinDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     fact.join(broadcast(dim), keys, "inner")
+
+  /** SCD-1 merge: `updates` rows win over `existing` rows with the same
+    * key; unseen keys are inserted. The reference's "upsert" never
+    * updates (insert-new-keys only, gold.py:93-106) — this is the
+    * natural extension for mutable dimensions. One anti-join + union;
+    * for parquet-backed dims the caller overwrites the table with the
+    * result (a Delta/Iceberg catalog would do a real MERGE here). */
+  def scdMerge(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    existing.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
 }

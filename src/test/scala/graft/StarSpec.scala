@@ -46,6 +46,14 @@ class StarSpec extends SparkTestBase {
     assert(Star.newerThan(df, "ts", None).count() == 2)
   }
 
+  test("scdMerge: updates win, unseen keys insert, others survive") {
+    val existing = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val updates = Seq((2, "B"), (3, "c")).toDF("k", "v")
+    val merged = Star.scdMerge(existing, updates, "k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(merged == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
   test("joinDateDim attaches the surrogate key via (d,m,y) composite") {
     val dim = DateDim.build(spark, "2023-01-01", "2023-01-31")
     val fact = Seq("2023-01-05 10:30:00", "2024-01-05 10:30:00").toDF("s")
