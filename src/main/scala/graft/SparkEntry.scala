@@ -292,6 +292,31 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
 
+    // Set operations beyond the reference's unions: INTERSECT/EXCEPT.
+    "q33_set_ops" -> ((s, dir) => {
+      val liSupp = lineitem(s, dir).select(col("l_suppkey").as("suppkey"))
+      val bigSupp = lineitem(s, dir).filter(col("l_quantity") >= 45)
+        .select(col("l_suppkey").as("suppkey"))
+      val both = liSupp.intersect(bigSupp).withColumn("cls", lit("both"))
+      val onlySmall = liSupp.except(bigSupp).withColumn("cls", lit("small_only"))
+      both.unionByName(onlySmall)
+    }),
+
+    // String-function breadth (portable, exactly-defined subset).
+    "q34_string_funcs" -> ((s, dir) => {
+      customer(s, dir).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        length(col("c_name")).as("len"),
+        reverse(col("c_name")).as("rev"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        instr(col("c_name"), "1").as("pos1"))
+    }),
+
     // Rollup report: year/month subtotal lattice in one pass (Spark
     // rollup ≡ SQL ROLLUP; NULL markers on subtotal rows match).
     "q32_rollup_report" -> ((s, dir) => {
@@ -538,6 +563,29 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | sha256(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q33_set_ops" ->
+      """SELECT suppkey, 'both' AS cls FROM (
+        |  SELECT l_suppkey AS suppkey FROM lineitem
+        |  INTERSECT
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45)
+        |UNION ALL
+        |SELECT suppkey, 'small_only' AS cls FROM (
+        |  SELECT l_suppkey AS suppkey FROM lineitem
+        |  EXCEPT
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45)""".stripMargin,
+
+    "q34_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        | substring(c_name, 1, 8) AS sub,
+        | concat_ws('|', c_mktsegment, c_name) AS joined,
+        | CAST(length(c_name) AS INTEGER) AS len,
+        | reverse(c_name) AS rev,
+        | lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        | regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        | CAST(strpos(c_name, '1') AS INTEGER) AS pos1
+        |FROM customer""".stripMargin,
 
     "q32_rollup_report" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year_o,
