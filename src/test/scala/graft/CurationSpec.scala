@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Curation
+
+/** dedup.Curation: the integrated corpus-curation chain. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curate filters languages, quality, exact and near dups — with accounting") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river", "en"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog by the creek", "en"), // near dup
+      (4L, "short", "en"),                                                    // quality fail
+      (5L, "el perro corre por la calle de la ciudad con el gato", "es"),     // lang fail
+      (6L, "a completely different document about query engines and the planner", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",
+      Curation.Config(langs = Set("en"), minTokens = 5, minJaccard = 0.6,
+        shingleK = 2))
+    val ids = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 6L))
+    val r = report.head()
+    assert(r.getAs[Long]("input") == 6)
+    assert(r.getAs[Long]("after_lang") == 5)
+    assert(r.getAs[Long]("after_quality") == 4)
+    assert(r.getAs[Long]("after_exact_dedup") == 3)
+    assert(r.getAs[Long]("after_near_dedup") == 2)
+  }
+
+  test("curate on the documents table keeps a plausible fraction") {
+    val docs = Tables.documents(spark, sf)
+    val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",
+      Curation.Config(langs = Set.empty, minTokens = 3, minJaccard = 0.8))
+    val r = report.head()
+    assert(r.getAs[Long]("after_near_dedup") > 0)
+    assert(kept.count() == r.getAs[Long]("after_near_dedup"))
+    assert(r.getAs[Long]("after_near_dedup") <= r.getAs[Long]("input"))
+  }
+}
