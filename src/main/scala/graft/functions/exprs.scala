@@ -194,6 +194,31 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Integral cents image of a 2-decimal money double, as LONG — the
+  * codegen'd core of [[graft.ops.Exact]]. `Math.round(x*100)` agrees
+  * with both Spark's HALF_UP `round` and DuckDB's half-away-from-zero
+  * on every reachable input: a 2-decimal value has no exact binary
+  * representation, so its double image ×100 never lands exactly on a
+  * .5 tie (where the three conventions could diverge). Unlike the
+  * built-in Round (BigDecimal allocation per value), this inlines into
+  * whole-stage codegen. */
+case class Cents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(Math.round(v.asInstanceOf[Double] * 100.0))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.round($c * 100.0)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Set Jaccard similarity of two array<string> columns in one pass
   * (inputs are already distinct sets from CharNgrams/WordShingles;
   * the built-in array_intersect + array_union pair walks both arrays
@@ -243,4 +268,5 @@ object exprs {
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSim(toExpr(a), toExpr(b)))
+  def cents(c: Column): Column = toCol(Cents(toExpr(c)))
 }

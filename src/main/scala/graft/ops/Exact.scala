@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * agree on every real input.
   */
 object Exact {
-  /** Integral cents image of a 2-decimal double column. */
-  def cents(c: Column): Column = round(c * lit(100))
+  /** Integral cents image of a 2-decimal double column (LONG; codegen'd
+    * custom expression — see [[graft.functions.Cents]] for the tie
+    * analysis proving parity with both engines' round conventions). */
+  def cents(c: Column): Column = graft.functions.exprs.cents(c)
 
   /** Order-independent exact sum of a 2-decimal money column. */
   def sumMoney(c: Column): Column = sum(cents(c)) / lit(100.0)
