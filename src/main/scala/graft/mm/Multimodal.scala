@@ -85,4 +85,18 @@ object Multimodal {
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
+
+  /** Resize stub: recomputes target dimensions preserving aspect ratio
+    * (longest side → `maxSide`); a real implementation would transcode
+    * the payload — the plumbing (schema, pure-function-of-row shape,
+    * no payload shuffle) is what production swaps onto. */
+  def resize(features: Dataset[MediaFeatures], maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    features.toDF()
+      .withColumn("resized_width",
+        greatest(lit(1), floor(col("width") * scale)).cast("int"))
+      .withColumn("resized_height",
+        greatest(lit(1), floor(col("height") * scale)).cast("int"))
+  }
 }

@@ -21,8 +21,9 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long)
   // millisecond bounds; gap decisions use floor-seconds to match the
-  // batch twin's unix_timestamp semantics exactly
-  private final case class SessionState(startMs: Long, endMs: Long, n: Long)
+  // batch twin's unix_timestamp semantics exactly. Public: the state
+  // encoder's generated code must reach the constructor.
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
 
   /** File-source stream over a directory of event parquet. */
   def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
@@ -59,6 +60,52 @@ object EventStreams {
 
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the `flatMapGroupsWithState` form of q17's batch window query. */
+  /** Continuous sessionization with EVENT-TIME TIMEOUT: sessions close
+    * and emit when the watermark passes their gap horizon, so the
+    * stream keeps producing results without waiting for the next event
+    * of each user (the production shape; [[sessionize]] is the
+    * single-pass batch-style variant). State is O(active users). */
+  def sessionizeStream(events: Dataset[Event],
+                       gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t / 1000 - s.endMs / 1000 <= gapSeconds =>
+                  cur = Some(s.copy(endMs = t, n = s.n + 1))
+                case Some(s) =>
+                  out += Session(userId, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.endMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapSeconds * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

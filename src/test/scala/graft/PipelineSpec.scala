@@ -32,6 +32,17 @@ class PipelineSpec extends SparkTestBase {
     assert(cfg.catalog.read(spark, "dim_priority").count() == dimBefore)
   }
 
+  test("month filter on the fact prunes partitions at the scan") {
+    Pipeline.runAll(spark, cfg)
+    val filtered = cfg.catalog.read(spark, "fact_sales")
+      .filter(col("month_o") === 3)
+    val scan = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "month_o should be a partition filter")
+    assert(filtered.count() > 0)
+  }
+
   test("silver cleanse drops duplicate rows and null keys") {
     val li = Tables.lineitem(spark, sf).withColumn("month_s", month(col("l_shipdate")))
     val withDups = li.unionByName(li.limit(5))

@@ -28,6 +28,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionization closes sessions as the watermark advances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream").toString
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // first half of the month, then the rest — the second batch drags
+    // the watermark far past the first batch's sessions
+    all.filter(col("ts") < "2024-01-10").write.parquet(s"$dir/b=1")
+    val schema = spark.read.parquet(s"$dir/b=1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+    import spark.implicits._
+    val q = EventStreams.sessionizeStream(stream.as[EventStreams.Event])
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("sess_stream").count()
+      all.filter(col("ts") >= "2024-01-10").write.parquet(s"$dir/b=2")
+      q.processAllAvailable()
+      val late = spark.table("sess_stream").count()
+      assert(late > early, s"timeout should flush sessions: $early -> $late")
+      // every emitted session respects the gap invariant
+      val bad = spark.table("sess_stream")
+        .filter(col("session_end") < col("session_start")).count()
+      assert(bad == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionize agrees with the batch window-function twin") {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
