@@ -91,12 +91,15 @@ object Multimodal {
     * the payload — the plumbing (schema, pure-function-of-row shape,
     * no payload shuffle) is what production swaps onto. */
   def resize(features: Dataset[MediaFeatures], maxSide: Int): DataFrame = {
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    // integer-exact on the longest side: (side * maxSide) / longest —
+    // a double `floor(side * scale)` loses the last pixel whenever
+    // maxSide/longest is inexact in binary (e.g. 3000→1999, not 2000)
+    val longest = greatest(col("width"), col("height"))
+    def scaled(side: org.apache.spark.sql.Column) =
+      greatest(lit(1), least(side,
+        (side.cast("long") * maxSide) / longest.cast("long"))).cast("int")
     features.toDF()
-      .withColumn("resized_width",
-        greatest(lit(1), floor(col("width") * scale)).cast("int"))
-      .withColumn("resized_height",
-        greatest(lit(1), floor(col("height") * scale)).cast("int"))
+      .withColumn("resized_width", scaled(col("width")))
+      .withColumn("resized_height", scaled(col("height")))
   }
 }

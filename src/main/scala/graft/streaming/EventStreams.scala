@@ -58,8 +58,45 @@ object EventStreams {
       }
       .start()
 
-  /** Gap-based sessionization (30-min inactivity) with explicit state —
-    * the `flatMapGroupsWithState` form of q17's batch window query. */
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(userId, new java.sql.Timestamp(s.startMs),
+      new java.sql.Timestamp(s.endMs), s.n)
+
+  /** Shared session fold (batch and stream must never diverge): merge
+    * each event into the open session when its floor-second gap to the
+    * session is within `gapSeconds`, else close and start anew. Events
+    * inside one call arrive sorted; a late-but-admissible event from a
+    * later micro-batch may precede the stored bounds, so bounds extend
+    * with min/max instead of being overwritten. */
+  private def advance(userId: Long, sorted: Seq[Event],
+                      init: Option[SessionState], gapSeconds: Long)
+      : (Option[SessionState], Seq[Session]) = {
+    // floor-second distance from the event to the session interval
+    // (0 inside; in-order events reduce to t - end, the batch rule)
+    def gapTo(s: SessionState, t: Long): Long = {
+      val ts = t / 1000
+      if (ts > s.endMs / 1000) ts - s.endMs / 1000
+      else if (ts < s.startMs / 1000) s.startMs / 1000 - ts
+      else 0L
+    }
+    var cur = init
+    val out = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if gapTo(s, t) <= gapSeconds =>
+          cur = Some(s.copy(startMs = math.min(s.startMs, t),
+            endMs = math.max(s.endMs, t), n = s.n + 1))
+        case Some(s) =>
+          out += toSession(userId, s)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (cur, out.result())
+  }
+
   /** Continuous sessionization with EVENT-TIME TIMEOUT: sessions close
     * and emit when the watermark passes their gap horizon, so the
     * stream keeps producing results without waiting for the next event
@@ -78,34 +115,26 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.endMs), s.n))
+            Iterator.single(toSession(userId, s))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val out = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t / 1000 - s.endMs / 1000 <= gapSeconds =>
-                  cur = Some(s.copy(endMs = t, n = s.n + 1))
-                case Some(s) =>
-                  out += Session(userId, new java.sql.Timestamp(s.startMs),
-                    new java.sql.Timestamp(s.endMs), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
+            val (cur, closed) = advance(userId, sorted, state.getOption, gapSeconds)
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapSeconds * 1000)
+              // one second past the merge horizon: the floor-second gap
+              // rule admits events up to (endSec + gap).999..., so the
+              // timeout must not fire before the watermark clears that —
+              // otherwise the stream splits a session the batch twin merges
+              state.setTimeoutTimestamp((s.endMs / 1000 + gapSeconds + 1) * 1000)
             }
-            out.result().iterator
+            closed.iterator
           }
       }
   }
 
+  /** Gap-based sessionization (30-min inactivity) with explicit state —
+    * the `flatMapGroupsWithState` form of q17's batch window query
+    * (single pass over a batch Dataset; only closed sessions emit). */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -114,23 +143,9 @@ object EventStreams {
         GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t / 1000 - s.endMs / 1000 <= gapSeconds =>
-                cur = Some(s.copy(endMs = t, n = s.n + 1))
-              case Some(s) =>
-                out += Session(userId, new java.sql.Timestamp(s.startMs),
-                  new java.sql.Timestamp(s.endMs), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
-          }
+          val (cur, closed) = advance(userId, sorted, state.getOption, gapSeconds)
           cur.foreach(state.update)
-          out.result().iterator
+          closed.iterator
       }
   }
 }

@@ -22,6 +22,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.forall(f => f.width >= 64 && f.height >= 64))
   }
 
+  test("resize hits maxSide exactly on the longest side, never upscales") {
+    val feats = Multimodal.extractFeatures(media)
+    val out = Multimodal.resize(feats, maxSide = 200).collect()
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (rw, rh) = (r.getAs[Int]("resized_width"), r.getAs[Int]("resized_height"))
+      if (math.max(w, h) >= 200)
+        assert(math.max(rw, rh) == 200, s"$w x $h -> $rw x $rh")
+      else assert(rw == w && rh == h) // no upscale
+      assert(rw >= 1 && rh >= 1)
+    }
+  }
+
   test("video rows get multiple frames; sampleFrames strides them") {
     val feats = Multimodal.extractFeatures(media)
     val frames = Multimodal.sampleFrames(feats, stride = 10)

@@ -49,6 +49,17 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val late = spark.table("sess_stream").count()
       assert(late > early, s"timeout should flush sessions: $early -> $late")
+      // batch 3: an admissible OUT-OF-ORDER event — later than the
+      // watermark but earlier than the max-ts user's stored session end
+      // (exercises the merge-backwards path: bounds must extend, not
+      // regress)
+      val last = all.orderBy(col("ts").desc).head()
+      val lateTs = last.getAs[java.sql.Timestamp]("ts")
+      val earlier = new java.sql.Timestamp(lateTs.getTime - 5 * 60 * 1000)
+      Seq((999999L, earlier, last.getAs[Long]("user_id"), "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$dir/b=3")
+      q.processAllAvailable()
       // every emitted session respects the gap invariant
       val bad = spark.table("sess_stream")
         .filter(col("session_end") < col("session_start")).count()
