@@ -50,7 +50,10 @@ object Curation {
   }
 
   /** Full chain; returns the kept rows plus a one-row accounting frame
-    * (input / after each stage) so drops are observable. */
+    * (input / after each stage) so drops are observable. The shuffle
+    * outputs (exact, near) are persisted so the per-stage counts don't
+    * recompute the chain stage-by-stage; the returned frame stays
+    * cached — callers unpersist when done. */
   def curate(docs: DataFrame, idCol: String, textCol: String, langCol: String,
              cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
@@ -63,9 +66,12 @@ object Curation {
     val quality = langFiltered.filter(qualityOk(col(textCol), cfg))
     val n2 = quality.count()
     val exact = Dedup.exactDedup(quality, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n3 = exact.count()
     val near = dropNearDups(exact, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n4 = near.count()
+    exact.unpersist()
     val report = Seq((n0, n1, n2, n3, n4))
       .toDF("input", "after_lang", "after_quality", "after_exact_dedup",
         "after_near_dedup")

@@ -90,6 +90,9 @@ object Dedup {
   private def bandedSignatures(base: DataFrame, idCol: String,
                                setCol: String, nHashes: Int,
                                bands: Int): DataFrame = {
+    require(bands > 0 && bands <= nHashes && nHashes % bands == 0,
+      s"bands ($bands) must evenly divide nHashes ($nHashes) — a non-divisor" +
+        " would silently drop signature positions from banding")
     val rows = nHashes / bands
     val withSig = base.withColumn("sig", minhashSignature(col(setCol), nHashes))
     val bandSigs = array((0 until bands).map { b =>
@@ -108,26 +111,36 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v) / lit(n.toDouble)
 
-  /** Candidate near-dup pairs from LSH banding: estimated Jaccard
-    * (minhash agreement) prefilters cheaply, exact shingle-set Jaccard
-    * verifies. Pairs are (a < b), distinct. */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
-                   minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    val base = docs.select(col(idCol), shingles(col(textCol), shingleK).as("set"))
+  /** The shared LSH chain: band signatures → bucket pair expansion →
+    * signature-agreement prefilter → exact set-Jaccard verification.
+    * `base` must be (idCol, set: array<string>). */
+  private def lshVerifiedPairs(base: DataFrame, idCol: String,
+                               nHashes: Int, bands: Int, maxBucket: Int,
+                               estPrefilter: Double, threshold: Double): DataFrame = {
     val banded = bandedSignatures(base, idCol, "set", nHashes, bands)
     val cand = bucketPairs(banded, idCol, "sig", maxBucket)
       .withColumn("est_jaccard", sigAgreement(col("p_a"), col("p_b"), nHashes))
-      .filter(col("est_jaccard") >= minJaccard * 0.5) // cheap prefilter
+      .filter(col("est_jaccard") >= estPrefilter) // kill false candidates cheaply
       .select("id_a", "id_b", "est_jaccard")
     cand
       .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
       .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
+
+  /** Candidate near-dup pairs from LSH banding: estimated Jaccard
+    * (minhash agreement) prefilters cheaply, exact shingle-set Jaccard
+    * verifies. Pairs are (a < b), distinct. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, nHashes: Int = 16, bands: Int = 4,
+                   minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    lshVerifiedPairs(
+      docs.select(col(idCol), shingles(col(textCol), shingleK).as("set")),
+      idCol, nHashes, bands, maxBucket,
+      estPrefilter = minJaccard * 0.5, threshold = minJaccard)
 
   // ---------------------------------------------------------- simhash
 
@@ -171,28 +184,20 @@ object Dedup {
     graft.functions.exprs.char_ngrams(
       regexp_replace(lower(textCol), "\\s+", " "), n)
 
-  /** Pairs with character-n-gram Jaccard ≥ threshold. Same LSH shape as
+  /** Pairs with character-n-gram Jaccard ≥ threshold. Same LSH chain as
     * [[minhashPairs]] over the n-gram set; the signature-agreement
-    * prefilter matters here — char n-grams of same-vocabulary corpora
-    * overlap heavily, so banding alone admits many false candidates. */
+    * prefilter matters more here — char n-grams of same-vocabulary
+    * corpora overlap heavily, so banding alone admits many false
+    * candidates (hence the tighter 0.7× prefilter). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.6,
                         nHashes: Int = 16, bands: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
-    val base = docs.select(col(idCol), charNgrams(col(textCol), n).as("set"))
-    val banded = bandedSignatures(base, idCol, "set", nHashes, bands)
-    val cand = bucketPairs(banded, idCol, "sig", maxBucket)
-      .withColumn("est", sigAgreement(col("p_a"), col("p_b"), nHashes))
-      .filter(col("est") >= threshold * 0.7) // kill false candidates cheaply
-      .select("id_a", "id_b")
-    cand
-      .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
+                        maxBucket: Int = 1000): DataFrame =
+    lshVerifiedPairs(
+      docs.select(col(idCol), charNgrams(col(textCol), n).as("set")),
+      idCol, nHashes, bands, maxBucket,
+      estPrefilter = threshold * 0.7, threshold = threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   // ----------------------------------------------- embedding near-dup
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ImplicitCastInputTypes, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
 /** n-element MinHash signature of an array<string> in one pass:
   * sig[i] = min over elements of xxhash64(element, seed=i). */
 case class MinHashSignature(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -52,7 +53,8 @@ case class MinHashSignature(child: Expression, n: Int)
 /** 64-bit SimHash of an array<string>: per-element xxhash64, ±1 bit
   * votes, sign-of-sum reconstruction. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -92,14 +94,20 @@ case class SimHash64(child: Expression)
   * list_dot_product, so results are bit-identical to both (oracle
   * parity depends on this). */
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val m = math.min(x.numElements(), y.numElements())
+    val m = x.numElements()
+    // fail loudly: a silent min-length truncation would mask dimension
+    // mismatches (e.g. 128-dim embeddings against 64-dim hyperplanes)
+    require(m == y.numElements(),
+      s"dot product dimension mismatch: $m vs ${y.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < m) {
@@ -119,7 +127,8 @@ case class DotProductD(left: Expression, right: Expression)
   * 15s per 5000 docs at sf0.1; this is one eval per row. Strings
   * shorter than `n` yield the whole string as the single gram. */
 case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -150,7 +159,8 @@ case class CharNgrams(child: Expression, n: Int)
   * joined), in input order; fewer than k tokens yield one shingle of
   * all tokens. */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -202,7 +212,9 @@ case class WordShingles(child: Expression, k: Int)
   * .5 tie (where the three conventions could diverge). Unlike the
   * built-in Round (BigDecimal allocation per value), this inlines into
   * whole-stage codegen. */
-case class Cents(child: Expression) extends UnaryExpression {
+case class Cents(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -224,7 +236,9 @@ case class Cents(child: Expression) extends UnaryExpression {
   * the built-in array_intersect + array_union pair walks both arrays
   * twice with intermediate allocations). */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 

@@ -19,17 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
   /** For each row, carry forward the latest non-null value of each
-    * (name → source expression when `isObservation`) pair. */
+    * (name → source expression when `isObservation`) pair.
+    *
+    * Two windows per column: a running last-observation in (time,
+    * tiebreak) row order, then a broadcast of the value at each
+    * same-time group's greatest tiebreak to the whole group — so a row
+    * sees observations sharing its exact timestamp regardless of
+    * tiebreak order, matching ASOF `ts >= obs_ts` semantics (the
+    * single-window form missed an observation at the same timestamp
+    * with a larger tiebreak). */
   def lastObservation(df: DataFrame, partitionBy: Seq[Column],
                       time: Column, tiebreak: Column,
                       isObservation: Column,
                       obs: (String, Column)*): DataFrame = {
-    val w = Window.partitionBy(partitionBy: _*)
+    val running = Window.partitionBy(partitionBy: _*)
       .orderBy(time, tiebreak)
       .rowsBetween(Window.unboundedPreceding, 0)
+    val tieGroup = Window.partitionBy((partitionBy :+ time): _*)
+      .orderBy(tiebreak)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     obs.foldLeft(df) { case (d, (name, value)) =>
       d.withColumn(name,
-        last(when(isObservation, value), ignoreNulls = true).over(w))
+          last(when(isObservation, value), ignoreNulls = true).over(running))
+        .withColumn(name, last(col(name)).over(tieGroup))
     }
   }
 }

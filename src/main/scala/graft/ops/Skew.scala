@@ -24,6 +24,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner",
                  tiebreak: Seq[String] = Nil): DataFrame = {
+    // right/full outer would duplicate unmatched small-side rows
+    // x buckets (the small side is replicated) — only the modes where
+    // every emitted row is anchored on the big side are salting-safe
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-anchored joins only, got $joinType")
     val bigSalted = big.withColumn("__salt",
       salt((key +: tiebreak).map(col) :+ monotonicallyDistinct(big), buckets))
     val smallExploded = small.withColumn("__salt",

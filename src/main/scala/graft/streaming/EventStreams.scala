@@ -45,16 +45,19 @@ object EventStreams {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** Streaming-incremental append into a catalog table — the streaming
-    * form of the reference's batch watermark load (gold.py:56-65,278):
-    * the checkpoint replaces the max-date probe, so each file is
-    * ingested exactly once across restarts. */
+    * form of the reference's batch watermark load (gold.py:56-65,278).
+    * The checkpoint tracks processed source files, and each micro-batch
+    * OVERWRITES its own `batch_id=N` partition — so a batch replayed
+    * after a crash-before-checkpoint-commit rewrites the same partition
+    * instead of appending duplicates: idempotent, hence exactly-once to
+    * the table (a plain parquet append here would be at-least-once). */
   def incrementalAppend(stream: DataFrame, catalog: graft.catalog.TableCatalog,
                         table: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        catalog.append(batch.toDF(), table)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        catalog.overwrite(batch.toDF(), s"$table/batch_id=$id")
       }
       .start()
 
@@ -133,9 +136,15 @@ object EventStreams {
   }
 
   /** Gap-based sessionization (30-min inactivity) with explicit state —
-    * the `flatMapGroupsWithState` form of q17's batch window query
-    * (single pass over a batch Dataset; only closed sessions emit). */
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    * the `flatMapGroupsWithState` form of q17's batch window query.
+    * `emitOpen = true` (batch use) also emits each user's final,
+    * still-open session, making the result EQUAL to the q17 window
+    * query; `false` (streaming continuation) keeps it in state — and
+    * note every user's trailing session is then withheld, so per-user
+    * session counts from a bounded run undercount by one per active
+    * user. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 emitOpen: Boolean = false): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
@@ -144,8 +153,8 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
           val (cur, closed) = advance(userId, sorted, state.getOption, gapSeconds)
-          cur.foreach(state.update)
-          closed.iterator
+          if (emitOpen) (closed ++ cur.map(toSession(userId, _))).iterator
+          else { cur.foreach(state.update); closed.iterator }
       }
   }
 }

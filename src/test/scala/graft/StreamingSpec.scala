@@ -72,21 +72,18 @@ class StreamingSpec extends SparkTestBase {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[EventStreams.Event]
-    val sessions = EventStreams.sessionize(events).collect()
+    // emitOpen=true flushes each user's final session too, so the
+    // stateful result must EQUAL the q17 window-function twin.
+    val sessions = EventStreams.sessionize(events, emitOpen = true).collect()
     val batch = SparkEntry.queries("q17_sessionize")(spark, sf).collect()
-    // flatMapGroupsWithState emits only CLOSED sessions in one pass over
-    // a batch Dataset; every closed session must appear in the batch
-    // result with the same start (to the second) and event count.
     val batchSet = batch.map { r =>
       val start = r.getAs[java.time.LocalDateTime]("session_start")
       (r.getAs[Long]("user_id"),
         start.toEpochSecond(java.time.ZoneOffset.UTC),
         r.getAs[Long]("n_events"))
     }.toSet
-    assert(sessions.nonEmpty)
-    sessions.foreach { s =>
-      assert(batchSet.contains((s.user_id,
-        s.session_start.getTime / 1000, s.n_events)), s"missing $s")
-    }
+    val streamSet = sessions.map(s =>
+      (s.user_id, s.session_start.getTime / 1000, s.n_events)).toSet
+    assert(streamSet == batchSet)
   }
 }
