@@ -26,6 +26,24 @@ class AsOfIvfSpec extends SparkTestBase {
     assert(out(5L) == null)
   }
 
+  test("lastObservation attaches a same-timestamp observation regardless of tiebreak") {
+    val df = Seq(
+      (1L, 5L, 10, "x", 0.0),    // same t as the obs, SMALLER tiebreak
+      (1L, 9L, 10, "obs", 42.0), // the tie observation
+      (1L, 12L, 11, "x", 0.0),
+      (2L, 20L, 10, "obs", 7.0),
+      (2L, 21L, 10, "obs", 8.0), // two obs at one t: greatest tiebreak wins
+      (2L, 22L, 10, "x", 0.0)
+    ).toDF("user", "id", "t", "kind", "v")
+    val out = AsOf.lastObservation(df, Seq(col("user")), col("t"), col("id"),
+      col("kind") === "obs", "last_v" -> col("v"))
+      .select("id", "last_v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(5L) == 42.0)  // ASOF t >= obs_t includes the tie
+    assert(out(12L) == 42.0)
+    assert(out(20L) == 8.0 && out(21L) == 8.0 && out(22L) == 8.0)
+  }
+
   test("ivfTopK sims are exact for returned pairs and recall is sane") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 6)
