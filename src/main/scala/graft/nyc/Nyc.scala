@@ -179,6 +179,19 @@ object Nyc {
       reportMeasures)
   }
 
+  /** J6: attach pickup/dropoff zone attributes AFTER aggregation, as
+    * the reference does (platinum.py:113-142 joins zones onto the
+    * aggregated mart, renamed per side). Zones are tiny (265 rows) —
+    * broadcast. */
+  def attachZones(report: DataFrame, zones: DataFrame): DataFrame = {
+    val pu = zones.select(col("LocationID").as("PULocationID"),
+      col("Borough").as("pu_borough"), col("Zone").as("pu_zone"))
+    val dz = zones.select(col("LocationID").as("DOLocationID"),
+      col("Borough").as("do_borough"), col("Zone").as("do_zone"))
+    Star.joinDim(Star.joinDim(report, pu, Seq("PULocationID")),
+      dz, Seq("DOLocationID"))
+  }
+
   /** The 2023 calendar the reference materializes via MySQL procedure
     * (create_datamart.sql:43-91). */
   def dateDim2023(spark: SparkSession): DataFrame =

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample`/`sampleBy` draw per-row randoms seeded per PARTITION, so
+  * the selected set changes with partitioning — a repartitioned rerun
+  * of a 100 TB job samples different rows, which breaks reproducible
+  * dataset builds. Hash sampling keys the decision on row identity:
+  * the same row is always in or out, on any cluster layout, and
+  * samples compose (a 1% sample is a subset of the 10% sample for the
+  * same salt).
+  */
+object Sampling {
+  private val Buckets = 1000000L
+
+  private def bucket(id: Column, salt: Long): Column =
+    pmod(xxhash64(id, lit(salt)), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, decided by hash of `idCol`. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: Long = 0L): DataFrame =
+    df.filter(bucket(col(idCol), salt) < (fraction * Buckets).toLong)
+
+  /** Per-stratum fractions (e.g. language balancing): strata absent
+    * from the map are dropped, making the kept set fully explicit. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+                           fractions: Map[String, Double],
+                           salt: Long = 0L): DataFrame = {
+    val threshold = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt) < threshold)
+  }
+}

@@ -107,6 +107,17 @@ class NycSpec extends SparkTestBase {
     assert(m.getAs[Double]("avg_passenger_count") == 2.0)
   }
 
+  test("zones attach to the aggregated mart per side (platinum J6)") {
+    val zones = Seq((74, "Manhattan", "East Harlem North", "Boro"),
+      (75, "Manhattan", "East Harlem South", "Boro"))
+      .toDF("LocationID", "Borough", "Zone", "service_zone")
+    val m = Nyc.attachZones(Nyc.monthlyReport(fact, dateDim), zones)
+      .filter(col("PULocationID") === 74).head()
+    assert(m.getAs[String]("pu_zone") == "East Harlem North")
+    assert(m.getAs[String]("do_zone") == "East Harlem South")
+    assert(m.getAs[String]("pu_borough") == "Manhattan")
+  }
+
   test("weekly report keys swap month for (dayName, weekOfYear)") {
     val w = Nyc.weeklyReport(fact, dateDim)
       .filter(col("PULocationID") === 74).head()
