@@ -61,6 +61,34 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-static enrichment: join the event stream to a (small,
+    * broadcast) dimension — re-resolved per micro-batch, so dim updates
+    * between batches are picked up. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left_outer")
+
+  /** Stream-stream interval join: for each event of `leftType`, matching
+    * `rightType` events of the same user within `withinSeconds` AFTER
+    * it. Both sides carry watermarks so join state is bounded — without
+    * them Spark would buffer both streams forever. */
+  def correlate(events: DataFrame, leftType: String, rightType: String,
+                withinSeconds: Long): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").cast("timestamp").as("l_ts"))
+      .withWatermark("l_ts", "1 hour")
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").cast("timestamp").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+      "inner")
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   private def toSession(userId: Long, s: SessionState): Session =
     Session(userId, new java.sql.Timestamp(s.startMs),
       new java.sql.Timestamp(s.endMs), s.n)

@@ -28,6 +28,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrich and stream-stream correlate match batch twins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-join-stream").toString
+    val batchEvents = Tables.events(spark, sf)
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEvents(spark, dir, spark.read.parquet(dir).schema)
+
+    val dim = Seq((0L, "free"), (1L, "pro")).toDF("user_mod", "tier")
+    val enriched = EventStreams.enrich(
+      stream.withColumn("user_mod", col("user_id") % 2), dim, Seq("user_mod"))
+    val q1 = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+
+    val correlated = EventStreams.correlate(stream, "click", "purchase", 600)
+    val q2 = correlated.writeStream.outputMode("append")
+      .format("memory").queryName("correlated").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val e = spark.table("enriched")
+      assert(e.count() == batchEvents.count())
+      assert(e.filter(col("tier").isNull).count() == 0)
+      // batch twin of the correlate join
+      val ev = batchEvents.withColumn("ts", col("ts").cast("timestamp"))
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"))
+      val batchPairs = l.join(r,
+          col("user_id") === col("r_user") && col("r_ts") >= col("l_ts") &&
+            col("r_ts") <= col("l_ts") + expr("INTERVAL 600 SECONDS"))
+        .select("l_id", "r_id").collect().map(_.toSeq).toSet
+      val streamPairs = spark.table("correlated")
+        .select("l_id", "r_id").collect().map(_.toSeq).toSet
+      assert(streamPairs == batchPairs)
+      assert(streamPairs.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("event-time-timeout sessionization closes sessions as the watermark advances") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream").toString
     val all = Tables.events(spark, sf)
