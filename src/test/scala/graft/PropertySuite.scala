@@ -11,12 +11,7 @@ import graft.ops.Exact
   * disjointness. Run by sbt's native ScalaCheck framework. */
 object PropertySuite extends Properties("graft") {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark: SparkSession = TestSessions.spark
   import spark.implicits._
 
   private val smallInts = Gen.listOfN(30, Gen.choose(-50, 50))

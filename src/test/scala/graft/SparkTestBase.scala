@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for specs — one per suite (lazy), configured
-  * identically to Verify so tests see the gate's semantics. */
-trait SparkTestBase extends AnyFunSuite {
+/** One shared session factory for ALL test frameworks (ScalaTest and
+  * ScalaCheck): whichever suite runs first creates the session, so the
+  * config — notably the temp warehouse dir — must come from one place
+  * or a first-created session with defaults poisons the rest (managed
+  * tables landing in ./spark-warehouse broke BucketingSpec). */
+object TestSessions {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
@@ -16,6 +19,9 @@ trait SparkTestBase extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+}
 
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSessions.spark
   val sf = "/root/testdata/sf0.001"
 }
