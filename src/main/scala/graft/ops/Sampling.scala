@@ -19,10 +19,14 @@ object Sampling {
   private def bucket(id: Column, salt: Long): Column =
     pmod(xxhash64(id, lit(salt)), lit(Buckets))
 
-  /** Keep ~`fraction` of rows, decided by hash of `idCol`. */
+  /** Keep ~`fraction` of rows, decided by hash of `idCol`. Rows with a
+    * NULL id are always EXCLUDED (they would otherwise share one hash
+    * bucket and flip in/out en masse with the salt — no per-row
+    * identity, no stable decision). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  salt: Long = 0L): DataFrame =
-    df.filter(bucket(col(idCol), salt) < (fraction * Buckets).toLong)
+    df.filter(col(idCol).isNotNull &&
+      bucket(col(idCol), salt) < (fraction * Buckets).toLong)
 
   /** Per-stratum fractions (e.g. language balancing): strata absent
     * from the map are dropped, making the kept set fully explicit. */
@@ -32,6 +36,6 @@ object Sampling {
     val threshold = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
       when(col(stratumCol) === k, lit((f * Buckets).toLong)).otherwise(acc)
     }
-    df.filter(bucket(col(idCol), salt) < threshold)
+    df.filter(col(idCol).isNotNull && bucket(col(idCol), salt) < threshold)
   }
 }

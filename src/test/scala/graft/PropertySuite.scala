@@ -10,6 +10,10 @@ import graft.ops.Exact
   * union-by-name stability, exact-sum order independence, anti-join
   * disjointness. Run by sbt's native ScalaCheck framework. */
 object PropertySuite extends Properties("graft") {
+  // 30 generated cases per property: each case runs 1-3 Spark actions,
+  // so the default 100 adds minutes of wall time for no extra coverage
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(30)
 
   private lazy val spark: SparkSession = TestSessions.spark
   import spark.implicits._
