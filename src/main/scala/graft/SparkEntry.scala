@@ -343,6 +343,15 @@ object SparkEntry {
           col("last_purchase_value"), col("last_purchase_ts"))
     }),
 
+    // Sliding-window document chunking (training-data segmentation):
+    // 64-token windows every 48 tokens, tail-covering.
+    "q35_chunking" -> ((s, dir) => {
+      documents(s, dir).select(col("doc_id"),
+        posexplode(TF.chunks(col("text"), chunkSize = 64, stride = 48)))
+        .withColumnRenamed("pos", "chunk_idx")
+        .withColumnRenamed("col", "chunk")
+    }),
+
     // Approximate aggregates for corpus profiling (HLL++ distinct,
     // quantile sketch) — rows-only: sketch internals differ per engine,
     // accuracy bounds are asserted in ApproxSpec instead.
@@ -593,6 +602,9 @@ object SparkEntry {
          | count(*) AS n_orders,
          | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
          |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    "q35_chunking" ->
+      TF.sql.chunksQuery("documents", "doc_id", "text", 64, 48),
 
     "q30_asof_purchase" ->
       """WITH p AS (

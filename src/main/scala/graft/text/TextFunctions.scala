@@ -58,6 +58,18 @@ object TextFunctions {
   /** Count of BPE-ish pre-tokens (upper-bounds subword token count). */
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePattern))
 
+  /** Sliding-window token chunks: windows of `chunkSize` tokens every
+    * `stride` tokens, the last window anchored so the tail is covered
+    * (ceil chunk count). The segmentation step of a training-data
+    * pipeline — explode the result to get one row per chunk. */
+  def chunks(c: Column, chunkSize: Int, stride: Int): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val nChunks = ceil(greatest(n - chunkSize, lit(0)) / stride) + 1
+    transform(sequence(lit(0), nChunks.cast("int") - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+  }
+
   /** Normalized-text MD5 fingerprint (case/whitespace-insensitive). */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
@@ -97,5 +109,17 @@ object TextFunctions {
       val p = bpePattern.replace("'", "''") // SQL string-literal escape
       s"CAST(len(regexp_extract_all($c, '$p')) AS INTEGER)"
     }
+    /** Oracle twin of [[TextFunctions.chunks]] exploded to rows; emits
+      * a full query over `table` with (idCol, chunk_idx, chunk). */
+    def chunksQuery(table: String, idCol: String, c: String,
+                    chunkSize: Int, stride: Int): String =
+      s"""WITH t AS (SELECT $idCol, ${tokens(c)} AS toks FROM $table),
+         |e AS (SELECT $idCol, toks,
+         |  unnest(generate_series(0,
+         |    CAST(ceil(greatest(len(toks)-$chunkSize,0)/$stride) AS BIGINT))) AS i
+         |  FROM t)
+         |SELECT $idCol, CAST(i AS INTEGER) AS chunk_idx,
+         |  array_to_string(toks[(i*$stride+1):(i*$stride+$chunkSize)], ' ') AS chunk
+         |FROM e""".stripMargin
   }
 }

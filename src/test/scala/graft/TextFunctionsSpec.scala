@@ -41,6 +41,20 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(ab != ba)
   }
 
+  test("chunks cover every token with tail-anchored windows") {
+    val words = (1 to 150).map(i => s"w$i").mkString(" ")
+    val out = Seq(words).toDF("t")
+      .select(TextFunctions.chunks(col("t"), chunkSize = 64, stride = 48))
+      .head().getSeq[String](0)
+    assert(out.length == 3) // ceil((150-64)/48)+1
+    assert(out.head.startsWith("w1 ") && out.head.split(" ").length == 64)
+    assert(out.last.contains("w150")) // tail covered
+    // short doc → one chunk of everything
+    val short = Seq("a b c").toDF("t")
+      .select(TextFunctions.chunks(col("t"), 64, 48)).head().getSeq[String](0)
+    assert(short == Seq("a b c"))
+  }
+
   test("punct and cjk counters") {
     assert(one[Int](TextFunctions.punctCount(col("t")), "a,b. c! (d)") == 5)
     assert(one[Int](TextFunctions.cjkCount(col("t")), "abc 中文 def") == 2)
