@@ -343,6 +343,10 @@ object SparkEntry {
           col("last_purchase_value"), col("last_purchase_ts"))
     }),
 
+    // TF-IDF keyword extraction (log-free surrogate, top-5 per doc).
+    "q36_tfidf_keywords" -> ((s, dir) =>
+      TF.topKeywords(documents(s, dir), "doc_id", "text", k = 5)),
+
     // Sliding-window document chunking (training-data segmentation):
     // 64-token windows every 48 tokens, tail-covering.
     "q35_chunking" -> ((s, dir) => {
@@ -605,6 +609,21 @@ object SparkEntry {
 
     "q35_chunking" ->
       TF.sql.chunksQuery("documents", "doc_id", "text", 64, 48),
+
+    "q36_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, tf.token, tf.tf, dft.df,
+         |    (CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents)) / dft.df
+         |      AS score
+         |  FROM tf JOIN dft ON tf.token = dft.token)
+         |SELECT doc_id, token, tf, df, score, CAST(rnk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM scored)
+         |WHERE rnk <= 5""".stripMargin,
 
     "q30_asof_purchase" ->
       """WITH p AS (

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale document pipelines.
@@ -80,6 +81,28 @@ object TextFunctions {
     * mode. Not SQL-expressible; used by rows-only dedup variants. */
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Top-k keywords per document by a log-free TF-IDF surrogate
+    * (tf × nDocs / df — same ordering as tf·idf for ranking, and
+    * bit-deterministic across engines, which log() is not: libm last-ulp
+    * differences would break oracle parity). Two shuffles: (doc, token)
+    * term counts, then token document-frequency; the scalar corpus size
+    * is the only driver-side value (watermark-style). */
+  def topKeywords(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    val nDocs = docs.count()
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, "token")
+      .withColumn("score", (col("tf").cast("double") * nDocs) / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 
   /** Oracle twins (DuckDB SQL fragments over a text expression). */
   object sql {
