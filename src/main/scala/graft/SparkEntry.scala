@@ -343,6 +343,31 @@ object SparkEntry {
           col("last_purchase_value"), col("last_purchase_ts"))
     }),
 
+    // Conditional aggregation (FILTER-clause semantics): per-status
+    // slices computed in one pass instead of multiple scans.
+    "q37_conditional_agg" -> ((s, dir) => {
+      orders(s, dir)
+        .withColumn("year_o", year(col("o_orderdate")))
+        .groupBy(col("year_o"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          Exact.sumMoney(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(0.0)).as("finished_total"),
+          (sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+            / count(lit(1)).cast("double")).as("urgent_ratio"))
+    }),
+
+    // Distribution windows: quartile bucketing + percent rank over a
+    // fully-ordered (tie-free by key) sequence.
+    "q38_distribution_windows" -> ((s, dir) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, dir).select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("balance_quartile"),
+        percent_rank().over(w).as("balance_pct_rank"))
+    }),
+
     // TF-IDF keyword extraction (log-free surrogate, top-5 per doc).
     "q36_tfidf_keywords" -> ((s, dir) =>
       TF.topKeywords(documents(s, dir), "doc_id", "text", k = 5)),
@@ -609,6 +634,23 @@ object SparkEntry {
 
     "q35_chunking" ->
       TF.sql.chunksQuery("documents", "doc_id", "text", 64, 48),
+
+    "q37_conditional_agg" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year_o,
+         | count(*) FILTER (o_orderstatus = 'F') AS n_finished,
+         | count(*) FILTER (o_orderstatus = 'O') AS n_open,
+         | sum(round((CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+         |   ELSE 0.0 END)*100))/100.0 AS finished_total,
+         | sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         |   / CAST(count(*) AS DOUBLE) AS urgent_ratio
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q38_distribution_windows" ->
+      """SELECT c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+        | percent_rank() OVER w AS balance_pct_rank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin,
 
     "q36_tfidf_keywords" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS token
