@@ -343,6 +343,20 @@ object SparkEntry {
           col("last_purchase_value"), col("last_purchase_ts"))
     }),
 
+    // Nested/array results: grouped collection (sorted for determinism
+    // — raw collect_list order varies with partitioning) + per-element
+    // array transforms on the way out.
+    "q39_grouped_arrays" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+          size(collect_list(col("l_linenumber"))).as("n_lines"),
+          Exact.sumMoney(col("l_extendedprice")).as("order_value"))
+        .withColumn("line_numbers_sq",
+          transform(col("line_numbers"), x => x * x))
+    }),
+
     // Conditional aggregation (FILTER-clause semantics): per-status
     // slices computed in one pass instead of multiple scans.
     "q37_conditional_agg" -> ((s, dir) => {
@@ -634,6 +648,15 @@ object SparkEntry {
 
     "q35_chunking" ->
       TF.sql.chunksQuery("documents", "doc_id", "text", 64, 48),
+
+    "q39_grouped_arrays" ->
+      s"""SELECT l_orderkey,
+         | list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+         | CAST(count(*) AS INTEGER) AS n_lines,
+         | ${Exact.sql.sumMoney("l_extendedprice")} AS order_value,
+         | list(l_linenumber * l_linenumber ORDER BY l_linenumber)
+         |   AS line_numbers_sq
+         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q37_conditional_agg" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year_o,
