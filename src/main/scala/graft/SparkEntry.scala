@@ -351,7 +351,9 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(
           array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
-          size(collect_list(col("l_linenumber"))).as("n_lines"),
+          // count(*), not size(collect_list): collect_list drops nulls,
+          // so its size only matches the count(*) oracle coincidentally
+          count(lit(1)).cast("int").as("n_lines"),
           Exact.sumMoney(col("l_extendedprice")).as("order_value"))
         .withColumn("line_numbers_sq",
           transform(col("line_numbers"), x => x * x))
@@ -372,12 +374,14 @@ object SparkEntry {
             / count(lit(1)).cast("double")).as("urgent_ratio"))
     }),
 
-    // Distribution windows: quartile bucketing + percent rank over a
-    // fully-ordered (tie-free by key) sequence.
+    // Distribution windows: per-segment quartiles + percent rank over a
+    // tie-free ordering. Partitioned by segment — an unpartitioned
+    // global sort funnels everything through one reducer at scale.
     "q38_distribution_windows" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
       customer(s, dir).select(
-        col("c_custkey"), col("c_acctbal"),
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
         ntile(4).over(w).as("balance_quartile"),
         percent_rank().over(w).as("balance_pct_rank"))
     }),
@@ -669,26 +673,15 @@ object SparkEntry {
          |FROM orders GROUP BY 1""".stripMargin,
 
     "q38_distribution_windows" ->
-      """SELECT c_custkey, c_acctbal,
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
         | CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
         | percent_rank() OVER w AS balance_pct_rank
         |FROM customer
-        |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin,
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin,
 
     "q36_tfidf_keywords" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS token
-         |  FROM documents),
-         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |scored AS (
-         |  SELECT doc_id, tf.token, tf.tf, dft.df,
-         |    (CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents)) / dft.df
-         |      AS score
-         |  FROM tf JOIN dft ON tf.token = dft.token)
-         |SELECT doc_id, token, tf, df, score, CAST(rnk AS INTEGER) AS rank
-         |FROM (SELECT *, row_number() OVER
-         |  (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk FROM scored)
-         |WHERE rnk <= 5""".stripMargin,
+      TF.sql.topKeywordsQuery("documents", "doc_id", "text", k = 5),
 
     "q30_asof_purchase" ->
       """WITH p AS (

@@ -60,10 +60,14 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePattern))
 
   /** Sliding-window token chunks: windows of `chunkSize` tokens every
-    * `stride` tokens, the last window anchored so the tail is covered
-    * (ceil chunk count). The segmentation step of a training-data
-    * pipeline — explode the result to get one row per chunk. */
+    * `stride` tokens, tail-COVERING — the final window starts on the
+    * stride grid and may be shorter than `chunkSize` (it is not
+    * re-anchored to end exactly at the last token). The segmentation
+    * step of a training-data pipeline — explode the result to get one
+    * row per chunk. */
   def chunks(c: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize ($chunkSize) and stride ($stride) must be positive")
     val toks = tokens(c)
     val n = size(toks)
     val nChunks = ceil(greatest(n - chunkSize, lit(0)) / stride) + 1
@@ -90,12 +94,15 @@ object TextFunctions {
     * is the only driver-side value (watermark-style). */
   def topKeywords(docs: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame = {
-    val nDocs = docs.count()
+    // corpus size as a lazy broadcast scalar — an eager docs.count()
+    // here would run a job at plan-construction time and scan the
+    // corpus once more per invocation
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dft, "token")
-      .withColumn("score", (col("tf").cast("double") * nDocs) / col("df"))
+    val scored = tf.join(dft, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf").cast("double") * col("n_docs")) / col("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("token").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -132,6 +139,25 @@ object TextFunctions {
       val p = bpePattern.replace("'", "''") // SQL string-literal escape
       s"CAST(len(regexp_extract_all($c, '$p')) AS INTEGER)"
     }
+    /** Oracle twin of [[TextFunctions.topKeywords]] — kept here so the
+      * score formula, tie-break, and column list cannot drift from the
+      * Spark side. */
+    def topKeywordsQuery(table: String, idCol: String, c: String,
+                         k: Int): String =
+      s"""WITH toks AS (SELECT $idCol, unnest(${tokens(c)}) AS token
+         |  FROM $table),
+         |tf AS (SELECT $idCol, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT $idCol, tf.token, tf.tf, dft.df,
+         |    (CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM $table)) / dft.df
+         |      AS score
+         |  FROM tf JOIN dft ON tf.token = dft.token)
+         |SELECT $idCol, token, tf, df, score, CAST(rnk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY $idCol ORDER BY score DESC, token) AS rnk FROM scored)
+         |WHERE rnk <= $k""".stripMargin
+
     /** Oracle twin of [[TextFunctions.chunks]] exploded to rows; emits
       * a full query over `table` with (idCol, chunk_idx, chunk). */
     def chunksQuery(table: String, idCol: String, c: String,
