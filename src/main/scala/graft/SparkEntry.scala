@@ -292,14 +292,17 @@ object SparkEntry {
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
     }),
 
-    // Set operations beyond the reference's unions: INTERSECT/EXCEPT.
+    // Set-operation semantics (INTERSECT/EXCEPT classification), computed
+    // as ONE scan + ONE shuffle: groupBy(key).agg(max(predicate)) derives
+    // membership in the filtered set, replacing the naive two-scan
+    // INTERSECT + EXCEPT pair (two wide distinct-shuffles). The oracle
+    // keeps the literal set-op formulation to prove equivalence.
     "q33_set_ops" -> ((s, dir) => {
-      val liSupp = lineitem(s, dir).select(col("l_suppkey").as("suppkey"))
-      val bigSupp = lineitem(s, dir).filter(col("l_quantity") >= 45)
-        .select(col("l_suppkey").as("suppkey"))
-      val both = liSupp.intersect(bigSupp).withColumn("cls", lit("both"))
-      val onlySmall = liSupp.except(bigSupp).withColumn("cls", lit("small_only"))
-      both.unionByName(onlySmall)
+      lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(max(col("l_quantity") >= 45).as("has_big"))
+        .select(col("suppkey"),
+          when(col("has_big"), "both").otherwise("small_only").as("cls"))
     }),
 
     // String-function breadth (portable, exactly-defined subset).
@@ -345,18 +348,23 @@ object SparkEntry {
 
     // Nested/array results: grouped collection (sorted for determinism
     // — raw collect_list order varies with partitioning) + per-element
-    // array transforms on the way out.
+    // array transforms. Arrays are serialized to CSV strings at the
+    // output boundary: the driver's comparator sorts rows in pandas,
+    // which cannot hash ndarray cells.
     "q39_grouped_arrays" -> ((s, dir) => {
+      def joined(c: Column) = array_join(transform(c, _.cast("string")), ",")
       lineitem(s, dir)
         .groupBy(col("l_orderkey"))
         .agg(
-          array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+          array_sort(collect_list(col("l_linenumber"))).as("lns"),
           // count(*), not size(collect_list): collect_list drops nulls,
           // so its size only matches the count(*) oracle coincidentally
           count(lit(1)).cast("int").as("n_lines"),
           Exact.sumMoney(col("l_extendedprice")).as("order_value"))
-        .withColumn("line_numbers_sq",
-          transform(col("line_numbers"), x => x * x))
+        .select(col("l_orderkey"),
+          joined(col("lns")).as("line_numbers"),
+          col("n_lines"), col("order_value"),
+          joined(transform(col("lns"), x => x * x)).as("line_numbers_sq"))
     }),
 
     // Conditional aggregation (FILTER-clause semantics): per-status
@@ -399,15 +407,20 @@ object SparkEntry {
         .withColumnRenamed("col", "chunk")
     }),
 
-    // Approximate aggregates for corpus profiling (HLL++ distinct,
-    // quantile sketch) — rows-only: sketch internals differ per engine,
-    // accuracy bounds are asserted in ApproxSpec instead.
+    // Corpus profiling with a mergeable quantile sketch. At accuracy
+    // 10000 the GK sketch is rank-exact for these group sizes, so the
+    // oracle can pin the convention explicitly (the ceil(p*n)-th
+    // smallest value); at 100 TB the same plan degrades gracefully to
+    // a bounded-memory approximation. Distinct-text counting hashes to
+    // a 32-hex fingerprint first so only digests shuffle, never full
+    // documents. (HLL++ approx_count_distinct stays covered by
+    // ApproxSpec — sketch internals can't hash-match another engine.)
     "q29_corpus_profile" -> ((s, dir) => {
       documents(s, dir).groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
-        approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
-        percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9)), lit(1000))
-          .as("chars_p50_p90"),
+        count_distinct(md5(col("text"))).as("n_distinct_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("chars_p50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("chars_p90"),
         (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
     }),
 
@@ -604,8 +617,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM tagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
@@ -655,12 +668,31 @@ object SparkEntry {
 
     "q39_grouped_arrays" ->
       s"""SELECT l_orderkey,
-         | list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+         | string_agg(CAST(l_linenumber AS VARCHAR), ','
+         |   ORDER BY l_linenumber) AS line_numbers,
          | CAST(count(*) AS INTEGER) AS n_lines,
          | ${Exact.sql.sumMoney("l_extendedprice")} AS order_value,
-         | list(l_linenumber * l_linenumber ORDER BY l_linenumber)
-         |   AS line_numbers_sq
+         | string_agg(CAST(l_linenumber * l_linenumber AS VARCHAR), ','
+         |   ORDER BY l_linenumber) AS line_numbers_sq
          |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // Percentile convention: with a rank-exact sketch, percentile_approx
+    // returns the ceil(p*n)-th smallest element — pinned here via
+    // row_number instead of quantile_disc (whose rank rule differs).
+    "q29_corpus_profile" ->
+      """WITH ranked AS (
+        |  SELECT lang, text, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_texts,
+        |  max(CASE WHEN rn = CAST(ceil(0.5*cnt) AS BIGINT) THEN n_chars END)
+        |    AS chars_p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9*cnt) AS BIGINT) THEN n_chars END)
+        |    AS chars_p90,
+        |  sum(n_chars)/count(*) AS avg_chars
+        |FROM ranked GROUP BY lang""".stripMargin,
 
     "q37_conditional_agg" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS year_o,

@@ -13,6 +13,14 @@ trait TableCatalog {
   def exists(spark: SparkSession, table: String): Boolean
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+
+  /** Replace only the partitions present in `df`, leaving the rest of
+    * the table untouched — the idempotent unit-of-work write for
+    * monthly backfills. Backends without partition semantics (JDBC)
+    * fall back to append and must rely on key constraints upstream. */
+  def replacePartitions(df: DataFrame, table: String,
+                        partitionBy: Seq[String]): Unit =
+    overwrite(df, table, partitionBy)
 }
 
 /** Directory-of-parquet catalog (the offline stand-in for MinIO/JDBC;
@@ -42,6 +50,16 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(table))
   }
+
+  /** Dynamic partition overwrite: only partitions with incoming rows
+    * are rewritten, so "materialize 1996-03" never clobbers the other
+    * months. */
+  override def replacePartitions(df: DataFrame, table: String,
+                                 partitionBy: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path(table))
 }
 
 /** JDBC catalog matching the reference's warehouse sinks (gold.py:36-54

@@ -50,29 +50,43 @@ object Curation {
   }
 
   /** Full chain; returns the kept rows plus a one-row accounting frame
-    * (input / after each stage) so drops are observable. The shuffle
-    * outputs (exact, near) are persisted so the per-stage counts don't
-    * recompute the chain stage-by-stage; the returned frame stays
-    * cached — callers unpersist when done. */
+    * (input / after each stage) so drops are observable.
+    *
+    * Exactly TWO actions, whatever the corpus size:
+    *  1. one conditional-aggregation pass over the raw corpus computes
+    *     input / after-lang / after-quality / after-exact-dedup —
+    *     the survivor count of exact dedup is `count(DISTINCT
+    *     fingerprint)` of the filtered rows, so none of the narrow
+    *     stages is ever re-scanned per counter (the stage-by-stage
+    *     version cost three extra full corpus scans at 100 TB);
+    *  2. the near-dup survivor count, which also materializes the
+    *     persisted result. The exact-dedup frame is persisted only for
+    *     the duration of that job (its subtree appears on both sides
+    *     of the near-dup anti-join). The returned frame stays cached —
+    *     callers unpersist when done. */
   def curate(docs: DataFrame, idCol: String, textCol: String, langCol: String,
              cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val n0 = docs.count()
-    val langFiltered =
-      if (cfg.langs.isEmpty) docs
-      else docs.filter(col(langCol).isin(cfg.langs.toSeq: _*))
-    val n1 = langFiltered.count()
-    val quality = langFiltered.filter(qualityOk(col(textCol), cfg))
-    val n2 = quality.count()
-    val exact = Dedup.exactDedup(quality, idCol, textCol)
+    val langOk =
+      if (cfg.langs.isEmpty) lit(true)
+      else col(langCol).isin(cfg.langs.toSeq: _*)
+    val qOk = qualityOk(col(textCol), cfg)
+    val keep = langOk && qOk
+    val funnel = docs.agg(
+      count(lit(1)).as("input"),
+      count(when(langOk, 1)).as("after_lang"),
+      count(when(keep, 1)).as("after_quality"),
+      count_distinct(when(keep, TextFunctions.fingerprint(col(textCol))))
+        .as("after_exact_dedup")).head() // action 1
+    val exact = Dedup.exactDedup(docs.filter(keep), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n3 = exact.count()
     val near = dropNearDups(exact, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n4 = near.count()
+    val n4 = near.count() // action 2 (fills both caches)
     exact.unpersist()
-    val report = Seq((n0, n1, n2, n3, n4))
+    val report = Seq((funnel.getLong(0), funnel.getLong(1), funnel.getLong(2),
+        funnel.getLong(3), n4))
       .toDF("input", "after_lang", "after_quality", "after_exact_dedup",
         "after_near_dedup")
     (near, report)

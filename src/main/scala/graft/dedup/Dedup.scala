@@ -52,24 +52,36 @@ object Dedup {
   // ------------------------------------------------- bucketed pair gen
 
   /** Distinct (id_a < id_b) pairs of rows sharing any (bucket_no,
-    * bucket_sig), with one payload column carried per side. Pairs are
-    * expanded inside each bucket after a groupBy — one shuffle, no
-    * corpus self-join. Buckets larger than `maxBucket` are skipped
-    * (LSH premise: buckets are small; a flood means degenerate input). */
+    * bucket_sig), with one payload column carried per side.
+    *
+    * Expansion is a per-bucket self equi-join, NOT collect_list +
+    * in-plan combination: the collect_list shape concentrates a whole
+    * bucket (up to `maxBucket` structs — multi-GB when the payload is
+    * an embedding) into ONE aggregation row and then explodes O(n²)
+    * pairs from it, a single-task memory bomb at scale. The self-join
+    * keeps every row small and spillable, the bucket key partitions it
+    * cleanly, and both join sides hash to the same exchange (window
+    * sizing + join share the bucket-key partitioning, so signatures
+    * are not recomputed per side). Buckets larger than `maxBucket` are
+    * skipped (LSH premise: buckets are small; a flood means degenerate
+    * input) — a documented recall bound, not a silent cap. */
   private def bucketPairs(bucketed: DataFrame, idCol: String,
                           payloadCol: String, maxBucket: Int): DataFrame = {
-    val item = struct(col(idCol).as("id"), col(payloadCol).as("p"))
-    bucketed
-      .groupBy(col("bucket_no"), col("bucket_sig"))
-      .agg(collect_list(item).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("xs"), x =>
-        filter(transform(col("xs"), y => struct(x.as("a"), y.as("b"))),
-          p => p.getField("a").getField("id") < p.getField("b").getField("id")))))
-        .as("pair"))
-      .select(
-        col("pair.a.id").as("id_a"), col("pair.b.id").as("id_b"),
-        col("pair.a.p").as("p_a"), col("pair.b.p").as("p_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_no"), col("bucket_sig"))
+    val sized = bucketed
+      .select(col("bucket_no"), col("bucket_sig"),
+        col(idCol).as("id"), col(payloadCol).as("p"))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("n").between(2, maxBucket))
+      .drop("n")
+    val a = sized.select(col("bucket_no"), col("bucket_sig"),
+      col("id").as("id_a"), col("p").as("p_a"))
+    val b = sized.select(col("bucket_no"), col("bucket_sig"),
+      col("id").as("id_b"), col("p").as("p_b"))
+    a.join(b, Seq("bucket_no", "bucket_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("p_a"), col("p_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   * dedup of the observation side.
   */
 object AsOf {
-  /** For each row, carry forward the latest non-null value of each
-    * (name → source expression when `isObservation`) pair.
+  /** For each row, attach the attached-column values of the latest
+    * observation row at-or-before it (per partition).
     *
-    * Two windows per column: a running last-observation in (time,
-    * tiebreak) row order, then a broadcast of the value at each
+    * All attached columns are packed into ONE struct per observation
+    * row before the windows, so every output column comes from the
+    * same observation row and a NULL observation value propagates as
+    * ASOF semantics require. (Carrying each column independently with
+    * `last(..., ignoreNulls)` mixed rows whenever an observation held
+    * a NULL: the value came from an older observation while the
+    * timestamp came from the newer one.)
+    *
+    * Two windows over the struct: a running last-observation in (time,
+    * tiebreak) row order, then a broadcast of the struct at each
     * same-time group's greatest tiebreak to the whole group — so a row
     * sees observations sharing its exact timestamp regardless of
     * tiebreak order, matching ASOF `ts >= obs_ts` semantics (the
@@ -38,10 +46,16 @@ object AsOf {
     val tieGroup = Window.partitionBy((partitionBy :+ time): _*)
       .orderBy(tiebreak)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    obs.foldLeft(df) { case (d, (name, value)) =>
-      d.withColumn(name,
-          last(when(isObservation, value), ignoreNulls = true).over(running))
-        .withColumn(name, last(col(name)).over(tieGroup))
-    }
+    // struct() is non-null whenever isObservation holds, even if every
+    // field inside is NULL — so ignoreNulls skips non-observation rows
+    // only, never a null-valued observation
+    val packed = struct(obs.map { case (name, value) => value.as(name) }: _*)
+    val carried = df
+      .withColumn("__asof_obs",
+        last(when(isObservation, packed), ignoreNulls = true).over(running))
+      .withColumn("__asof_obs", last(col("__asof_obs")).over(tieGroup))
+    obs.foldLeft(carried) { case (d, (name, _)) =>
+      d.withColumn(name, col(s"__asof_obs.$name"))
+    }.drop("__asof_obs")
   }
 }

@@ -20,37 +20,84 @@ import graft.etl.{Cleanse, DateDim, Reports, Star}
   * Scale posture: every write is partitioned by calendar month, every
   * dim join is broadcast, the only wide shuffles are the fact groupBys,
   * and nothing ever `collect`s except the scalar watermark.
+  *
+  * Two entry points: [[runAll]] (whole-table watermark-incremental run)
+  * and [[runMonth]] (one `yyyy-MM` partition — the reference's Dagster
+  * unit of work, `MonthlyPartitionsDefinition`, bronze.py:49: backfill
+  * or re-run a single month idempotently via dynamic partition replace).
   */
 object Pipeline {
   final case class Config(srcDir: String, catalog: TableCatalog,
                           dateStart: String = "1995-01-01",
                           dateEnd: String = "2001-12-31")
 
+  /** Calendar-month partition key ("1996-03") — the pipeline's unit of
+    * work, mirroring the reference's monthly partitions (bronze.py:49).
+    *
+    * Every fact layer partitions on the ORDER month: lineitem rows are
+    * tagged with their order's month at ingest (one join, once — the
+    * stand-in for the reference's monthly raw files, whose path encodes
+    * exactly this). Ship dates are uncorrelated with order dates in
+    * this data, so partitioning lineitem by ship month would make a
+    * month's fact depend on every other partition; keying both tables
+    * on the same month makes each month self-contained and lets every
+    * downstream join prune to one partition per side. */
+  private def ym(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    date_format(c, "yyyy-MM")
+
   // ------------------------------------------------------------- bronze
+
+  /** Raw lineitem rows tagged with their order's month key (left join:
+    * orphan lineitems keep a NULL month and land in the default
+    * partition rather than silently vanishing from bronze). */
+  private def monthTaggedLineitem(spark: SparkSession, cfg: Config): DataFrame = {
+    val orderMonths = Tables.orders(spark, cfg.srcDir)
+      .select(col("o_orderkey").as("__ok"), ym(col("o_orderdate")).as("month_o"))
+    Tables.lineitem(spark, cfg.srcDir)
+      .join(orderMonths, col("l_orderkey") === col("__ok"), "left")
+      .drop("__ok")
+  }
 
   /** Verbatim ingest of the raw tables, facts partitioned by month. */
   def bronze(spark: SparkSession, cfg: Config): Unit = {
+    bronzeDims(spark, cfg)
+    cfg.catalog.overwrite(
+      Tables.orders(spark, cfg.srcDir)
+        .withColumn("month_o", ym(col("o_orderdate"))),
+      "bronze_orders", partitionBy = Seq("month_o"))
+    cfg.catalog.overwrite(monthTaggedLineitem(spark, cfg),
+      "bronze_lineitem", partitionBy = Seq("month_o"))
+  }
+
+  private def bronzeDims(spark: SparkSession, cfg: Config): Unit =
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       cfg.catalog.overwrite(Tables.load(spark, cfg.srcDir, t), s"bronze_$t")
     }
-    cfg.catalog.overwrite(
+
+  /** Bronze for one month: dims refresh (tiny, idempotent); orders and
+    * lineitem land in exactly the `month` partition, replaced whole. */
+  def bronzeMonth(spark: SparkSession, cfg: Config, month: String): Unit = {
+    bronzeDims(spark, cfg)
+    cfg.catalog.replacePartitions(
       Tables.orders(spark, cfg.srcDir)
-        .withColumn("month_o", month(col("o_orderdate"))),
+        .withColumn("month_o", ym(col("o_orderdate")))
+        .filter(col("month_o") === month),
       "bronze_orders", partitionBy = Seq("month_o"))
-    cfg.catalog.overwrite(
-      Tables.lineitem(spark, cfg.srcDir)
-        .withColumn("month_s", month(col("l_shipdate"))),
-      "bronze_lineitem", partitionBy = Seq("month_s"))
+    cfg.catalog.replacePartitions(
+      monthTaggedLineitem(spark, cfg).filter(col("month_o") === month),
+      "bronze_lineitem", partitionBy = Seq("month_o"))
   }
 
   // ------------------------------------------------------------- silver
 
   /** Canonical cleansed fact input: dedup, required keys non-null,
-    * derived measures, explicit casts (reference silver semantics). */
+    * derived measures, explicit casts (reference silver semantics).
+    * The month partition key rides along (it is derived from the
+    * order, so duplicate rows share it and full-row dedup is intact). */
   def silverLineitem(df: DataFrame): DataFrame =
     Cleanse.derive(
       Cleanse.requireNonNull(
-        Cleanse.dedup(df.drop("month_s")),
+        Cleanse.dedup(df),
         Seq("l_orderkey", "l_shipdate")),
       "disc_price" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))),
       "charge" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))
@@ -58,13 +105,24 @@ object Pipeline {
       .withColumn("l_linenumber", col("l_linenumber").cast("int"))
 
   def silver(spark: SparkSession, cfg: Config): Unit = {
-    val li = silverLineitem(cfg.catalog.read(spark, "bronze_lineitem"))
     cfg.catalog.overwrite(
-      li.withColumn("month_s", month(col("l_shipdate"))),
-      "silver_lineitem", partitionBy = Seq("month_s"))
-    val o = Cleanse.dedup(cfg.catalog.read(spark, "bronze_orders").drop("month_o"))
+      silverLineitem(cfg.catalog.read(spark, "bronze_lineitem")),
+      "silver_lineitem", partitionBy = Seq("month_o"))
     cfg.catalog.overwrite(
-      o.withColumn("month_o", month(col("o_orderdate"))),
+      Cleanse.dedup(cfg.catalog.read(spark, "bronze_orders")),
+      "silver_orders", partitionBy = Seq("month_o"))
+  }
+
+  /** Silver for one month: reads exactly the month's bronze partitions
+    * (pruned at the scan) and replaces the month's silver partitions. */
+  def silverMonth(spark: SparkSession, cfg: Config, month: String): Unit = {
+    cfg.catalog.replacePartitions(
+      silverLineitem(cfg.catalog.read(spark, "bronze_lineitem")
+        .filter(col("month_o") === month)),
+      "silver_lineitem", partitionBy = Seq("month_o"))
+    cfg.catalog.replacePartitions(
+      Cleanse.dedup(cfg.catalog.read(spark, "bronze_orders")
+        .filter(col("month_o") === month)),
       "silver_orders", partitionBy = Seq("month_o"))
   }
 
@@ -83,9 +141,8 @@ object Pipeline {
     if (!novel.isEmpty) cfg.catalog.append(novel, dimTable)
   }
 
-  /** Gold: upsert dims, then watermark-incremental fact append joined to
-    * the calendar dimension on both order and ship dates. */
-  def gold(spark: SparkSession, cfg: Config): Unit = {
+  /** Calendar dim + the three key dims, idempotent (anti-join upsert). */
+  private def ensureDims(spark: SparkSession, cfg: Config): Unit = {
     if (!cfg.catalog.exists(spark, "dim_date"))
       cfg.catalog.overwrite(DateDim.build(spark, cfg.dateStart, cfg.dateEnd),
         "dim_date")
@@ -97,17 +154,23 @@ object Pipeline {
     val customer = cfg.catalog.read(spark, "bronze_customer")
     upsert(spark, cfg, "dim_segment", customer.select("c_mktsegment"),
       "c_mktsegment", "segment_name")
+  }
 
+  /** The fact frame for the given order rows — shared by the watermark
+    * append and the monthly partition rebuild. `liMonth` prunes the
+    * lineitem side to one partition (both join inputs are keyed on the
+    * order month, so a month's fact never reads another month's data). */
+  private def buildFact(spark: SparkSession, cfg: Config,
+                        orders: DataFrame,
+                        liMonth: Option[String] = None): DataFrame = {
     val dateDim = cfg.catalog.read(spark, "dim_date")
-    val wm =
-      if (cfg.catalog.exists(spark, "fact_sales"))
-        Star.watermark(cfg.catalog.read(spark, "fact_sales"), "o_orderdate")
-      else None
-    val li = cfg.catalog.read(spark, "silver_lineitem").drop("month_s")
-    val newOrders = Star.newerThan(orders.drop("month_o"), "o_orderdate", wm)
-    val fact = Star.joinDateDim(
+    val customer = cfg.catalog.read(spark, "bronze_customer")
+    val li0 = cfg.catalog.read(spark, "silver_lineitem")
+    val li = liMonth.fold(li0)(m => li0.filter(col("month_o") === m))
+      .drop("month_o")
+    Star.joinDateDim(
       Star.joinDateDim(
-        li.join(newOrders, li("l_orderkey") === newOrders("o_orderkey"), "inner"),
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"), "inner"),
         dateDim, "o_orderdate", "date_o_id"),
       dateDim, "l_shipdate", "date_s_id")
       .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
@@ -119,10 +182,35 @@ object Pipeline {
         col("l_returnflag"), col("l_linestatus"), col("o_orderdate"),
         col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"),
         col("c_mktsegment"), col("date_o_id"), col("date_s_id"),
-        month(col("o_orderdate")).as("month_o"))
+        ym(col("o_orderdate")).as("month_o"))
       .na.fill(0.0)
+  }
+
+  /** Gold: upsert dims, then watermark-incremental fact append joined to
+    * the calendar dimension on both order and ship dates. */
+  def gold(spark: SparkSession, cfg: Config): Unit = {
+    ensureDims(spark, cfg)
+    val orders = cfg.catalog.read(spark, "silver_orders")
+    val wm =
+      if (cfg.catalog.exists(spark, "fact_sales"))
+        Star.watermark(cfg.catalog.read(spark, "fact_sales"), "o_orderdate")
+      else None
+    val fact = buildFact(spark, cfg,
+      Star.newerThan(orders.drop("month_o"), "o_orderdate", wm))
     if (!fact.isEmpty) cfg.catalog.append(fact, "fact_sales",
       partitionBy = Seq("month_o"))
+  }
+
+  /** Gold for one month: rebuild the fact partition from that month's
+    * orders and lineitems (one pruned partition per side) and replace
+    * it in place — re-running a month is a no-op by construction,
+    * independent of the watermark. */
+  def goldMonth(spark: SparkSession, cfg: Config, month: String): Unit = {
+    ensureDims(spark, cfg)
+    val orders = cfg.catalog.read(spark, "silver_orders")
+      .filter(col("month_o") === month).drop("month_o")
+    cfg.catalog.replacePartitions(buildFact(spark, cfg, orders, Some(month)),
+      "fact_sales", partitionBy = Seq("month_o"))
   }
 
   // ----------------------------------------------------------- platinum
@@ -161,5 +249,18 @@ object Pipeline {
 
   def runAll(spark: SparkSession, cfg: Config): Unit = {
     bronze(spark, cfg); silver(spark, cfg); gold(spark, cfg); platinum(spark, cfg)
+  }
+
+  /** Materialize ONE calendar month end-to-end — the reference user's
+    * "re-run March" (Dagster backfills one `MonthlyPartitionsDefinition`
+    * partition): bronze/silver/fact partitions for `month` ("1996-03")
+    * are rebuilt and replaced in place; dims upsert idempotently;
+    * report marts refresh off the updated fact. Safe to run for any
+    * subset of months, in any order, any number of times. */
+  def runMonth(spark: SparkSession, cfg: Config, month: String): Unit = {
+    bronzeMonth(spark, cfg, month)
+    silverMonth(spark, cfg, month)
+    goldMonth(spark, cfg, month)
+    platinum(spark, cfg)
   }
 }

@@ -28,6 +28,7 @@ class ApproxSpec extends SparkTestBase {
     assert(r.count() == 5) // five languages in testdata
     val row = r.filter(col("lang") === "en").head()
     assert(row.getAs[Long]("n_docs") > 0)
-    assert(row.getSeq[Long](row.fieldIndex("chars_p50_p90")).length == 2)
+    assert(row.getAs[Long]("n_distinct_texts") <= row.getAs[Long]("n_docs"))
+    assert(row.getAs[Long]("chars_p50") <= row.getAs[Long]("chars_p90"))
   }
 }

@@ -44,6 +44,21 @@ class AsOfIvfSpec extends SparkTestBase {
     assert(out(20L) == 8.0 && out(21L) == 8.0 && out(22L) == 8.0)
   }
 
+  test("lastObservation propagates a NULL value from the latest observation row") {
+    // the per-column carry mixed rows here: last_v came from the older
+    // observation while last_t came from the newer one
+    val df = Seq(
+      (1L, 1L, 10, "obs", Some(100.0)),
+      (1L, 2L, 20, "obs", None), // latest observation holds a NULL value
+      (1L, 3L, 30, "x", Some(0.0))
+    ).toDF("user", "id", "t", "kind", "v")
+    val r = AsOf.lastObservation(df, Seq(col("user")), col("t"), col("id"),
+      col("kind") === "obs", "last_v" -> col("v"), "last_t" -> col("t"))
+      .filter(col("id") === 3L).head()
+    assert(r.isNullAt(r.fieldIndex("last_v")), "NULL must come through")
+    assert(r.getInt(r.fieldIndex("last_t")) == 20, "ts from the same obs row")
+  }
+
   test("ivfTopK sims are exact for returned pairs and recall is sane") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 6)

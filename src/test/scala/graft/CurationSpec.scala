@@ -29,6 +29,32 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("after_near_dedup") == 2)
   }
 
+  test("curate runs exactly two actions regardless of corpus size") {
+    // at 100 TB every extra action is a full corpus scan — the funnel
+    // counters must fold into the two unavoidable materializations
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = Tables.documents(spark, sf)
+      val (kept, _) = Curation.curate(docs, "doc_id", "text", "lang",
+        Curation.Config(langs = Set.empty, minTokens = 3))
+      // the listener bus is async — wait for it to drain, then settle
+      var waited = 0
+      while (waited < 10000 && actions.get < 2) { Thread.sleep(100); waited += 100 }
+      Thread.sleep(500)
+      assert(actions.get == 2, s"curate must run exactly 2 actions, saw ${actions.get}")
+      kept.unpersist()
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("curate on the documents table keeps a plausible fraction") {
     val docs = Tables.documents(spark, sf)
     val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",

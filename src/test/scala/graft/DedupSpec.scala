@@ -59,6 +59,25 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("degenerate 1e5-row flood bucket is dropped, not single-task-expanded") {
+    // 100k identical docs collide into one bucket per chunk; with the
+    // default maxBucket those buckets exceed the recall bound and must
+    // be skipped — completing quickly instead of expanding ~5e9 pairs
+    // (the old collect_list expansion built them inside ONE row)
+    val flood = spark.range(100000)
+      .select(col("id").as("doc_id"),
+        lit("identical degenerate document text for every single row").as("text"))
+    assert(Dedup.simhashPairs(flood, "doc_id", "text", maxHamming = 3).isEmpty)
+  }
+
+  test("sub-cap bucket still expands all pairs via the self-join") {
+    val dup = spark.range(200)
+      .select(col("id").as("doc_id"),
+        lit("same text repeated across a moderate bucket").as("text"))
+    val n = Dedup.simhashPairs(dup, "doc_id", "text", maxHamming = 3).count()
+    assert(n == 200L * 199 / 2, s"expected all C(200,2) pairs, got $n")
+  }
+
   test("embeddingPairs finds the planted duplicate vector") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -35,7 +35,7 @@ class PipelineSpec extends SparkTestBase {
   test("month filter on the fact prunes partitions at the scan") {
     Pipeline.runAll(spark, cfg)
     val filtered = cfg.catalog.read(spark, "fact_sales")
-      .filter(col("month_o") === 3)
+      .filter(col("month_o") === "1996-03")
     val scan = filtered.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.head
@@ -53,5 +53,32 @@ class PipelineSpec extends SparkTestBase {
     val dim = cfg.catalog.read(spark, "dim_priority")
     val r = dim.head()
     assert(r.getAs[String]("priority_name").startsWith("Unknown "))
+  }
+
+  test("runMonth backfills one month, re-runs are no-ops, counts match full run") {
+    Pipeline.runAll(spark, cfg) // reference warehouse
+    val month = "1996-03"
+    val full = cfg.catalog.read(spark, "fact_sales")
+      .filter(col("month_o") === month).count()
+    assert(full > 0)
+
+    val root2 = java.nio.file.Files.createTempDirectory("graft-wh-m").toString
+    val cfg2 = Pipeline.Config(sf, new ParquetCatalog(root2))
+    Pipeline.runMonth(spark, cfg2, month)
+    val fact2 = cfg2.catalog.read(spark, "fact_sales")
+    assert(fact2.count() == full, "single-month backfill must match the full run")
+    assert(fact2.select("month_o").distinct().count() == 1)
+
+    // re-run: dynamic partition replace makes it idempotent
+    Pipeline.runMonth(spark, cfg2, month)
+    assert(cfg2.catalog.read(spark, "fact_sales").count() == full)
+
+    // a second month lands beside the first without touching it
+    Pipeline.runMonth(spark, cfg2, "1996-04")
+    val months = cfg2.catalog.read(spark, "fact_sales")
+      .select("month_o").distinct().count()
+    assert(months == 2)
+    assert(cfg2.catalog.read(spark, "fact_sales")
+      .filter(col("month_o") === month).count() == full)
   }
 }

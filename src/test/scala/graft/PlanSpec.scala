@@ -55,4 +55,13 @@ class PlanSpec extends SparkTestBase {
     assert(scan.requiredSchema.fields.length == 5,
       scan.requiredSchema.treeString)
   }
+
+  test("q33: set-op classification is one scan + one exchange") {
+    val df = q("q33_set_ops")
+    assert(scans(df).size == 1,
+      s"expected a single lineitem scan, got ${scans(df).size}")
+    val p = finalPlan(df)
+    val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected 1 exchange, got ${shuffles.size}:\n$p")
+  }
 }

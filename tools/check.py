@@ -1,32 +1,59 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Runs each oracle SQL (from Verify's oracle_sql.json) in DuckDB over the
-testdata parquet tables, loads the Spark result parquet written by
-Verify, sorts columns by name + rows by value, and compares exactly.
+Round-1 lesson: the driver compares through *pandas*, so the gate is
+dtype-sensitive (DuckDB HUGEINT -> float64 vs Spark int64 fails the
+hash even when values are equal) and crashes outright on ndarray cells
+(array columns can't be factorized by sort_values). This replica
+mirrors that path: oracle via duckdb .df(), Spark output via
+pandas.read_parquet, sort columns by name + rows by all columns, then
+compare dtypes AND values exactly.
+
 Usage: tools/check.py <sfDir> <verifyOutDir>
 """
 import json, math, sys
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
-    def key(t):
-        return tuple((v is None, str(type(v)), str(v)) for v in t)
-    return sorted(out, key=key), [cols[i] for i in order]
 
-def eq(a, b):
-    if type(a) is float and type(b) is float:
+def canon(df):
+    """Sort columns by name, rows by all columns — the driver's shape.
+    Raises (like the driver) if a cell is unhashable (ndarray/list)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize datetime resolution (ns vs us is a loader artifact,
+    # not an engine difference — the driver loads both sides the same way)
+    import datetime
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            vals = df[c].dropna()
+            # DATE columns: pyarrow yields datetime.date objects while
+            # duckdb .df() yields datetime64 — the driver treats these
+            # as equal (q04 hash-matched in round 1), so normalize
+            if len(vals) and all(isinstance(v, datetime.date) and
+                                 not isinstance(v, datetime.datetime)
+                                 for v in vals.head(20)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b  # exact — mirrors a hash compare
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if pd.isna(a) or pd.isna(b):
+        return False
     return a == b
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -36,41 +63,62 @@ def main(sf_dir, out_dir):
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.execute(sql)
-            want_rows, want_cols = want.fetchall(), [d[0] for d in want.description]
-            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+            want = canon(con.execute(sql).df())
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        w, wc = canon(want_rows, want_cols)
-        g, gc = canon(got_rows, got_cols)
-        if [c.lower() for c in wc] != [c.lower() for c in gc]:
+        wc, gc = [c.lower() for c in want.columns], [c.lower() for c in got.columns]
+        if wc != gc:
             print(f"FAIL {name}: columns differ oracle={wc} spark={gc}")
             n_bad += 1
             continue
-        if len(w) != len(g):
-            print(f"FAIL {name}: rowcount oracle={len(w)} spark={len(g)}")
+        if len(want) != len(got):
+            print(f"FAIL {name}: rowcount oracle={len(want)} spark={len(got)}")
+            n_bad += 1
+            continue
+        dt_bad = [(c, str(want[cw].dtype), str(got[c].dtype))
+                  for c, cw in zip(got.columns, want.columns)
+                  if str(want[cw].dtype) != str(got[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype skew (hash-fatal on the driver):")
+            for c, dw, dg in dt_bad:
+                print(f"    col {c}: oracle={dw} spark={dg}")
             n_bad += 1
             continue
         bad = None
-        for i, (rw, rg) in enumerate(zip(w, g)):
-            if not all(eq(a, b) for a, b in zip(rw, rg)):
-                bad = (i, rw, rg)
+        wv, gv = want.to_numpy(), got.to_numpy()
+        for i in range(len(want)):
+            if not all(cells_equal(a, b) for a, b in zip(wv[i], gv[i])):
+                bad = i
                 break
-        if bad:
-            i, rw, rg = bad
-            print(f"FAIL {name}: row {i} differs\n  oracle={rw}\n  spark ={rg}")
-            diffs = [(c, a, b, (abs(a-b) if type(a) is float and type(b) is float else None))
-                     for c, a, b in zip(wc, rw, rg) if not eq(a, b)]
-            for c, a, b, d in diffs[:5]:
-                print(f"    col {c}: oracle={a!r} spark={b!r} absdiff={d}")
+        if bad is not None:
+            print(f"FAIL {name}: row {bad} differs")
+            for c, a, b in zip(got.columns, wv[bad], gv[bad]):
+                if not cells_equal(a, b):
+                    d = abs(a - b) if isinstance(a, float) and isinstance(b, float) else None
+                    print(f"    col {c}: oracle={a!r} spark={b!r} absdiff={d}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(g)} rows)")
-    print(f"\n{len(oracle) - n_bad}/{len(oracle)} queries match")
+            print(f"OK   {name} ({len(got)} rows)")
+    # rows-only outputs still pass through the driver's pandas sort —
+    # make sure none of them crashes it (the round-1 q29 failure mode)
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if not os.path.isdir(path) or d in oracle:
+            continue
+        try:
+            canon(pd.read_parquet(path))
+            print(f"OK   {d} (rows-only, pandas-sortable)")
+        except Exception as e:
+            print(f"FAIL {d}: rows-only output crashes driver sort: {type(e).__name__}: {e}")
+            n_bad += 1
+    print(f"\n{len(oracle) - n_bad}/{len(oracle)} oracle queries match" if n_bad == 0
+          else f"\n{n_bad} FAILURES")
     return 1 if n_bad else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
