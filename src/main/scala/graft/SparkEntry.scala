@@ -130,8 +130,10 @@ object SparkEntry {
     // surrogate keys (gold.py:256-330, defects R1/R2 fixed).
     "q26_fact_build" -> ((s, dir) => {
       val dd = DateDim.build(s, "1995-01-01", "2001-12-31")
+      // dedupByFingerprint ≡ dropDuplicates() but the shuffle keys on a
+      // 16-byte row hash, not the full row width — the 100 TB form
       val li = Cleanse.derive(
-        Cleanse.requireNonNull(Cleanse.dedup(lineitem(s, dir)),
+        Cleanse.requireNonNull(Cleanse.dedupByFingerprint(lineitem(s, dir)),
           Seq("l_orderkey", "l_shipdate")),
         "disc_price" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))))
       val o = orders(s, dir)
@@ -284,8 +286,12 @@ object SparkEntry {
     "q23_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingPairs(embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3, nPlanes = 8)),
+    // EXACT n-gram Jaccard self-join via rarest-first prefix filtering
+    // (AllPairs/PPJoin shape) — oracle-checkable against a DuckDB
+    // all-pairs join, unlike the LSH variants above whose recall is
+    // measured in docs/RECALL.md instead.
     "q24_ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
+      Dedup.exactNgramJaccardPairs(documents(s, dir), "doc_id", "text",
         n = 5, threshold = 0.4)),
     "q25_ann_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
@@ -435,6 +441,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           Exact.sumIntegral(col("k_val").cast("double")).as("sum_k"),
           max(col("value")).as("max_value"))
+    }),
+
+    // Engine-portable deterministic sampling: md5-threshold keep
+    // decision (identical row set in any hex-md5 engine), then a
+    // deterministic aggregate over the kept rows. The xxhash64-keyed
+    // variant (ops.Sampling.hashSample) is the in-engine fast path;
+    // this one exists so a sample drawn here is reproducible elsewhere.
+    "q40_deterministic_sample" -> ((s, dir) => {
+      graft.ops.Sampling.md5Sample(orders(s, dir), "o_orderkey", "2")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("sum_total"))
+    }),
+
+    // Two-phase salted aggregation (skew remedy): partial agg on
+    // (key, salt) spreads a hot key over 8 reducers, final agg on key
+    // merges partials. Oracle is the plain one-phase GROUP BY —
+    // proving the decomposition is exact.
+    "q41_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAgg(lineitem(s, dir), "l_suppkey", buckets = 8,
+        partials = Seq(
+          "n_p" -> count(lit(1)),
+          "qty_p" -> sum(col("l_quantity")),
+          "price_c_p" -> sum(Exact.cents(col("l_extendedprice")))),
+        finals = Seq(
+          "n_items" -> sum(col("n_p")),
+          "sum_qty" -> sum(col("qty_p")),
+          "sum_price" -> (sum(col("price_c_p")) / lit(100.0))))
     }),
 
     // Window analytics (beyond the reference, which has none — §2.6):
@@ -744,6 +778,41 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
         |FROM orders WINDOW w AS
         | (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // All-pairs exact n-gram Jaccard — the DuckDB side has no prefix
+    // filter (it brute-forces the token join), so matching it proves
+    // the Spark prefix filter dropped nothing.
+    "q24_ngram_jaccard_pairs" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN length(t) <= 5 THEN t
+        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) AS jaccard
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    "q40_deterministic_sample" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
+         |FROM orders
+         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '2'
+         |GROUP BY 1""".stripMargin,
+
+    "q41_salted_agg" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        | sum(l_quantity) AS sum_qty,
+        | sum(round(l_extendedprice*100))/100.0 AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q19_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

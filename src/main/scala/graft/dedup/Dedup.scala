@@ -211,6 +211,76 @@ object Dedup {
       estPrefilter = threshold * 0.7, threshold = threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** EXACT similarity self-join: every (id_a < id_b) pair with
+    * set-Jaccard ≥ `threshold` — no approximation, no recall bound.
+    * Prefix filtering (the AllPairs/PPJoin family, Bayardo et al.
+    * WWW'07 / Xiao et al. WWW'08): under a global token order, a pair
+    * with overlap ≥ α must share a token within each side's
+    * (|X| − α + 1)-prefix, and J ≥ t implies overlap ≥ ceil(t·|X|) for
+    * both sides — so candidates are pairs sharing ANY prefix token,
+    * and the prefix can skip the ceil(t·|X|) − 1 most frequent ones.
+    *
+    * Tokens are ordered rarest-first (document frequency, then token):
+    * prefixes then hold only rare tokens, so the candidate join key is
+    * never a stop-gram shared by the whole corpus — the property that
+    * keeps this exact join scalable where the naive token self-join
+    * (O(Σ df²) over COMMON tokens) floods. Shuffles: token-df
+    * aggregation, df join-back, per-doc window, candidate equi-join,
+    * two set join-backs — each keyed and partition-parallel; nothing
+    * is ever all-pairs.
+    *
+    * `base` must be (idCol, set: array<string>), set elements distinct. */
+  def exactSimilarityPairs(base: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold — 0 would make every " +
+        "prefix the whole set (the all-pairs join this operator exists to avoid)")
+    val toks = base.select(col(idCol).as("id"), col("set"))
+      .withColumn("sz", size(col("set")))
+      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
+    val prefixes = toks.join(dfT, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      // prefix length |X| - ceil(t|X|) + 1; ceil on DOUBLE is safe here:
+      // an over-estimate of ceil would shorten the prefix (recall bug),
+      // but IEEE ceil only errs when t*sz computes high, which for
+      // t ≤ 1 and integral sz cannot exceed the true product's ceil
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"), col("sz"))
+    val a = prefixes.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefixes.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact character-n-gram Jaccard pairs (oracle-checkable twin of the
+    * approximate [[ngramJaccardPairs]] — same sets, zero recall loss). */
+  def exactNgramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double): DataFrame =
+    exactSimilarityPairs(
+      docs.select(col(idCol), charNgrams(col(textCol), n).as("set")),
+      idCol, threshold)
+
+  /** Exact word-shingle Jaccard pairs (ground truth for [[minhashPairs]]). */
+  def exactShingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, threshold: Double): DataFrame =
+    exactSimilarityPairs(
+      docs.select(col(idCol), shingles(col(textCol), k).as("set")),
+      idCol, threshold)
+
   // ----------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by

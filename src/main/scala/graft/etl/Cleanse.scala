@@ -28,6 +28,23 @@ object Cleanse {
   def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
+  /** A4 variant: full-row distinct keyed on a 128-bit row fingerprint
+    * (two independently-salted xxhash64s) instead of every column.
+    * Same result as [[dedup]] — identical rows hash identically, and a
+    * cross-row collision needs both 64-bit hashes to collide
+    * (p ≈ n²/2¹²⁹ ≈ 10⁻²⁰ at 10¹⁸ rows) — but the exchange and
+    * hash-aggregate compare a 16-byte key instead of sorting/hashing
+    * the full row width per comparison. At 100 TB with wide rows this
+    * is the difference between a narrow-key shuffle and a shuffle whose
+    * KEY is the entire dataset. See docs/SCALE.md §Fact build. */
+  def dedupByFingerprint(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(col)
+    df.withColumn("__fp1", xxhash64(cols: _*))
+      .withColumn("__fp2", xxhash64(lit("graft-fp2-salt") +: cols: _*))
+      .dropDuplicates("__fp1", "__fp2")
+      .drop("__fp1", "__fp2")
+  }
+
   /** F1: parse string timestamps (reference: silver.py:72-73). */
   def parseTimestamps(df: DataFrame, cols: Seq[String], fmt: String): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, to_timestamp(col(c), fmt)))

@@ -28,6 +28,23 @@ object Sampling {
     df.filter(col(idCol).isNotNull &&
       bucket(col(idCol), salt) < (fraction * Buckets).toLong)
 
+  /** Engine-portable deterministic sample: keep rows whose
+    * `md5(cast(id as string))` is lexicographically below
+    * `hexThreshold`. Same in/out decision in ANY engine with a
+    * hex-md5 (DuckDB, Trino, Spark…) — the portable twin of
+    * [[hashSample]] (xxhash64 seeds differ across engines). The
+    * fraction is threshold/16ⁿ for an n-hex-digit threshold, e.g.
+    * "19999999" ≈ 10%. Partition-independent, rerun-stable, and
+    * samples nest (a lower threshold selects a subset). */
+  def md5Sample(df: DataFrame, idCol: String, hexThreshold: String): DataFrame = {
+    require(hexThreshold.nonEmpty && hexThreshold.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"hexThreshold must be lowercase hex, got '$hexThreshold' — md5 emits " +
+        "lowercase, so an uppercase digit would silently select ~nothing")
+    df.filter(col(idCol).isNotNull &&
+      md5(col(idCol).cast("string")) < lit(hexThreshold))
+  }
+
   /** Per-stratum fractions (e.g. language balancing): strata absent
     * from the map are dropped, making the kept set fully explicit. */
   def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,

@@ -78,6 +78,42 @@ class DedupSpec extends SparkTestBase {
     assert(n == 200L * 199 / 2, s"expected all C(200,2) pairs, got $n")
   }
 
+  test("exactNgramJaccardPairs equals the brute-force all-pairs join") {
+    // ground truth: unfiltered cross join + exact jaccard, on the real
+    // sf documents table (50 docs at sf0.001 — cheap to brute-force)
+    val d = Tables.documents(spark, sf)
+    val sets = d.select(col("doc_id").as("id"),
+      Dedup.charNgrams(col("text"), 5).as("set"))
+    val a = sets.select(col("id").as("id_a"), col("set").as("set_a"))
+    val b = sets.select(col("id").as("id_b"), col("set").as("set_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= 0.4)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.exactNgramJaccardPairs(d, "doc_id", "text", n = 5,
+        threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == truth, s"prefix filter lost ${truth -- got} / invented ${got -- truth}")
+    assert(truth.nonEmpty, "testdata should contain at least one near-dup pair")
+  }
+
+  test("exactSimilarityPairs: tiny sets and threshold-boundary pairs survive") {
+    // sets of size 1-2 stress the prefix-length arithmetic
+    // (|X| - ceil(t|X|) + 1 must stay >= 1), and a pair at exactly the
+    // threshold must be kept (>= semantics)
+    val rows = Seq(
+      (1L, Seq("a")), (2L, Seq("a")),           // identical singletons, J=1
+      (3L, Seq("a", "b")), (4L, Seq("b", "c")), // J(3,4) = 1/3 — out
+      (5L, Seq("x", "y", "z")), (6L, Seq("x", "y", "w")), // J = 2/4 = 0.5 exactly
+    ).toDF("id", "set")
+    val got = Dedup.exactSimilarityPairs(rows, "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // J(1,3) = J(2,3) = 1/2 — singleton-vs-pair boundary pairs count too
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+  }
+
   test("embeddingPairs finds the planted duplicate vector") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

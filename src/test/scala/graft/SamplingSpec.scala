@@ -27,6 +27,33 @@ class SamplingSpec extends SparkTestBase {
     assert(small.subsetOf(big))
   }
 
+  test("md5Sample matches a reference MD5 implementation row-for-row") {
+    // the point of md5Sample is cross-engine portability, so the test
+    // oracle is NOT Spark: recompute the decision with java.security
+    val kept = Sampling.md5Sample(docs, "doc_id", "2")
+      .select("doc_id").as[Long].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = docs.select("doc_id").as[Long].collect()
+    val want = all.filter { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      hex < "2"
+    }.toSet
+    assert(kept == want)
+    assert(kept.nonEmpty && kept.size < all.length)
+  }
+
+  test("md5Sample thresholds nest and reject non-hex input") {
+    val small = Sampling.md5Sample(docs, "doc_id", "1")
+      .select("doc_id").as[Long].collect().toSet
+    val big = Sampling.md5Sample(docs, "doc_id", "4")
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    intercept[IllegalArgumentException] {
+      Sampling.md5Sample(docs, "doc_id", "2A") // uppercase → silent empty sample
+    }
+  }
+
   test("stratifiedHashSample balances per-language fractions") {
     val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Map("en" -> 0.5, "fr" -> 1.0))
