@@ -285,7 +285,7 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir))).toDF()),
     "q23_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingPairs(embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.3, nPlanes = 8)),
+        threshold = 0.3, planesPerBand = 3, bands = 12)),
     // EXACT n-gram Jaccard self-join via rarest-first prefix filtering
     // (AllPairs/PPJoin shape) — oracle-checkable against a DuckDB
     // all-pairs join, unlike the LSH variants above whose recall is
@@ -295,7 +295,8 @@ object SparkEntry {
         n = 5, threshold = 0.4)),
     "q25_ann_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        nPlanes = 4, nTables = 6)
     }),
 
     // Set-operation semantics (INTERSECT/EXCEPT classification), computed

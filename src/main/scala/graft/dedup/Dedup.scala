@@ -52,38 +52,46 @@ object Dedup {
   // ------------------------------------------------- bucketed pair gen
 
   /** Distinct (id_a < id_b) pairs of rows sharing any (bucket_no,
-    * bucket_sig), with one payload column carried per side.
+    * bucket_sig). IDs ONLY — verification payloads (signatures,
+    * vectors) are joined back per side AFTER the pairs are deduped,
+    * via [[joinPayload]]. The candidate join's raw output is the
+    * collision mass Σ bucket² ACROSS all bands — multiplying that by a
+    * 512-byte embedding per side turned q23's exchange into gigabytes;
+    * id-pair rows are 16 bytes, and the payload joins touch only the
+    * (much smaller) distinct-pair set.
     *
     * Expansion is a per-bucket self equi-join, NOT collect_list +
     * in-plan combination: the collect_list shape concentrates a whole
-    * bucket (up to `maxBucket` structs — multi-GB when the payload is
-    * an embedding) into ONE aggregation row and then explodes O(n²)
-    * pairs from it, a single-task memory bomb at scale. The self-join
-    * keeps every row small and spillable, the bucket key partitions it
-    * cleanly, and both join sides hash to the same exchange (window
-    * sizing + join share the bucket-key partitioning, so signatures
-    * are not recomputed per side). Buckets larger than `maxBucket` are
-    * skipped (LSH premise: buckets are small; a flood means degenerate
-    * input) — a documented recall bound, not a silent cap. */
+    * bucket into ONE aggregation row and then explodes O(n²) pairs from
+    * it, a single-task memory bomb at scale. The self-join keeps every
+    * row small and spillable and the bucket key partitions it cleanly.
+    * Buckets larger than `maxBucket` are skipped (LSH premise: buckets
+    * are small; a flood means degenerate input) — a documented recall
+    * bound, not a silent cap. */
   private def bucketPairs(bucketed: DataFrame, idCol: String,
-                          payloadCol: String, maxBucket: Int): DataFrame = {
+                          maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket_no"), col("bucket_sig"))
     val sized = bucketed
-      .select(col("bucket_no"), col("bucket_sig"),
-        col(idCol).as("id"), col(payloadCol).as("p"))
+      .select(col("bucket_no"), col("bucket_sig"), col(idCol).as("id"))
       .withColumn("n", count(lit(1)).over(w))
       .filter(col("n").between(2, maxBucket))
       .drop("n")
-    val a = sized.select(col("bucket_no"), col("bucket_sig"),
-      col("id").as("id_a"), col("p").as("p_a"))
-    val b = sized.select(col("bucket_no"), col("bucket_sig"),
-      col("id").as("id_b"), col("p").as("p_b"))
+    val a = sized.select(col("bucket_no"), col("bucket_sig"), col("id").as("id_a"))
+    val b = sized.select(col("bucket_no"), col("bucket_sig"), col("id").as("id_b"))
     a.join(b, Seq("bucket_no", "bucket_sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("p_a"), col("p_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Attach a per-id payload column to both sides of an (id_a, id_b)
+    * pair frame — two id-keyed equi-joins against a narrow frame. */
+  private def joinPayload(pairs: DataFrame, payload: DataFrame,
+                          idCol: String, pCol: String): DataFrame =
+    pairs
+      .join(payload.select(col(idCol).as("id_a"), col(pCol).as("p_a")), Seq("id_a"))
+      .join(payload.select(col(idCol).as("id_b"), col(pCol).as("p_b")), Seq("id_b"))
 
   // ---------------------------------------------------------- minhash
 
@@ -98,23 +106,22 @@ object Dedup {
   def minhashSignature(sh: Column, n: Int): Column =
     graft.functions.exprs.minhash_signature(sh, n)
 
-  /** (id, sig, band_no, bucket_sig) — one row per band per doc. */
-  private def bandedSignatures(base: DataFrame, idCol: String,
-                               setCol: String, nHashes: Int,
-                               bands: Int): DataFrame = {
+  /** (id, bucket_no, bucket_sig) — one row per band per doc, banded
+    * from a precomputed (id, sig) signature frame. */
+  private def bandedSignatures(sigs: DataFrame, idCol: String,
+                               nHashes: Int, bands: Int): DataFrame = {
     require(bands > 0 && bands <= nHashes && nHashes % bands == 0,
       s"bands ($bands) must evenly divide nHashes ($nHashes) — a non-divisor" +
         " would silently drop signature positions from banding")
     val rows = nHashes / bands
-    val withSig = base.withColumn("sig", minhashSignature(col(setCol), nHashes))
     val bandSigs = array((0 until bands).map { b =>
       struct(lit(b).as("no"),
         xxhash64((b * rows until (b + 1) * rows)
           .map(i => element_at(col("sig"), i + 1)): _*).as("sig"))
     }: _*)
-    withSig
-      .select(col(idCol), col("sig"), explode(bandSigs).as("band"))
-      .select(col(idCol), col("sig"),
+    sigs
+      .select(col(idCol), explode(bandSigs).as("band"))
+      .select(col(idCol),
         col("band.no").as("bucket_no"), col("band.sig").as("bucket_sig"))
   }
 
@@ -125,20 +132,26 @@ object Dedup {
 
   /** The shared LSH chain: band signatures → bucket pair expansion →
     * signature-agreement prefilter → exact set-Jaccard verification.
-    * `base` must be (idCol, set: array<string>). */
+    * `base` must be (idCol, set: array<string>). The set and signature
+    * frames are persisted: each feeds the banding path AND the per-side
+    * join-backs, and recomputing the shingle/minhash expression tree
+    * per consumer dominated round-2 runtime. */
   private def lshVerifiedPairs(base: DataFrame, idCol: String,
                                nHashes: Int, bands: Int, maxBucket: Int,
                                estPrefilter: Double, threshold: Double): DataFrame = {
-    val banded = bandedSignatures(base, idCol, "set", nHashes, bands)
-    val cand = bucketPairs(banded, idCol, "sig", maxBucket)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val prepped = base.persist(disk)
+    val sigs = prepped
+      .select(col(idCol), minhashSignature(col("set"), nHashes).as("sig"))
+      .persist(disk)
+    val banded = bandedSignatures(sigs, idCol, nHashes, bands)
+    val cand = joinPayload(bucketPairs(banded, idCol, maxBucket), sigs, idCol, "sig")
       .withColumn("est_jaccard", sigAgreement(col("p_a"), col("p_b"), nHashes))
       .filter(col("est_jaccard") >= estPrefilter) // kill false candidates cheaply
       .select("id_a", "id_b", "est_jaccard")
-    cand
-      .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
+    joinPayload(cand, prepped, idCol, "set")
       .withColumn("jaccard",
-        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
+        graft.functions.exprs.jaccard_sim(col("p_a"), col("p_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
@@ -179,10 +192,10 @@ object Dedup {
           .bitwiseAND((1L << chunkBits) - 1).as("sig"))
     }: _*)
     val banded = sh
-      .select(col(idCol), col("sim"), explode(chunks).as("c"))
-      .select(col(idCol), col("sim"),
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol),
         col("c.no").as("bucket_no"), col("c.sig").as("bucket_sig"))
-    bucketPairs(banded, idCol, "sim", maxBucket)
+    joinPayload(bucketPairs(banded, idCol, maxBucket), sh, idCol, "sim")
       .select(col("id_a"), col("id_b"),
         bit_count(col("p_a").bitwiseXOR(col("p_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -235,9 +248,15 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold — 0 would make every " +
         "prefix the whole set (the all-pairs join this operator exists to avoid)")
-    val toks = base.select(col(idCol).as("id"), col("set"))
+    // One corpus-sized materialization: the set column feeds the token
+    // explode AND both verification join-backs; without it the whole
+    // set-building expression tree (n-gram/shingle extraction) runs 3×
+    // (round-2 bench: 84 s at sf0.1, dominated by exactly that).
+    // MEMORY_AND_DISK: corpus-sized, spills instead of OOM at scale.
+    val prepped = base.select(col(idCol).as("id"), col("set"))
       .withColumn("sz", size(col("set")))
-      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
     val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
@@ -248,18 +267,40 @@ object Dedup {
       // but IEEE ceil only errs when t*sz computes high, which for
       // t ≤ 1 and integral sz cannot exceed the true product's ceil
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"), col("sz"))
-    val a = prefixes.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = prefixes.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+      .select(col("tok"), col("id"), col("sz"), col("rn"))
+      // both sides of the candidate self-join read this frame; without
+      // the persist the df-aggregation + window pipeline runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = prefixes.select(col("tok"), col("id").as("id_a"),
+      col("sz").as("sz_a"), col("rn").as("rn_a"))
+    val b = prefixes.select(col("tok"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("rn").as("rn_b"))
+    // PPJoin positional filter (Xiao et al. WWW'08 §4), relational form.
+    // Both sides order tokens by the SAME global (df, token) key, so
+    // among a pair's shared-prefix matches the one with max rn_a is the
+    // max-global-order token w* and simultaneously has max rn_b. Every
+    // shared token ≤ w* sits before w* in BOTH prefixes, hence is one of
+    // the cnt matches; every shared token > w* sits after position amax
+    // in a and bmax in b. So overlap ≤ cnt + min(sz_a−amax, sz_b−bmax),
+    // and J ≥ t needs overlap ≥ t/(1+t)·(sz_a+sz_b) — prune below that.
+    // The 1e-9 slack keeps the double-arithmetic bound sound (pruning
+    // is only ever allowed to be too lax, never too eager).
+    val alpha = lit(threshold / (1 + threshold))
     val cand = a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")) >=
-          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("rn_a")).as("amax"), max(col("rn_b")).as("bmax"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("cnt") +
+        least(col("sz_a") - col("amax"), col("sz_b") - col("bmax")) >=
+        alpha * (col("sz_a") + col("sz_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     cand
-      .join(base.select(col(idCol).as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(base.select(col(idCol).as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .join(prepped.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
@@ -284,15 +325,36 @@ object Dedup {
   // ----------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
-    * random-hyperplane LSH so candidates come from bucket groups. */
+    * BANDED random-hyperplane LSH (OR-amplification, the same b×r
+    * scheme [[bandedSignatures]] uses for minhash): `bands` independent
+    * bands of `planesPerBand` sign bits each; a pair is a candidate if
+    * it collides in ANY band, and exact cosine verifies every candidate
+    * (precision 1.0 by construction).
+    *
+    * Recall math: a pair at angle θ agrees on one sign bit with
+    * p = 1 − θ/π, on a whole r-bit band with p^r, and survives b bands
+    * with 1 − (1−p^r)^b. The single-band form (b = 1, r = 8) keeps a
+    * cos-0.3 pair with only p^8 ≈ 1.5% — structurally unable to recall
+    * (measured 0.015 in round 2); the banded default (r = 3, b = 12)
+    * gives ≈ 94% at cos 0.3 and ≥ 99% above cos 0.5. `planesPerBand`
+    * buys candidate selectivity (each +1 multiplies bucket count by 2),
+    * `bands` buys recall — tune r up, not b down, as the corpus grows. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, nPlanes: Int = 8,
-                     dim: Int = 64, maxBucket: Int = 10000): DataFrame = {
-    val planes = Vectors.seededPlanes(nPlanes, dim)
-    val b = emb.select(col(idCol), Vectors.asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket_no", lit(0))
-      .withColumn("bucket_sig", Vectors.hyperplaneBucket(col("v"), planes))
-    bucketPairs(b, idCol, "v", maxBucket)
+                     threshold: Double = 0.95, planesPerBand: Int = 3,
+                     bands: Int = 12, dim: Int = 64,
+                     maxBucket: Int = 10000): DataFrame = {
+    val planes = Vectors.seededPlanes(planesPerBand * bands, dim)
+    val bandSigs = array((0 until bands).map { bi =>
+      struct(lit(bi).as("no"),
+        Vectors.hyperplaneBucket(col("v"),
+          planes.slice(bi * planesPerBand, (bi + 1) * planesPerBand)).as("sig"))
+    }: _*)
+    val vecs = emb.select(col(idCol), Vectors.asDouble(col(vecCol)).as("v"))
+    val banded = vecs
+      .select(col(idCol), explode(bandSigs).as("band"))
+      .select(col(idCol),
+        col("band.no").as("bucket_no"), col("band.sig").as("bucket_sig"))
+    joinPayload(bucketPairs(banded, idCol, maxBucket), vecs, idCol, "v")
       .withColumn("cosine", Vectors.cosine(col("p_a"), col("p_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

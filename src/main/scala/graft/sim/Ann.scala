@@ -74,31 +74,56 @@ object Ann {
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates limited to matching sign-bit buckets.
-    * Multi-probe: each query also probes every bucket at Hamming
-    * distance 1 from its own (one flipped hyperplane bit), recovering
-    * the neighbors that fell just across a plane — the standard recall
-    * fix that beats adding independent hash tables at the same cost.
-    * The query side stays tiny (×(nPlanes+1) rows, broadcast); the
-    * corpus is scanned once and joined by bucket equi-key. */
-  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 12,
-              dim: Int = 64, multiProbe: Boolean = true,
+  /** LSH-bucketed ANN: candidates limited to matching sign-bit buckets,
+    * amplified across `nTables` INDEPENDENT hash tables (seed-offset
+    * plane sets) — a neighbor is a candidate if it shares a bucket in
+    * ANY table. Multi-probe: each query additionally probes every
+    * bucket at Hamming distance 1 from its own in every table (one
+    * flipped hyperplane bit), recovering neighbors just across a plane.
+    *
+    * Recall math: a neighbor at angle θ lands in the query's bucket of
+    * one r-plane table with p^r (p = 1 − θ/π); Hamming-1 probing lifts
+    * that to p^r + r·p^(r−1)(1−p), and L tables to 1 − (1 − ·)^L. The
+    * round-2 single-table form (r = 6, L = 1) recalled 0.25 of true
+    * top-5; the default (r = 4, L = 6, probe-1) sits ≥ 0.97 for cos 0.5
+    * neighbors. Raise `nPlanes` (halves candidate mass per +1) as the
+    * corpus grows; raise `nTables` to buy recall back.
+    *
+    * Scale shape: the corpus explodes to (id, table, bucket) rows ONLY
+    * — vectors never replicate across tables; candidate (qid, id) pairs
+    * re-join the corpus once for the cosine. Query side stays tiny
+    * (×L·(r+1) rows, broadcast). */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 4,
+              nTables: Int = 6, dim: Int = 64, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = Vectors.seededPlanes(nPlanes, dim)
+    val tables = (0 until nTables)
+      .map(t => Vectors.seededPlanes(nPlanes, dim, seed = 42L + t))
+    def bucketArray(v: Column): Column =
+      array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("t"), Vectors.hyperplaneBucket(v, planes).as("b"))
+      }: _*)
     val corpus = prep(emb, idCol, vecCol)
-      .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), planes))
-    val probeSet =
+    val corpusBuckets = corpus
+      .select(col("id"), explode(bucketArray(col("v"))).as("tb"))
+      .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    // probes: own bucket per table, + every 1-bit flip when multiProbe;
+    // buckets computed once into an array column, flips derived from it
+    val flips: Column => Seq[Column] = tb =>
       if (multiProbe)
-        array(col("bucket") +: (0 until nPlanes)
-          .map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)
-      else array(col("bucket"))
-    val q = prep(queries, idCol, vecCol)
-      .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), planes))
-      .select(col("id").as("qid"), col("v").as("qv"),
-        explode(probeSet).as("bucket"))
-    val scored = corpus.join(broadcast(q), Seq("bucket"))
+        tb.getField("b") +: (0 until nPlanes)
+          .map(j => tb.getField("b").bitwiseXOR(lit(1L << j)))
+      else Seq(tb.getField("b"))
+    val qProbes = prep(queries, idCol, vecCol)
+      .select(col("id").as("qid"), explode(bucketArray(col("v"))).as("tb"))
+      .select(col("qid"), col("tb.t").as("tbl"),
+        explode(array(flips(col("tb")): _*)).as("bucket"))
+    val cand = corpusBuckets.join(broadcast(qProbes), Seq("tbl", "bucket"))
       .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
+    val q = prep(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val scored = cand.join(corpus, Seq("id")).join(broadcast(q), Seq("qid"))
       .withColumn("sim", Vectors.cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id").asc)

@@ -120,7 +120,7 @@ class DedupSpec extends SparkTestBase {
       (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
       (3L, Array(-1.0f, 0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding",
-        threshold = 0.99, nPlanes = 4, dim = 4)
+        threshold = 0.99, planesPerBand = 2, bands = 4, dim = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
