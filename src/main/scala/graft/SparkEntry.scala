@@ -299,6 +299,15 @@ object SparkEntry {
         nPlanes = 4, nTables = 6)
     }),
 
+    // IVF inverted-list ANN — deterministic (lowest-id centroids,
+    // cosine ties by centroid id), so unlike the LSH family it gets a
+    // full DuckDB oracle reproducing the list assignment + probes.
+    "q42_ann_ivf" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        nCentroids = 16, nProbe = 4)
+    }),
+
     // Set-operation semantics (INTERSECT/EXCEPT classification), computed
     // as ONE scan + ONE shuffle: groupBy(key).agg(max(predicate)) derives
     // membership in the filtered set, replacing the naive two-scan
@@ -814,6 +823,35 @@ object SparkEntry {
         | sum(l_quantity) AS sum_qty,
         | sum(round(l_extendedprice*100))/100.0 AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // IVF: centroids = 16 lowest-id vectors; every vector joins its
+    // single nearest list, each query probes its 4 nearest lists; exact
+    // cosine top-5 within the probed lists. Same dot-product arithmetic
+    // as q19, so the sim doubles hash-match.
+    "q42_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |ranked AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, c.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, c.cid) AS crank
+        |  FROM e, c),
+        |lists AS (SELECT vec_id, v, cid AS list_id FROM ranked WHERE crank = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id
+        |  FROM ranked WHERE vec_id < 8 AND crank <= 4),
+        |scored AS (
+        |  SELECT p.qid, l.vec_id,
+        |    list_dot_product(p.qv, l.v) /
+        |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.v, l.v)))
+        |      AS sim
+        |  FROM probes p JOIN lists l ON p.list_id = l.list_id
+        |  WHERE l.vec_id <> p.qid)
+        |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
 
     "q19_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

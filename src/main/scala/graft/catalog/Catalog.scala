@@ -63,9 +63,10 @@ final class ParquetCatalog(root: String) extends TableCatalog {
 }
 
 /** JDBC catalog matching the reference's warehouse sinks (gold.py:36-54
-  * MySQL, platinum.py:31-39 SQL Server). Compiles against stock Spark
-  * JDBC; untestable in this offline container (no database), kept for
-  * API completeness — `Pipeline` is catalog-agnostic either way.
+  * MySQL, platinum.py:31-39 SQL Server). Backed by stock Spark JDBC;
+  * round-tripped in CI against embedded Derby (JdbcCatalogSpec) — the
+  * MySQL / SQL Server swap is a URL + driver property, no code change,
+  * and `Pipeline` is catalog-agnostic either way.
   */
 final class JdbcCatalog(url: String, props: java.util.Properties) extends TableCatalog {
   override def read(spark: SparkSession, table: String): DataFrame =

@@ -36,9 +36,16 @@ object Cleanse {
     * hash-aggregate compare a 16-byte key instead of sorting/hashing
     * the full row width per comparison. At 100 TB with wide rows this
     * is the difference between a narrow-key shuffle and a shuffle whose
-    * KEY is the entire dataset. See docs/SCALE.md §Fact build. */
+    * KEY is the entire dataset. See docs/SCALE.md §Fact build.
+    *
+    * Each column hashes as (is-null indicator, value): xxhash64 SKIPS
+    * null children (a null leaves the accumulator untouched), so
+    * hashing bare values would collide distinct rows that differ only
+    * in which column holds the null — ('a', null) vs (null, 'a'), or
+    * (null, 'a') vs ('a', 'a'). The indicator re-injects the null's
+    * position into the hash. */
   def dedupByFingerprint(df: DataFrame): DataFrame = {
-    val cols = df.columns.map(col)
+    val cols = df.columns.flatMap(c => Seq(col(c).isNull.cast("int"), col(c)))
     df.withColumn("__fp1", xxhash64(cols: _*))
       .withColumn("__fp2", xxhash64(lit("graft-fp2-salt") +: cols: _*))
       .dropDuplicates("__fp1", "__fp2")

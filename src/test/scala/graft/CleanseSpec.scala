@@ -15,6 +15,21 @@ class CleanseSpec extends SparkTestBase {
     assert(Cleanse.dedup(once).count() == 2)
   }
 
+  test("dedupByFingerprint matches dropDuplicates on null-bearing rows") {
+    // xxhash64 skips null children, so without per-column null
+    // indicators these distinct rows collide: the null "slides" between
+    // columns without changing the bare-value hash sequence
+    val df = Seq(
+      (Option("a"), Option.empty[String]),
+      (Option.empty[String], Option("a")),
+      (Option.empty[String], Option("a")), // true duplicate of row 2
+      (Option("a"), Option("a"))).toDF("x", "y")
+    val got = Cleanse.dedupByFingerprint(df)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", null), (null, "a"), ("a", "a")))
+    assert(Cleanse.dedupByFingerprint(df).count() == Cleanse.dedup(df).count())
+  }
+
   test("unionConformed aligns by name regardless of column order (fixes R1)") {
     val a = Seq((1, "x")).toDF("k", "v")
     val b = Seq(("y", 2)).toDF("v", "k")
