@@ -308,6 +308,21 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4)
     }),
 
+    // The flagship LLM-pipeline composition END-TO-END (SURVEY §7.4):
+    // language filter → quality gate → exact dedup → exact n-gram
+    // near-dup removal → corpus report, as ONE pure plan
+    // (Curation.curateExact) with a DuckDB oracle reproducing every
+    // stage. The 100 TB variant swaps the near-dup stage for the LSH
+    // chain (Curation.curate, recall measured in docs/RECALL.md).
+    "q43_curated_corpus" -> ((s, dir) => {
+      val kept = graft.dedup.Curation.curateExact(
+        documents(s, dir), "doc_id", "text", "lang")
+      kept.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+          (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+    }),
+
     // Set-operation semantics (INTERSECT/EXCEPT classification), computed
     // as ONE scan + ONE shuffle: groupBy(key).agg(max(predicate)) derives
     // membership in the filtered set, replacing the naive two-scan
@@ -810,6 +825,39 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    // Every curation stage reproduced: token-count quality gate,
+    // min-id-per-fingerprint exact dedup, the q24 n-gram Jaccard CTE at
+    // threshold 0.8 for near-dup losers, then the corpus report.
+    "q43_curated_corpus" ->
+      s"""WITH tokc AS (SELECT doc_id, text, lang, source, n_chars,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens FROM documents),
+         |kept AS (SELECT * FROM tokc
+         |  WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 100000),
+         |surv AS (SELECT * FROM kept WHERE doc_id IN
+         |  (SELECT min(doc_id) FROM kept
+         |   GROUP BY ${TF.sql.fingerprint("text")})),
+         |norm AS (SELECT doc_id,
+         |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM surv),
+         |idx AS (SELECT doc_id, t,
+         |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+         |g AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN length(t) <= 5 THEN t
+         |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+         |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT id_b FROM inter
+         |  JOIN counts ca ON ca.doc_id = id_a
+         |  JOIN counts cb ON cb.doc_id = id_b
+         |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.8),
+         |final AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT id_b FROM losers))
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  sum(n_chars)/count(*) AS avg_chars
+         |FROM final GROUP BY 1, 2""".stripMargin,
 
     "q40_deterministic_sample" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,

@@ -49,6 +49,28 @@ object Curation {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Oracle-checkable curation twin: the same stage chain as [[curate]]
+    * — language filter → quality gate → exact dedup → near-dup removal
+    * — but the near-dup stage is the EXACT character-n-gram Jaccard
+    * join ([[Dedup.exactNgramJaccardPairs]], zero recall loss) and
+    * there are no accounting actions: one pure plan, declared as driver
+    * query q43 with a full DuckDB oracle. At 100 TB run [[curate]]
+    * (LSH near-dup, measured recall in docs/RECALL.md); this twin
+    * exists so the flagship composition has a correctness gate. */
+  def curateExact(docs: DataFrame, idCol: String, textCol: String,
+                  langCol: String, cfg: Config = Config(),
+                  ngramN: Int = 5): DataFrame = {
+    val langOk =
+      if (cfg.langs.isEmpty) lit(true)
+      else col(langCol).isin(cfg.langs.toSeq: _*)
+    val filtered = docs.filter(langOk && qualityOk(col(textCol), cfg))
+    val exact = Dedup.exactDedup(filtered, idCol, textCol)
+    val losers = Dedup.exactNgramJaccardPairs(exact, idCol, textCol,
+        n = ngramN, threshold = cfg.minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Full chain; returns the kept rows plus a one-row accounting frame
     * (input / after each stage) so drops are observable.
     *

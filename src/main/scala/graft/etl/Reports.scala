@@ -37,6 +37,23 @@ object Reports {
     fact.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Reference-fidelity report (platinum.py:88-112): round(mean, 3) /
+    * round(sum, 3) per measure, named avg_<m> / total_<m>, row count as
+    * `countName` (the reference's `total_trips`) — byte-compatible with
+    * the legacy mart, including its rounding of inexact doubles. NOT
+    * bit-deterministic across partitionings/engines (round() of an
+    * inexact double sum); the oracle-gated marts use [[report]], this
+    * mode exists so legacy consumers diff cleanly during migration. */
+  def reportCompat(fact: DataFrame, keys: Seq[Column],
+                   measures: Seq[(String, Column)],
+                   countName: String = "total_trips"): DataFrame = {
+    val aggs = measures.flatMap { case (name, e) =>
+      Seq(round(avg(e), 3).as(s"avg_$name"),
+        round(sum(e), 3).as(s"total_$name"))
+    } :+ count(lit(1)).as(countName)
+    fact.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Oracle-twin SQL SELECT list for the same measures (DuckDB). */
   def sqlAggs(measures: Seq[(String, String, MeasureKind)]): String =
     measures.flatMap { case (name, c, kind) =>

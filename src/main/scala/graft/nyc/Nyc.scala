@@ -145,6 +145,30 @@ object Nyc {
 
   // ----------------------------------------------------------- platinum
 
+  /** Reference-fidelity switches (SURVEY §2.9). `rounded` emits the
+    * reference's exact mart shape — round(mean,3)/round(sum,3) columns
+    * named avg_<m>/total_<m> plus `total_trips` (platinum.py:88-112).
+    * `legacyDurationScale` reproduces defect R2: durations are SECONDS
+    * out of silver (silver.py:85) but platinum divides by 1000*60 as if
+    * they were milliseconds (platinum.py:101-102) — with both flags on,
+    * a legacy consumer's mart diffs byte-clean against this engine. */
+  final case class Compat(rounded: Boolean = false,
+                          legacyDurationScale: Boolean = false)
+
+  /** The reference's measure list in its column order
+    * (platinum.py:97-110). */
+  private def compatMeasures(c: Compat): Seq[(String, org.apache.spark.sql.Column)] = {
+    val durationScale = if (c.legacyDurationScale) 1000.0 * 60 else 60.0
+    Seq(
+      "passenger_count" -> col("passenger_count"),
+      "trip_distance" -> col("trip_distance"),
+      "trip_duration" -> (col("trip_duration") / durationScale),
+      "tip_amount" -> col("tip_amount"),
+      "tolls_amount" -> col("tolls_amount"),
+      "total_amount" -> col("total_amount"),
+      "fare_amount" -> col("fare_amount"))
+  }
+
   private def reportMeasures = Seq(
     Reports.Measure("passenger_count", col("passenger_count"), Reports.Integral),
     Reports.Measure("trip_distance", col("trip_distance"), Reports.Money),
@@ -158,25 +182,29 @@ object Nyc {
     * 7-key groupBy, mean+sum per measure + trip count. Durations are
     * true minutes (R2 fix); aggregates are bit-deterministic
     * (deviation from the reference's round(x,3), documented). */
-  def monthlyReport(fact: DataFrame, dateDim: DataFrame): DataFrame = {
+  def monthlyReport(fact: DataFrame, dateDim: DataFrame,
+                    compat: Compat = Compat()): DataFrame = {
     val dd = dateDim.select(col("dateID").as("date_puID"),
       col("month").as("month_pu"))
-    Reports.report(Star.joinDim(fact, dd, Seq("date_puID")),
-      Seq(col("PULocationID"), col("DOLocationID"), col("typeID"),
-        col("VendorID"), col("month_pu"), col("RatecodeID"), col("paymentID")),
-      reportMeasures)
+    val joined = Star.joinDim(fact, dd, Seq("date_puID"))
+    val keys = Seq(col("PULocationID"), col("DOLocationID"), col("typeID"),
+      col("VendorID"), col("month_pu"), col("RatecodeID"), col("paymentID"))
+    if (compat.rounded) Reports.reportCompat(joined, keys, compatMeasures(compat))
+    else Reports.report(joined, keys, reportMeasures)
   }
 
   /** E3 weekly mart (platinum.py:166-252): month key swapped for
     * (dayName, weekOfYear). */
-  def weeklyReport(fact: DataFrame, dateDim: DataFrame): DataFrame = {
+  def weeklyReport(fact: DataFrame, dateDim: DataFrame,
+                   compat: Compat = Compat()): DataFrame = {
     val dd = dateDim.select(col("dateID").as("date_puID"),
       col("dayName").as("dayOfWeek_pu"), col("weekOfYear").as("weekOfYear_pu"))
-    Reports.report(Star.joinDim(fact, dd, Seq("date_puID")),
-      Seq(col("PULocationID"), col("DOLocationID"), col("typeID"),
-        col("VendorID"), col("dayOfWeek_pu"), col("weekOfYear_pu"),
-        col("RatecodeID"), col("paymentID")),
-      reportMeasures)
+    val joined = Star.joinDim(fact, dd, Seq("date_puID"))
+    val keys = Seq(col("PULocationID"), col("DOLocationID"), col("typeID"),
+      col("VendorID"), col("dayOfWeek_pu"), col("weekOfYear_pu"),
+      col("RatecodeID"), col("paymentID"))
+    if (compat.rounded) Reports.reportCompat(joined, keys, compatMeasures(compat))
+    else Reports.report(joined, keys, reportMeasures)
   }
 
   /** J6: attach pickup/dropoff zone attributes AFTER aggregation, as

@@ -107,6 +107,30 @@ class NycSpec extends SparkTestBase {
     assert(m.getAs[Double]("avg_passenger_count") == 2.0)
   }
 
+  test("referenceCompat mart reproduces platinum.py:88-112 byte-shape") {
+    val m = Nyc.monthlyReport(fact, dateDim,
+      Nyc.Compat(rounded = true, legacyDurationScale = true))
+    assert(m.columns.toSeq == Seq(
+      "PULocationID", "DOLocationID", "typeID", "VendorID", "month_pu",
+      "RatecodeID", "paymentID",
+      "avg_passenger_count", "total_passenger_count",
+      "avg_trip_distance", "total_trip_distance",
+      "avg_trip_duration", "total_trip_duration",
+      "avg_tip_amount", "total_tip_amount",
+      "avg_tolls_amount", "total_tolls_amount",
+      "avg_total_amount", "total_total_amount",
+      "avg_fare_amount", "total_fare_amount", "total_trips"))
+    val a = m.filter(col("PULocationID") === 74).head()
+    // R2 preserved under the flag: 1800 s treated as ms -> /(1000*60)
+    assert(a.getAs[Double]("avg_trip_duration") == 0.03)
+    assert(a.getAs[Double]("total_total_amount") == 25.8)
+    assert(a.getAs[Long]("total_trips") == 1L)
+    // flag off: true minutes (the documented R2 fix)
+    val fixed = Nyc.monthlyReport(fact, dateDim, Nyc.Compat(rounded = true))
+      .filter(col("PULocationID") === 74).head()
+    assert(fixed.getAs[Double]("avg_trip_duration") == 30.0)
+  }
+
   test("zones attach to the aggregated mart per side (platinum J6)") {
     val zones = Seq((74, "Manhattan", "East Harlem North", "Boro"),
       (75, "Manhattan", "East Harlem South", "Boro"))
