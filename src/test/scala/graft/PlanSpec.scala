@@ -56,6 +56,28 @@ class PlanSpec extends SparkTestBase {
       scan.requiredSchema.treeString)
   }
 
+  test("q24: the n-gram set and prefix frames are cached, not recomputed") {
+    val s = planString(q("q24_ngram_jaccard_pairs"))
+    assert(s.contains("InMemoryTableScan"),
+      "exactSimilarityPairs must persist its set/prefix frames — " +
+        "recomputing the n-gram expression tree per consumer tripled " +
+        s"round-2 runtime\n$s")
+  }
+
+  test("q25: multi-table LSH probes broadcast; no cartesian anywhere") {
+    val p = finalPlan(q("q25_ann_lsh"))
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q42: IVF centroid assignment broadcasts the centroid set") {
+    val p = finalPlan(q("q42_ann_ivf"))
+    val s = p.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q33: set-op classification is one scan + one exchange") {
     val df = q("q33_set_ops")
     assert(scans(df).size == 1,
