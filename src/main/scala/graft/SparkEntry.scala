@@ -323,6 +323,28 @@ object SparkEntry {
           (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
     }),
 
+    // Benchmark-contamination annotation (decontamination): distinct
+    // 5-word-shingle overlap of every document against a probe set (the
+    // pseudo-benchmark doc_id % 97 == 0 slice), probe shingles
+    // broadcast, corpus scanned once.
+    "q44_contamination" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.text.Contamination.flag(
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        shingleK = 5, minHits = 2)
+    }),
+
+    // Engine-portable stratified (language-rebalancing) sample:
+    // per-stratum md5 thresholds, then the corpus report over the kept
+    // rows — the reproducible-dataset-build primitive.
+    "q45_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedMd5Sample(documents(s, dir),
+          "doc_id", "lang", Map("en" -> "8", "de" -> "4", "fr" -> "2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+    }),
+
     // Set-operation semantics (INTERSECT/EXCEPT classification), computed
     // as ONE scan + ONE shuffle: groupBy(key).agg(max(predicate)) derives
     // membership in the filtered set, replacing the naive two-scan
@@ -825,6 +847,37 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    // Word-shingle parity with graft.functions.exprs.WordShingles: a
+    // doc shorter than k tokens contributes its whole token string as
+    // the single shingle; shingles join on ' '.
+    "q44_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  unnest(range(1, greatest(m-4, 1)+1)) AS i FROM base),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN m < 5 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+4), ' ')
+         |  END AS shingle FROM idx),
+         |probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT s.doc_id, count(*) AS n_hits
+         |  FROM sh s JOIN probe p USING (shingle) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 1 ELSE 0 END
+         |    AS contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+
+    "q45_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        | sum(n_chars)/count(*) AS avg_chars
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE lang WHEN 'en' THEN '8' WHEN 'de' THEN '4'
+        |            WHEN 'fr' THEN '2' ELSE '' END
+        |GROUP BY 1""".stripMargin,
 
     // Every curation stage reproduced: token-count quality gate,
     // min-id-per-fingerprint exact dedup, the q24 n-gram Jaccard CTE at

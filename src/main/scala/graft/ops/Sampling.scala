@@ -55,4 +55,22 @@ object Sampling {
     }
     df.filter(col(idCol).isNotNull && bucket(col(idCol), salt) < threshold)
   }
+
+  /** Engine-portable stratified sample: per-stratum lowercase-hex md5
+    * thresholds ([[md5Sample]] semantics per stratum — e.g. language
+    * rebalancing a corpus with a decision any hex-md5 engine
+    * reproduces). Strata absent from the map are dropped (md5 is never
+    * < the empty string). */
+  def stratifiedMd5Sample(df: DataFrame, idCol: String, stratumCol: String,
+                          thresholds: Map[String, String]): DataFrame = {
+    thresholds.values.foreach(t =>
+      require(t.nonEmpty && t.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+        s"thresholds must be lowercase hex, got '$t'"))
+    val cut = thresholds.foldLeft(lit("")) { case (acc, (k, t)) =>
+      when(col(stratumCol) === k, lit(t)).otherwise(acc)
+    }
+    df.filter(col(idCol).isNotNull &&
+      md5(col(idCol).cast("string")) < cut)
+  }
 }

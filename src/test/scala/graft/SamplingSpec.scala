@@ -65,4 +65,28 @@ class SamplingSpec extends SparkTestBase {
     assert(counts("fr") == total("fr"))
     assert(math.abs(counts("en") - 0.5 * total("en")) < 0.2 * total("en"))
   }
+
+  test("stratifiedMd5Sample applies per-stratum thresholds portably") {
+    val out = Sampling.stratifiedMd5Sample(docs, "doc_id", "lang",
+      Map("en" -> "8", "fr" -> "f"))
+    val kept = out.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = docs.select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, lang) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        lang match {
+          case "en" => hex < "8"
+          case "fr" => hex < "f"
+          case _ => false // unlisted strata dropped
+        }
+      }.toSet
+    assert(kept == want)
+    assert(kept.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedMd5Sample(docs, "doc_id", "lang", Map("en" -> "2A"))
+    }
+  }
 }
