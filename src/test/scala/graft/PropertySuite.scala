@@ -51,6 +51,43 @@ object PropertySuite extends Properties("graft") {
       novel == (fresh.toSet -- dim.toSet)
     }
 
+  // Soundness armor for the AllPairs prefix + PPJoin positional filter:
+  // on random corpora the exact join must equal the brute-force answer
+  // EXACTLY — any over-eager prune (prefix too short, positional bound
+  // too tight, float edge at the size filter) shows up as a lost pair.
+  property("exactSimilarityPairs == brute-force Jaccard join") = {
+    val genDoc = Gen.nonEmptyListOf(Gen.choose(0, 12)).map(_.distinct)
+    val genCorpus = Gen.listOfN(8, genDoc)
+    val genT = Gen.oneOf(0.3, 0.5, 0.75, 1.0)
+    Prop.forAll(genCorpus, genT) { (docs, t) =>
+      val rows = docs.zipWithIndex.map { case (d, i) =>
+        (i.toLong, d.map(_.toString))
+      }
+      val df = rows.toDF("id", "set")
+      val got = graft.dedup.Dedup.exactSimilarityPairs(df, "id", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- rows; b <- rows if a._1 < b._1
+        inter = a._2.toSet.intersect(b._2.toSet).size
+        union = a._2.toSet.union(b._2.toSet).size
+        if union > 0 && inter.toDouble / union >= t
+      } yield (a._1, b._1)).toSet
+      got == want
+    }
+  }
+
+  property("dedupByFingerprint == dropDuplicates on nullable rows") =
+    Prop.forAll(Gen.listOfN(25,
+        Gen.zip(Gen.option(Gen.choose(0, 3)), Gen.option(Gen.oneOf("a", "b"))))) {
+      rows =>
+        val df = rows.toDF("x", "y")
+        val got = Cleanse.dedupByFingerprint(df)
+          .collect().map(r => (r.get(0), r.get(1))).toSet
+        got == rows.toSet.map { p: (Option[Int], Option[String]) =>
+          (p._1.map(Int.box).orNull, p._2.orNull)
+        }
+    }
+
   property("durationSeconds is non-negative when end >= start") =
     Prop.forAll(Gen.choose(0L, 1700000000L), Gen.choose(0L, 100000L)) {
       (start, delta) =>
