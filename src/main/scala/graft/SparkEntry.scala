@@ -323,6 +323,21 @@ object SparkEntry {
           (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
     }),
 
+    // Repetition quality signal (the published duplicate-fraction
+    // heuristics for corpus filtering): token-level repetition ratio
+    // per document, pure per-row expressions.
+    "q46_repetition" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      val n = size(toks)
+      val nd = size(array_distinct(toks))
+      documents(s, dir).select(
+        col("doc_id"),
+        n.cast("int").as("n_tokens"),
+        nd.cast("int").as("n_distinct_tokens"),
+        when(n === 0, lit(0.0))
+          .otherwise(lit(1.0) - nd.cast("double") / n).as("dup_token_ratio"))
+    }),
+
     // Benchmark-contamination annotation (decontamination): distinct
     // 5-word-shingle overlap of every document against a probe set (the
     // pseudo-benchmark doc_id % 97 == 0 slice), probe shingles
@@ -847,6 +862,17 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    "q46_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(T) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(T)) AS INTEGER) AS n_distinct_tokens,
+         |  CASE WHEN len(T) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(T)) AS DOUBLE)/len(T)
+         |  END AS dup_token_ratio
+         |FROM t""".stripMargin,
 
     // Word-shingle parity with graft.functions.exprs.WordShingles: a
     // doc shorter than k tokens contributes its whole token string as
