@@ -323,6 +323,16 @@ object SparkEntry {
           (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
     }),
 
+    // Transitive duplicate-cluster resolution: connected components
+    // over the EXACT n-gram near-dup pair graph (min-label
+    // propagation, one keyed shuffle per round) — every clustered
+    // document labeled with its component representative. The oracle
+    // recomputes the closure with a recursive CTE.
+    "q47_dup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.exactNgramJaccardPairs(documents(s, dir), "doc_id", "text",
+          n = 5, threshold = 0.4))),
+
     // Repetition quality signal (the published duplicate-fraction
     // heuristics for corpus filtering): token-level repetition ratio
     // per document, pure per-row expressions.
@@ -862,6 +872,33 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    // The q24 pair CTE + recursive reachability closure: component =
+    // min id reachable through the near-dup graph.
+    "q47_dup_components" ->
+      """WITH RECURSIVE
+        |norm AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN length(t) <= 5 THEN t
+        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN counts ca ON ca.doc_id = id_a
+        |  JOIN counts cb ON cb.doc_id = id_b
+        |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
 
     "q46_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T

@@ -39,13 +39,35 @@ object Curation {
         TextFunctions.hitCount(text, TextFunctions.stopEn) / n >= cfg.minStopRatio)
   }
 
-  /** Remove the higher-id side of each near-dup pair. */
+  /** Remove the higher-id side of each near-dup pair. Pairwise
+    * semantics: a survivor may still be transitively similar to
+    * another survivor through a removed middle document (a~b, b~c
+    * keeps a AND c). For full transitive-closure grouping use
+    * [[dropNearDupComponents]]. */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    cfg: Config): DataFrame = {
     val losers = Dedup.minhashPairs(docs, idCol, textCol,
         shingleK = cfg.shingleK, nHashes = cfg.nHashes, bands = cfg.bands,
         minJaccard = cfg.minJaccard)
       .select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Transitive-closure near-dup removal: resolve the pair graph into
+    * connected components ([[Dedup.connectedComponents]]) and keep ONE
+    * document per component (the min id) — the semantics large-scale
+    * MinHash dedup actually wants (a~b, b~c keeps only a, because b
+    * chains the three into one duplicate cluster). Costs O(diameter)
+    * extra shuffles over [[dropNearDups]]; diameters are small in
+    * practice (duplicate cliques). */
+  def dropNearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+                            cfg: Config): DataFrame = {
+    val pairs = Dedup.minhashPairs(docs, idCol, textCol,
+      shingleK = cfg.shingleK, nHashes = cfg.nHashes, bands = cfg.bands,
+      minJaccard = cfg.minJaccard)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component")) // non-representatives drop
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -322,7 +322,60 @@ object Dedup {
       docs.select(col(idCol), shingles(col(textCol), k).as("set")),
       idCol, threshold)
 
-  // ----------------------------------------------- embedding near-dup
+  // ------------------------------------------- component resolution
+
+  /** Connected components over an (id_a, id_b) pair frame: every node
+    * of the near-dup graph labeled with the MINIMUM id reachable from
+    * it — the exact group representative, where a single removal round
+    * (drop every pair's id_b) only resolves paths of length 1.
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels — one shuffle keyed on node
+    * id per round, converging in O(graph diameter) rounds. Near-dup
+    * graphs are shallow (duplicates cluster into cliques and short
+    * chains), so the bound is a handful of rounds even at corpus
+    * scale; `maxIter` is a hard stop against pathological chains, and
+    * non-convergence within it throws rather than silently returning
+    * partial components. Per-round frames persist and the previous
+    * round unpersists once the next materializes (the convergence
+    * count is the per-round action).
+    *
+    * Returns (id, component) for every node that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val a = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .persist(disk)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .persist(disk)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist(disk)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).count() // per-round action
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — the " +
+        "pair graph has a path longer than maxIter; raise maxIter")
+    labels
+  }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
     * BANDED random-hyperplane LSH (OR-amplification, the same b×r

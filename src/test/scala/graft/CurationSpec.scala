@@ -55,6 +55,25 @@ class CurationSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("dropNearDupComponents keeps one document per transitive cluster") {
+    // doc 3 is near-dup of both 1 and 2, but 1 and 2 differ enough
+    // that (1, 2) is not itself a pair. Pairwise removal only drops
+    // the higher-id side of pairs (1,3) and (2,3) — doc 2 survives
+    // even though it chains to 1 through 3; component resolution
+    // merges {1,2,3} and keeps only the min
+    val a = "the quick brown fox jumps over the lazy dog in the misty morning park"
+    val b = "the quick brown fox jumps over the lazy dog in the misty evening park"
+    val c = "the quick brown fox leaps over the lazy dog in the misty evening park"
+    val docs = Seq((1L, a), (3L, b), (2L, c)).toDF("doc_id", "text")
+    val cfg = Curation.Config(minJaccard = 0.6)
+    val pairwise = Curation.dropNearDups(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val components = Curation.dropNearDupComponents(docs, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairwise == Set(1L, 2L))
+    assert(components == Set(1L))
+  }
+
   test("curate on the documents table keeps a plausible fraction") {
     val docs = Tables.documents(spark, sf)
     val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",

@@ -114,6 +114,26 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
   }
 
+  test("connectedComponents labels every node with its component min") {
+    // chain 1-2-3-4 (diameter 3, needs iteration), clique {10,11,12},
+    // isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents refuses to return partial components") {
+    // path of length 5 cannot settle in 2 min-propagation rounds
+    val longChain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(longChain, maxIter = 2))
+  }
+
   test("embeddingPairs finds the planted duplicate vector") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
