@@ -248,14 +248,15 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold — 0 would make every " +
         "prefix the whole set (the all-pairs join this operator exists to avoid)")
-    // One corpus-sized materialization: the set column feeds the token
-    // explode AND both verification join-backs; without it the whole
-    // set-building expression tree (n-gram/shingle extraction) runs 3×
-    // (round-2 bench: 84 s at sf0.1, dominated by exactly that).
-    // MEMORY_AND_DISK: corpus-sized, spills instead of OOM at scale.
+    // Deliberately NOT persisted: the set column is array<string>, and
+    // Spark's columnar cache is a pessimization for nested arrays —
+    // reading the cached arrays back measured SLOWER than recomputing
+    // the n-gram expression from the parquet scan with codegen (25 s
+    // vs 14 s for the whole query at sf0.1). The flat `prefixes` frame
+    // below IS cached; the set expression recomputes 3× (token explode
+    // + two verification join-backs), each a cheap codegen scan.
     val prepped = base.select(col(idCol).as("id"), col("set"))
       .withColumn("sz", size(col("set")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
     val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -268,9 +269,19 @@ object Dedup {
       // t ≤ 1 and integral sz cannot exceed the true product's ceil
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("tok"), col("id"), col("sz"), col("rn"))
-      // both sides of the candidate self-join read this frame; without
-      // the persist the df-aggregation + window pipeline runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Deliberately NOT persisted/checkpointed, although both
+      // candidate-join sides (and the verify join-backs) re-derive
+      // this subtree — 6 scans of the set expression per run
+      // (PlanSpec pins the count). Measured across all three
+      // materialization strategies at sf0.1, recompute wins: the
+      // columnar cache of array<string> sets read back SLOWER than
+      // codegen recompute and its size stats flipped later
+      // invocations onto slower join strategies (15 s -> 29 s), and
+      // an eager row-format localCheckpoint serialized a per-run
+      // materialization barrier (+4 s) with no downstream win. The
+      // set expression is cheap per scan; the candidate join and
+      // pair aggregation dominate, and only data volume — not
+      // recompute count — grows with corpus size.
     val a = prefixes.select(col("tok"), col("id").as("id_a"),
       col("sz").as("sz_a"), col("rn").as("rn_a"))
     val b = prefixes.select(col("tok"), col("id").as("id_b"),
@@ -329,28 +340,45 @@ object Dedup {
     * it — the exact group representative, where a single removal round
     * (drop every pair's id_b) only resolves paths of length 1.
     *
-    * Min-label propagation: each round every node takes the min of its
-    * own label and its neighbors' labels — one shuffle keyed on node
-    * id per round, converging in O(graph diameter) rounds. Near-dup
-    * graphs are shallow (duplicates cluster into cliques and short
-    * chains), so the bound is a handful of rounds even at corpus
-    * scale; `maxIter` is a hard stop against pathological chains, and
-    * non-convergence within it throws rather than silently returning
-    * partial components. Per-round frames persist and the previous
-    * round unpersists once the next materializes (the convergence
-    * count is the per-round action).
+    * Min-label propagation WITH pointer jumping: each round every node
+    * takes the min of (its own label, its neighbors' labels, its
+    * label's label). Neighbor propagation alone needs O(diameter)
+    * rounds — a 30-link mutation chain is 30 actions; the jump term
+    * (label-of-label, one extra id-keyed join per round) doubles the
+    * resolved path length per round, so convergence is O(log diameter)
+    * (the classic pointer-jumping/Hash-to-Min shape). `maxIter` is a
+    * hard stop, and non-convergence within it throws rather than
+    * silently returning partial components.
+    *
+    * Each round's label frame is EAGERLY localCheckpoint-ed, not just
+    * persisted: caching keeps the data but Catalyst still re-analyzes
+    * the full accumulated lineage every round, and with the label
+    * frame referenced four times per round the logical plan grows
+    * ~4^rounds — the optimizer, not the data, became the bottleneck
+    * (measured 51 s for a 477-node graph). Checkpointing truncates the
+    * plan to a leaf each round; on a cluster with flaky executors swap
+    * in reliable `checkpoint` (same call shape, HDFS-backed).
     *
     * Returns (id, component) for every node that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // materialize the pair frame BEFORE mirroring it: the union below
+    // references it twice, and everything upstream of `pairs` (for
+    // near-dup graphs, the whole candidate-join + verification chain)
+    // would otherwise execute once per branch inside the first job —
+    // measured 2× the q24 chain per q47 invocation
     val a = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .persist(disk)
+    a.count()
     val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
       .persist(disk)
+    edges.count() // settle the edge cache, then drop the pair cache
+    a.unpersist()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .persist(disk)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -358,13 +386,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_min"))
+      // pointer jump: my label's current label (labels is total over
+      // all nodes and every label value IS a node id, so inner join)
+      val viaJump = labels.select(col("id"), col("component").as("jid"))
+        .join(labels.select(col("id").as("jid"), col("component").as("jump_min")),
+          Seq("jid"))
+        .select(col("id"), col("jump_min"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .join(viaJump, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component")),
+            coalesce(col("jump_min"), col("component")))
             .as("component"))
-        .persist(disk)
+        .localCheckpoint(true) // round action; truncates lineage
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") < col("old")).count() // per-round action
+        .filter(col("component") < col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0

@@ -56,12 +56,18 @@ class PlanSpec extends SparkTestBase {
       scan.requiredSchema.treeString)
   }
 
-  test("q24: the n-gram set and prefix frames are cached, not recomputed") {
-    val s = planString(q("q24_ngram_jaccard_pairs"))
-    assert(s.contains("InMemoryTableScan"),
-      "exactSimilarityPairs must persist its set/prefix frames — " +
-        "recomputing the n-gram expression tree per consumer tripled " +
-        s"round-2 runtime\n$s")
+  test("q24: recompute count stays bounded and cartesian-free") {
+    // the measured-fastest shape recomputes the n-gram subtree per
+    // consumer: 2 candidate-join sides × (toks + df agg) + 2 verify
+    // join-backs = 6 scans. A 7th means someone added a recompute
+    // path; an InMemoryTableScan means someone re-added the columnar
+    // array cache (measured slower than recompute AND it poisons AQE
+    // join choices on later invocations — see Dedup.scala).
+    val df = q("q24_ngram_jaccard_pairs")
+    assert(scans(df).size == 6, s"expected 6 documents scans, got ${scans(df).size}")
+    val s = planString(df)
+    assert(!s.contains("InMemoryTableScan"), s)
+    assert(!s.contains("CartesianProduct"), s)
   }
 
   test("q25: multi-table LSH probes broadcast; no cartesian anywhere") {
