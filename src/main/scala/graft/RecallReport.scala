@@ -88,10 +88,25 @@ object RecallReport {
     m("q42 ivfTopK", "k=5 nCentroids=16 nProbe=4", truth, found)
   }
 
+  /** q48: IVF with Lloyd k-means centroids vs brute-force top-k —
+    * quantifies what data-adaptive lists buy over the lowest-id
+    * placeholder at identical probe cost. */
+  def ivfKmeans(emb: DataFrame): Metrics = {
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: DataFrame) = df.select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Ann.bruteForceTopK(emb, q, k = 5))
+    val cent = Ann.kmeansCentroids(emb, k = 16, iters = 5)
+    val found = pairs(Ann.ivfTopK(emb, q, k = 5, nProbe = 4,
+      centroids0 = Some(cent)))
+    m("q48 ivfTopK kmeans", "k=5 nCentroids=16 nProbe=4 lloyd=5", truth, found)
+  }
+
   def all(spark: SparkSession, sfDir: String): Seq[Metrics] = {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
-    Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb), ivfTopK(emb))
+    Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb),
+      ivfTopK(emb), ivfKmeans(emb))
   }
 
   /** The scales the doc AND `RecallSpec` both measure at — one source

@@ -308,6 +308,17 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4)
     }),
 
+    // IVF with distributed Lloyd k-means coarse quantization — the
+    // data-adaptive upgrade of q42's placeholder centroids (5
+    // deterministic iterations; recall vs brute force measured in
+    // docs/RECALL.md). Rows-only: 5 unrolled float-mean iterations
+    // aren't reasonably SQL-expressible.
+    "q48_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nProbe = 4,
+        centroids0 = Some(Ann.kmeansCentroids(e, k = 16, iters = 5)))
+    }),
+
     // The flagship LLM-pipeline composition END-TO-END (SURVEY §7.4):
     // language filter → quality gate → exact dedup → exact n-gram
     // near-dup removal → corpus report, as ONE pure plan

@@ -39,19 +39,65 @@ object Ann {
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
 
+  /** Deterministic distributed k-means (Lloyd) for IVF coarse
+    * quantization: init = the `k` lowest-id corpus vectors (stable
+    * across runs and engines, unlike sampled init), then `iters`
+    * rounds of nearest-centroid assignment (broadcast argmax — ties
+    * by centroid id) and element-wise mean recomputation. The mean is
+    * a (cid, dimension) groupBy over posexploded coordinates — one
+    * shuffle of |C|·dim skinny rows per round, which partitions
+    * cleanly at any corpus size; empty clusters keep their previous
+    * centroid. Each round's centroid frame is tiny and is collected
+    * into the next round's broadcast literal, so the iteration adds
+    * no lineage growth. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol)
+    var centroids = corpus.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    var i = 0
+    while (i < iters) {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assigned = corpus.crossJoin(broadcast(centroids))
+        .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("cid"), col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
+      // empty clusters retain their previous centroid (left anti side)
+      val kept = centroids.join(means, Seq("cid"), "left_anti")
+      centroids = means.unionByName(kept)
+        .localCheckpoint(true) // truncate per-round lineage (see Dedup.connectedComponents)
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF-style ANN: corpus is partitioned into `nCentroids` inverted
     * lists (nearest-centroid assignment); each query probes only its
-    * `nProbe` closest lists. Centroid selection is deterministic (the
-    * lowest-id vectors) — at scale you'd swap in sampled k-means
-    * centroids, which changes only `centroids`. The scan cost drops
-    * from |C| to ≈ |C|·nProbe/nCentroids per query, and the list
-    * assignment is a plain equi-join that partitions cleanly. */
+    * `nProbe` closest lists. Default centroid selection is
+    * deterministic (the lowest-id vectors — oracle-reproducible in
+    * SQL); pass `centroids` from [[kmeansCentroids]] for data-adaptive
+    * lists (better recall at equal probe cost — measured in
+    * docs/RECALL.md). The scan cost drops from |C| to
+    * ≈ |C|·nProbe/nCentroids per query, and the list assignment is a
+    * plain equi-join that partitions cleanly. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids0: Option[DataFrame] = None): DataFrame = {
     val corpus = prep(emb, idCol, vecCol)
-    val centroids = corpus.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"))
+    val centroids = centroids0.getOrElse(
+      corpus.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").as("cid"), col("v").as("cv")))
     def assign(df: DataFrame, outCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("csim").desc, col("cid").asc)

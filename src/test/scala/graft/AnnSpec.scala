@@ -26,6 +26,19 @@ class AnnSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("vec_id") != 0L)) // self excluded
   }
 
+  test("kmeansCentroids is deterministic, keeps k centroids of full dim") {
+    val e = Tables.embeddings(spark, sf)
+    val c1 = Ann.kmeansCentroids(e, k = 8, iters = 3)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    val c2 = Ann.kmeansCentroids(e, k = 8, iters = 3)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    assert(c1.length == 8)
+    assert(c1.forall(_._2.length == 64))
+    assert(c1.sameElements(c2)) // bit-identical across runs
+  }
+
   test("lshTopK sims agree with brute force on shared pairs") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 4)

@@ -46,5 +46,14 @@ class RecallSpec extends SparkTestBase {
       val x = RecallReport.ivfTopK(emb)
       assert(x.recall >= 0.85, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
+
+    test(s"[$tag] IVF with Lloyd k-means centroids recall@5 >= 0.8") {
+      // measured 0.900/0.875 — at 500 vectors the 31-vector lists make
+      // boundary losses dominate, so adaptive centroids do NOT beat
+      // the spread-out lowest-id placeholder here; the variant exists
+      // for corpus-scale lists where placeholder lists degenerate
+      val x = RecallReport.ivfKmeans(emb)
+      assert(x.recall >= 0.8, s"recall ${x.recall} (${x.hit}/${x.truth})")
+    }
   }
 }
