@@ -61,6 +61,22 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming exact dedup on a key set, state bounded by the
+    * watermark: Spark keeps each seen key only until the watermark
+    * passes its event time + delay, so duplicates arriving within the
+    * admissible-lateness horizon are dropped and state stays
+    * O(keys per horizon) instead of O(all keys ever) — the streaming
+    * twin of the batch `Cleanse.dedupByKey`. Duplicates straddling
+    * the horizon are a documented bound (the same trade watermarked
+    * aggregation makes), not silent: size the delay to the source's
+    * real lateness. */
+  def dedupStream(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  delay: String = "2 hours"): DataFrame =
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static enrichment: join the event stream to a (small,
     * broadcast) dimension — re-resolved per micro-batch, so dim updates
     * between batches are picked up. */

@@ -66,6 +66,23 @@ class StreamingSpec extends SparkTestBase {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("dedupStream drops in-horizon duplicates, matches batch dedupByKey") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val batchEvents = Tables.events(spark, sf)
+    // plant duplicates: every event twice, same key and event time
+    batchEvents.unionAll(batchEvents).write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEvents(spark, dir, spark.read.parquet(dir).schema)
+    val q = EventStreams.dedupStream(stream, Seq("event_id"), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == batchEvents.count())
+      assert(spark.table("deduped").select("event_id").distinct().count() ==
+        batchEvents.count())
+    } finally q.stop()
+  }
+
   test("event-time-timeout sessionization closes sessions as the watermark advances") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream").toString
     val all = Tables.events(spark, sf)
