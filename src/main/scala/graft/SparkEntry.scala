@@ -344,6 +344,19 @@ object SparkEntry {
         Dedup.exactNgramJaccardPairs(documents(s, dir), "doc_id", "text",
           n = 5, threshold = 0.4))),
 
+    // PII scrubbing (training-data redaction): emails / bare IPv4s /
+    // long digit runs replaced with typed sentinels. The redacted TEXT
+    // itself is hash-compared against DuckDB, proving the RE2-safe
+    // pattern subset behaves identically across regex engines.
+    "q49_pii_redaction" -> ((s, dir) => {
+      documents(s, dir).select(
+        col("doc_id"),
+        TF.redactPii(col("text")).as("clean_text"),
+        regexp_count(col("text"), lit(TF.emailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(TF.ipv4Re)).as("n_ips"),
+        regexp_count(col("text"), lit(TF.longDigitsRe)).as("n_nums"))
+    }),
+
     // Repetition quality signal (the published duplicate-fraction
     // heuristics for corpus filtering): token-level repetition ratio
     // per document, pure per-row expressions.
@@ -883,6 +896,16 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    "q49_pii_redaction" ->
+      s"""SELECT doc_id, ${TF.sql.redactPii("text")} AS clean_text,
+         | CAST(len(regexp_extract_all(text, '${TF.emailRe}')) AS INTEGER)
+         |   AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${TF.ipv4Re}')) AS INTEGER)
+         |   AS n_ips,
+         | CAST(len(regexp_extract_all(text, '${TF.longDigitsRe}')) AS INTEGER)
+         |   AS n_nums
+         |FROM documents""".stripMargin,
 
     // The q24 pair CTE + recursive reachability closure: component =
     // min id reachable through the near-dup graph.

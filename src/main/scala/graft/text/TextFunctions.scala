@@ -79,6 +79,24 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), "\\s+", " ")))
 
+  // PII scrubbing patterns — deliberately restricted to the RE2-safe
+  // subset (no lookaround, no backrefs) so Java regex (Spark) and RE2
+  // (DuckDB, Go/Rust scrubbers) reproduce the identical replacement.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longDigitsRe = "\\b\\d{9,}\\b" // SSN / phone / account-number class
+
+  /** PII redaction (training-data scrubbing): emails, bare IPv4s and
+    * long digit runs replaced with typed sentinels, applied in that
+    * order (emails first, so an address's digits can't be half-eaten
+    * by the number rule). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      longDigitsRe, "<NUM>")
+
   /** 64-bit chained-hash rolling fingerprint over tokens — order-
     * sensitive (unlike [[fingerprint]]); each step rehashes the running
     * state with the next token, so no arithmetic overflow under ANSI
@@ -135,6 +153,10 @@ object TextFunctions {
     }
     def fingerprint(c: String): String =
       s"md5(trim(regexp_replace(lower($c), '\\s+', ' ', 'g')))"
+    def redactPii(c: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace($c, " +
+        s"'$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'), " +
+        s"'$longDigitsRe', '<NUM>', 'g')"
     def bpeTokenCount(c: String): String = {
       val p = bpePattern.replace("'", "''") // SQL string-literal escape
       s"CAST(len(regexp_extract_all($c, '$p')) AS INTEGER)"

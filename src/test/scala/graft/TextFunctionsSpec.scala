@@ -59,4 +59,15 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[Int](TextFunctions.punctCount(col("t")), "a,b. c! (d)") == 5)
     assert(one[Int](TextFunctions.cjkCount(col("t")), "abc 中文 def") == 2)
   }
+
+  test("redactPii scrubs emails, IPv4s, and long digit runs in order") {
+    val planted = "mail bob.smith+x@corp.example.org from 10.0.42.7, " +
+      "card 4111111111111111, year 2023 ok"
+    val got = one[String](TextFunctions.redactPii(col("t")), planted)
+    assert(got == "mail <EMAIL> from <IP>, card <NUM>, year 2023 ok")
+    // order matters: the email's domain digits must not become <NUM>
+    assert(!got.contains("@"))
+    // short numbers survive (year untouched)
+    assert(got.contains("2023"))
+  }
 }
