@@ -89,17 +89,19 @@ object RecallReport {
   }
 
   /** q48: IVF with Lloyd k-means centroids vs brute-force top-k —
-    * quantifies what data-adaptive lists buy over the lowest-id
-    * placeholder at identical probe cost. */
+    * quantifies what data-adaptive fine quantization buys over q42's
+    * placeholder at IDENTICAL scan fraction (64/256 = 4/16 = 25% of
+    * the corpus per query). */
   def ivfKmeans(emb: DataFrame): Metrics = {
     val q = emb.filter(col("vec_id") < 8)
     def pairs(df: DataFrame) = df.select(col("qid"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Ann.bruteForceTopK(emb, q, k = 5))
-    val cent = Ann.kmeansCentroids(emb, k = 16, iters = 5)
-    val found = pairs(Ann.ivfTopK(emb, q, k = 5, nProbe = 4,
+    val cent = Ann.kmeansCentroids(emb, k = 256, iters = 2)
+    val found = pairs(Ann.ivfTopK(emb, q, k = 5, nProbe = 64,
       centroids0 = Some(cent)))
-    m("q48 ivfTopK kmeans", "k=5 nCentroids=16 nProbe=4 lloyd=5", truth, found)
+    m("q48 ivfTopK kmeans",
+      "k=5 nCentroids=256 nProbe=64 lloyd=2 (25% scan = q42)", truth, found)
   }
 
   def all(spark: SparkSession, sfDir: String): Seq[Metrics] = {
@@ -118,6 +120,11 @@ object RecallReport {
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "docs/RECALL.md"
+    // guard against the historical arg shape `<sfDir> <out>`: scales
+    // are fixed by specScales, so a directory here is a stale call
+    require(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)),
+      s"'$out' is a directory — pass the report FILE path; " +
+        s"measurement scales are fixed to ${specScales.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -166,6 +173,12 @@ object RecallReport {
         |- **q25 / q42**: q25 amplifies across L independent hash tables
         |  plus Hamming-1 probing; q42 (IVF) probes the nProbe nearest
         |  inverted lists. Both verified with exact cosine on candidates.
+        |- **q48**: same scan fraction as q42 (nProbe/nCentroids = 25%)
+        |  but 16x finer quantization + 2 Lloyd rounds. Negative results
+        |  (measured, not assumed): farthest-first, k-means++ D2, and
+        |  md5-ranked spread inits all recall WORSE than lowest-id +
+        |  Lloyd here (0.40-0.73 at k=16); fineness, not seed spread, is
+        |  what buys IVF recall at fixed scan cost.
         |""".stripMargin
     val md = header + "\n" + sections.mkString("\n\n") + "\n" + notes
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)

@@ -309,14 +309,17 @@ object SparkEntry {
     }),
 
     // IVF with distributed Lloyd k-means coarse quantization — the
-    // data-adaptive upgrade of q42's placeholder centroids (5
-    // deterministic iterations; recall vs brute force measured in
-    // docs/RECALL.md). Rows-only: 5 unrolled float-mean iterations
-    // aren't reasonably SQL-expressible.
+    // data-adaptive upgrade of q42: 16× finer lists at the SAME 25%
+    // scan fraction (nProbe/nCentroids = 64/256 = 4/16), which is
+    // where IVF recall actually comes from (measured 0.975 vs q42's
+    // 0.925 at both spec scales — docs/RECALL.md; spread-seed inits
+    // measured strictly worse, see kmeansCentroids scaladoc).
+    // Rows-only: unrolled float-mean iterations aren't reasonably
+    // SQL-expressible.
     "q48_ann_ivf_kmeans" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      Ann.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nProbe = 4,
-        centroids0 = Some(Ann.kmeansCentroids(e, k = 16, iters = 5)))
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nProbe = 64,
+        centroids0 = Some(Ann.kmeansCentroids(e, k = 256, iters = 2)))
     }),
 
     // The flagship LLM-pipeline composition END-TO-END (SURVEY §7.4):

@@ -40,35 +40,64 @@ object Ann {
   }
 
   /** Deterministic distributed k-means (Lloyd) for IVF coarse
-    * quantization: init = the `k` lowest-id corpus vectors (stable
-    * across runs and engines, unlike sampled init), then `iters`
-    * rounds of nearest-centroid assignment (broadcast argmax — ties
-    * by centroid id) and element-wise mean recomputation. The mean is
-    * a (cid, dimension) groupBy over posexploded coordinates — one
-    * shuffle of |C|·dim skinny rows per round, which partitions
+    * quantization: init = the `k` lowest-id corpus vectors, then
+    * `iters` rounds of nearest-centroid assignment (broadcast argmax —
+    * ties by centroid id) and element-wise mean recomputation. The
+    * mean is a (cid, dimension) groupBy over posexploded coordinates —
+    * one shuffle of |C|·dim skinny rows per round, which partitions
     * cleanly at any corpus size; empty clusters keep their previous
     * centroid. Each round's centroid frame is tiny and is collected
     * into the next round's broadcast literal, so the iteration adds
-    * no lineage growth. */
+    * no lineage growth.
+    *
+    * Init choice is MEASURED, not assumed: spread inits — farthest-
+    * first (Gonzalez), k-means++ D²-seeding, md5-ranked pseudo-random
+    * — were all tried and recalled strictly worse than lowest-id +
+    * Lloyd on the test corpora at every k (docs/RECALL.md notes).
+    * What moves IVF recall at equal scan fraction is quantization
+    * FINENESS (more lists, proportionally more probes), not seed
+    * spread: see q48 (nCentroids=256, nProbe=64 — the same 25% scan
+    * as q42's 16/4 — recall 0.975 vs 0.925).
+    *
+    * Determinism: coordinate means sum an exact decimal image of each
+    * coordinate (cast to decimal(38,18)), so the per-cluster sum — and
+    * therefore the returned centroids — is identical under any
+    * partitioning or shuffle-partition setting, not just a fixed one
+    * (double `avg` accumulates in partition order and drifts in the
+    * last ulps across layouts). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val corpus = prep(emb, idCol, vecCol)
-    var centroids = corpus.orderBy(col("id")).limit(k)
+    val init = corpus.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
+    lloydRounds(corpus, init, iters)
+  }
+
+  /** The Lloyd iteration over a prepared (id, v) corpus from any
+    * initial centroid frame — see [[kmeansCentroids]] for shape and
+    * determinism notes. */
+  private[graft] def lloydRounds(corpus: DataFrame, init: DataFrame,
+                                 iters: Int): DataFrame = {
+    var centroids = init
     var i = 0
     while (i < iters) {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("csim").desc, col("cid").asc)
+      // argmax by aggregation, not window rank: the crossJoin emits
+      // each row's k candidates contiguously, so the partial hash agg
+      // collapses them to one row per id BEFORE the shuffle — the
+      // window form would sort-shuffle all |C|·k rows, each carrying
+      // the dim-wide vector
       val assigned = corpus.crossJoin(broadcast(centroids))
         .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
+        .groupBy(col("id"))
+        .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+          first(col("v")).as("v"))
         .select(col("cid"), col("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
@@ -99,13 +128,22 @@ object Ann {
       corpus.orderBy(col("id")).limit(nCentroids)
         .select(col("id").as("cid"), col("v").as("cv")))
     def assign(df: DataFrame, outCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("csim").desc, col("cid").asc)
-      df.crossJoin(broadcast(centroids))
+      val scored = df.crossJoin(broadcast(centroids))
         .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(df.columns.map(col) :+ col("cid").as(outCol): _*)
+      if (keep == 1)
+        // corpus side: argmax via partial hash agg (see lloydRounds)
+        scored.groupBy(col("id"))
+          .agg(first(col("v")).as("v"),
+            max_by(col("cid"), struct(col("csim"), -col("cid"))).as(outCol))
+          .select(df.columns.map(col) :+ col(outCol): _*)
+      else {
+        // query side: top-nProbe lists, tiny frame — window is fine
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("csim").desc, col("cid").asc)
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .select(df.columns.map(col) :+ col("cid").as(outCol): _*)
+      }
     }
     val lists = assign(corpus, "list_id", 1)
     val probes = assign(prep(queries, idCol, vecCol), "list_id", nProbe)
