@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.dedup.Dedup
+import graft.dedup.{Curation, Dedup}
 import graft.sim.{Ann, Vectors}
 
 /** Measured recall/precision of every approximate (rows-only) operator
@@ -104,11 +104,40 @@ object RecallReport {
       "k=5 nCentroids=256 nProbe=64 lloyd=2 (25% scan = q42)", truth, found)
   }
 
+  /** q50: removal recall of the full LSH curation chain
+    * ([[Curation.curateLsh]]) against the SAME chain with exact
+    * shingle-Jaccard pairs — both resolve transitive components, so
+    * any miss is attributable to MinHash banding alone. The params
+    * column carries the measured funnel (input → lang+quality →
+    * exact-dedup → near-dedup kept). */
+  def curationChain(docs: DataFrame): Metrics = {
+    val cfg = Curation.Config()
+    val langOk = col("lang").isin(cfg.langs.toSeq: _*)
+    val filtered = docs.filter(langOk && Curation.qualityOk(col("text"), cfg))
+    val exact = Dedup.exactDedup(filtered, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def removed(pairs: DataFrame): Set[Long] =
+      Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+    val truth = removed(Dedup.exactShingleJaccardPairs(exact, "doc_id", "text",
+      k = cfg.shingleK, threshold = cfg.minJaccard))
+    val found = removed(Dedup.minhashPairs(exact, "doc_id", "text",
+      shingleK = cfg.shingleK, nHashes = cfg.nHashes, bands = cfg.bands,
+      minJaccard = cfg.minJaccard))
+    val (nIn, nF, nE) = (docs.count(), filtered.count(), exact.count())
+    exact.unpersist()
+    m("q50 curateLsh removals",
+      s"J>=${cfg.minJaccard} k=${cfg.shingleK} b=${cfg.bands} " +
+        s"funnel $nIn->$nF->$nE->${nE - found.size}",
+      truth.map(i => (i, i)), found.map(i => (i, i)))
+  }
+
   def all(spark: SparkSession, sfDir: String): Seq[Metrics] = {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb),
-      ivfTopK(emb), ivfKmeans(emb))
+      ivfTopK(emb), ivfKmeans(emb), curationChain(docs))
   }
 
   /** The scales the doc AND `RecallSpec` both measure at — one source
@@ -179,6 +208,12 @@ object RecallReport {
         |  md5-ranked spread inits all recall WORSE than lowest-id +
         |  Lloyd here (0.40-0.73 at k=16); fineness, not seed spread, is
         |  what buys IVF recall at fixed scan cost.
+        |- **q50**: the flagship curation chain end-to-end (language ->
+        |  quality -> exact dedup -> LSH near-dup components). Recall is
+        |  over REMOVED doc ids vs the exact-shingle-join chain with the
+        |  same transitive-component semantics, so a miss isolates
+        |  MinHash banding loss; the funnel in the params column is the
+        |  measured per-stage survivor count.
         |""".stripMargin
     val md = header + "\n" + sections.mkString("\n\n") + "\n" + notes
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)

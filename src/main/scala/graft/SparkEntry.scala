@@ -360,6 +360,17 @@ object SparkEntry {
         regexp_count(col("text"), lit(TF.longDigitsRe)).as("n_nums"))
     }),
 
+    // The flagship 100 TB curation path ITSELF (not just its exact
+    // twin): language → quality → exact dedup → MinHash-LSH near-dup
+    // removal with transitive-closure components, as one plan
+    // (Curation.curateLsh). Rows-only — the LSH chain is approximate
+    // by design; its removal recall vs the exact-join chain is
+    // measured in docs/RECALL.md and lower-bounded in RecallSpec.
+    "q50_curation_lsh" -> ((s, dir) =>
+      graft.dedup.Curation.curateLsh(
+          documents(s, dir), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     // Repetition quality signal (the published duplicate-fraction
     // heuristics for corpus filtering): token-level repetition ratio
     // per document, pure per-row expressions.

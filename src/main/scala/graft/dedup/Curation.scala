@@ -93,6 +93,24 @@ object Curation {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The 100 TB curation chain as ONE pure plan (no accounting
+    * actions): language filter → quality gate → exact dedup → MinHash-
+    * LSH near-dup removal with transitive-closure components. This is
+    * what a corpus-scale run executes (declared as driver query q50);
+    * its removal recall vs the exact-join chain is measured in
+    * docs/RECALL.md and bounded in RecallSpec. [[curateExact]] is the
+    * oracle-gated twin (exact n-gram join, q43); [[curate]] adds the
+    * funnel accounting around the same stages. */
+  def curateLsh(docs: DataFrame, idCol: String, textCol: String,
+                langCol: String, cfg: Config = Config()): DataFrame = {
+    val langOk =
+      if (cfg.langs.isEmpty) lit(true)
+      else col(langCol).isin(cfg.langs.toSeq: _*)
+    val filtered = docs.filter(langOk && qualityOk(col(textCol), cfg))
+    val exact = Dedup.exactDedup(filtered, idCol, textCol)
+    dropNearDupComponents(exact, idCol, textCol, cfg)
+  }
+
   /** Full chain; returns the kept rows plus a one-row accounting frame
     * (input / after each stage) so drops are observable.
     *

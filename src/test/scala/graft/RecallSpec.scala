@@ -55,5 +55,14 @@ class RecallSpec extends SparkTestBase {
       val x = RecallReport.ivfKmeans(emb)
       assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
+
+    test(s"[$tag] LSH curation chain removal recall >= 0.9 (q50)") {
+      // the flagship 100 TB path (curateLsh): measured 1.000/1.000 —
+      // every document the exact-join chain removes, the MinHash chain
+      // removes too; precision 1.0 because candidates are exact-verified
+      val x = RecallReport.curationChain(docs)
+      assert(x.recall >= 0.9, s"recall ${x.recall} (${x.hit}/${x.truth})")
+      assert(x.precision == 1.0, "exact verification must hold")
+    }
   }
 }
