@@ -1,7 +1,8 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.catalog.TableCatalog
 import graft.text.TextFunctions
 
 /** End-to-end corpus curation: the composition a training-data
@@ -111,21 +112,82 @@ object Curation {
     dropNearDupComponents(exact, idCol, textCol, cfg)
   }
 
+  // ------------------------------------------- materialized pair graph
+  //
+  // The self-contained query forms (q24/q47/q43) re-derive the
+  // similarity join per invocation because driver queries must be pure
+  // functions of the raw tables. A real pipeline treats the pair graph
+  // like any other medallion artifact: compute it ONCE, persist it to
+  // the catalog, and let every consumer — component resolution, dedup
+  // gates, cluster audits, re-curation under new thresholds — read the
+  // (tiny: ids + similarity) table instead of re-running the join. At
+  // 100 TB the similarity join is hours and the component resolution
+  // off the persisted graph is seconds, so the split is load-bearing.
+
+  /** Compute the exact n-gram Jaccard pair graph once and persist it.
+    * Idempotent overwrite — re-running refreshes the graph. */
+  def materializePairs(docs: DataFrame, idCol: String, textCol: String,
+                       catalog: TableCatalog, table: String = "dup_pairs",
+                       ngramN: Int = 5, threshold: Double = 0.8): Unit =
+    catalog.overwrite(
+      Dedup.exactNgramJaccardPairs(docs, idCol, textCol,
+        n = ngramN, threshold = threshold),
+      table)
+
+  /** LSH twin of [[materializePairs]] for corpora where the exact join
+    * is too expensive — same table contract (id_a, id_b, jaccard). */
+  def materializePairsLsh(docs: DataFrame, idCol: String, textCol: String,
+                          catalog: TableCatalog, table: String = "dup_pairs",
+                          cfg: Config = Config()): Unit =
+    catalog.overwrite(
+      Dedup.minhashPairs(docs, idCol, textCol,
+          shingleK = cfg.shingleK, nHashes = cfg.nHashes, bands = cfg.bands,
+          minJaccard = cfg.minJaccard)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      table)
+
+  /** Duplicate-cluster resolution off the PERSISTED pair graph: reads
+    * only the pair table — no document scan, no shingle/minhash
+    * expressions, no similarity join anywhere in the plan (pinned by
+    * CurationSpec). Identical output to the self-contained q47 form
+    * when the table was written from the same pairs. */
+  def componentsFromCatalog(spark: SparkSession, catalog: TableCatalog,
+                            table: String = "dup_pairs"): DataFrame =
+    Dedup.connectedComponents(
+      catalog.read(spark, table).select(col("id_a"), col("id_b")))
+
+  /** Transitive near-dup removal off the persisted graph: one anti-join
+    * against the resolved non-representatives — `docs` is scanned once,
+    * the similarity join not at all. */
+  def dropNearDupsFromCatalog(docs: DataFrame, idCol: String,
+                              catalog: TableCatalog,
+                              table: String = "dup_pairs"): DataFrame = {
+    val losers = componentsFromCatalog(docs.sparkSession, catalog, table)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Full chain; returns the kept rows plus a one-row accounting frame
     * (input / after each stage) so drops are observable.
     *
-    * Exactly TWO actions, whatever the corpus size:
-    *  1. one conditional-aggregation pass over the raw corpus computes
-    *     input / after-lang / after-quality / after-exact-dedup —
-    *     the survivor count of exact dedup is `count(DISTINCT
-    *     fingerprint)` of the filtered rows, so none of the narrow
-    *     stages is ever re-scanned per counter (the stage-by-stage
-    *     version cost three extra full corpus scans at 100 TB);
-    *  2. the near-dup survivor count, which also materializes the
-    *     persisted result. The exact-dedup frame is persisted only for
-    *     the duration of that job (its subtree appears on both sides
-    *     of the near-dup anti-join). The returned frame stays cached —
-    *     callers unpersist when done. */
+    * Exactly TWO passes over the raw corpus, whatever its size
+    * (three Spark actions):
+    *  1. one conditional-aggregation pass computes input / after-lang /
+    *     after-quality / after-exact-dedup — the survivor count of
+    *     exact dedup is `count(DISTINCT fingerprint)` of the filtered
+    *     rows, so none of the narrow stages is ever re-scanned per
+    *     counter (the stage-by-stage version cost three extra full
+    *     corpus scans at 100 TB);
+    *  2. the near-dup pair materialization inside [[Dedup]] (the eager
+    *     step that lets it release its internal signature/set caches),
+    *     which is also the job that fills the exact-dedup cache —
+    *     the chain's one other corpus pass;
+    *  3. the near-dup survivor count, an anti-join of the cached
+    *     exact-dedup frame against the (tiny) materialized pair frame
+    *     — no raw-corpus scan. The exact-dedup frame is persisted only
+    *     for the duration of these jobs. The returned frame stays
+    *     cached — callers unpersist when done. */
   def curate(docs: DataFrame, idCol: String, textCol: String, langCol: String,
              cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession

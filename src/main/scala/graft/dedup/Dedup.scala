@@ -135,7 +135,12 @@ object Dedup {
     * `base` must be (idCol, set: array<string>). The set and signature
     * frames are persisted: each feeds the banding path AND the per-side
     * join-backs, and recomputing the shingle/minhash expression tree
-    * per consumer dominated round-2 runtime. */
+    * per consumer dominated round-2 runtime. Both caches are released
+    * before returning — the (small) verified-pairs result is eagerly
+    * materialized via localCheckpoint so a long-lived driver session
+    * doesn't accumulate disk-backed blocks per invocation (blocks of
+    * the checkpointed result itself are reclaimed by the
+    * ContextCleaner once the returned frame becomes unreachable). */
   private def lshVerifiedPairs(base: DataFrame, idCol: String,
                                nHashes: Int, bands: Int, maxBucket: Int,
                                estPrefilter: Double, threshold: Double): DataFrame = {
@@ -149,11 +154,15 @@ object Dedup {
       .withColumn("est_jaccard", sigAgreement(col("p_a"), col("p_b"), nHashes))
       .filter(col("est_jaccard") >= estPrefilter) // kill false candidates cheaply
       .select("id_a", "id_b", "est_jaccard")
-    joinPayload(cand, prepped, idCol, "set")
+    val verified = joinPayload(cand, prepped, idCol, "set")
       .withColumn("jaccard",
         graft.functions.exprs.jaccard_sim(col("p_a"), col("p_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+    val out = verified.localCheckpoint(true)
+    sigs.unpersist(false)
+    prepped.unpersist(false)
+    out
   }
 
   /** Candidate near-dup pairs from LSH banding: estimated Jaccard
@@ -242,19 +251,40 @@ object Dedup {
     * two set join-backs — each keyed and partition-parallel; nothing
     * is ever all-pairs.
     *
-    * `base` must be (idCol, set: array<string>), set elements distinct. */
+    * `base` must be (idCol, set: array<string>), set elements distinct.
+    *
+    * `broadcastIndex` (default true) broadcasts the prefix-index side
+    * of the candidate join. Semantics are identical either way — it is
+    * purely a physical-plan choice, user-asserted like Spark's own
+    * `broadcast()` hint: the index is the flat (tok,id,sz,rn) prefix
+    * frame, ~0.6× the corpus token count, so it fits executor memory
+    * for ground-truth-scale corpora (this operator's role — the LSH
+    * twins are the 100 TB path). Broadcast removes the candidate
+    * join's shuffle AND, because the probe side arrives partitioned by
+    * id from the rank window, makes each partition's (id_a,id_b)
+    * partial-aggregation keys disjoint — partial agg output collapses
+    * to its theoretical minimum (measured 12.8 s → 4.2 s at sf0.1).
+    * Pass false when the prefix index exceeds executor memory: the
+    * join falls back to the partitioned sort-merge form.
+    *
+    * `eager` (default true) materializes the (small) verified-pairs
+    * result via localCheckpoint so the prefix cache is released before
+    * returning; false returns the lazy plan with the cache left for
+    * the caller to manage (used by plan-pinning tests). */
   def exactSimilarityPairs(base: DataFrame, idCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           broadcastIndex: Boolean = true,
+                           eager: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold — 0 would make every " +
         "prefix the whole set (the all-pairs join this operator exists to avoid)")
-    // Deliberately NOT persisted: the set column is array<string>, and
-    // Spark's columnar cache is a pessimization for nested arrays —
-    // reading the cached arrays back measured SLOWER than recomputing
-    // the n-gram expression from the parquet scan with codegen (25 s
-    // vs 14 s for the whole query at sf0.1). The flat `prefixes` frame
-    // below IS cached; the set expression recomputes 3× (token explode
-    // + two verification join-backs), each a cheap codegen scan.
+    // `prepped` is deliberately NOT persisted: the set column is
+    // array<string>, and Spark's columnar cache is a pessimization for
+    // nested arrays — reading the cached arrays back measured SLOWER
+    // than recomputing the n-gram expression from the parquet scan
+    // with codegen (25 s vs 14 s for the whole query at sf0.1). The
+    // set expression recomputes per consumer (token explode + two
+    // verification join-backs), each a cheap codegen scan.
     val prepped = base.select(col(idCol).as("id"), col("set"))
       .withColumn("sz", size(col("set")))
     val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
@@ -269,23 +299,18 @@ object Dedup {
       // t ≤ 1 and integral sz cannot exceed the true product's ceil
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("tok"), col("id"), col("sz"), col("rn"))
-      // Deliberately NOT persisted/checkpointed, although both
-      // candidate-join sides (and the verify join-backs) re-derive
-      // this subtree — 6 scans of the set expression per run
-      // (PlanSpec pins the count). Measured across all three
-      // materialization strategies at sf0.1, recompute wins: the
-      // columnar cache of array<string> sets read back SLOWER than
-      // codegen recompute and its size stats flipped later
-      // invocations onto slower join strategies (15 s -> 29 s), and
-      // an eager row-format localCheckpoint serialized a per-run
-      // materialization barrier (+4 s) with no downstream win. The
-      // set expression is cheap per scan; the candidate join and
-      // pair aggregation dominate, and only data volume — not
-      // recompute count — grows with corpus size.
+      // Persisted: FLAT and narrow (two ints, a long, a short token),
+      // unlike the array<string> sets above — both candidate-join
+      // sides and the broadcast build read it, and columnar cache of
+      // flat rows reads back fast. Unpersisted after the eager
+      // materialization of the (small) verified-pairs result below,
+      // so the cache's lifetime is exactly this call.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prefixes.select(col("tok"), col("id").as("id_a"),
       col("sz").as("sz_a"), col("rn").as("rn_a"))
-    val b = prefixes.select(col("tok"), col("id").as("id_b"),
+    val bBare = prefixes.select(col("tok"), col("id").as("id_b"),
       col("sz").as("sz_b"), col("rn").as("rn_b"))
+    val b = if (broadcastIndex) broadcast(bBare) else bBare
     // PPJoin positional filter (Xiao et al. WWW'08 §4), relational form.
     // Both sides order tokens by the SAME global (df, token) key, so
     // among a pair's shared-prefix matches the one with max rn_a is the
@@ -309,29 +334,43 @@ object Dedup {
         least(col("sz_a") - col("amax"), col("sz_b") - col("bmax")) >=
         alpha * (col("sz_a") + col("sz_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
-    cand
+    val verified = cand
       .join(prepped.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
       .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Eagerly materialize the (small — surviving pairs only) result so
+    // the prefix cache can be released HERE rather than leaking until
+    // context shutdown; localCheckpoint blocks are reclaimed by the
+    // ContextCleaner once the returned frame is unreachable. This makes
+    // the operator eager — its callers (dedup gates, oracle queries)
+    // all consume the pairs immediately anyway.
+    if (eager) {
+      val out = verified.localCheckpoint(true)
+      prefixes.unpersist(false)
+      out
+    } else verified
   }
 
   /** Exact character-n-gram Jaccard pairs (oracle-checkable twin of the
     * approximate [[ngramJaccardPairs]] — same sets, zero recall loss). */
   def exactNgramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int, threshold: Double): DataFrame =
+                             n: Int, threshold: Double,
+                             broadcastIndex: Boolean = true,
+                             eager: Boolean = true): DataFrame =
     exactSimilarityPairs(
       docs.select(col(idCol), charNgrams(col(textCol), n).as("set")),
-      idCol, threshold)
+      idCol, threshold, broadcastIndex, eager)
 
   /** Exact word-shingle Jaccard pairs (ground truth for [[minhashPairs]]). */
   def exactShingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                               k: Int, threshold: Double): DataFrame =
+                               k: Int, threshold: Double,
+                               broadcastIndex: Boolean = true): DataFrame =
     exactSimilarityPairs(
       docs.select(col(idCol), shingles(col(textCol), k).as("set")),
-      idCol, threshold)
+      idCol, threshold, broadcastIndex)
 
   // ------------------------------------------- component resolution
 

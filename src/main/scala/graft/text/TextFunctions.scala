@@ -83,7 +83,16 @@ object TextFunctions {
   // subset (no lookaround, no backrefs) so Java regex (Spark) and RE2
   // (DuckDB, Go/Rust scrubbers) reproduce the identical replacement.
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Octets constrained to 0-255 (RE2-safe alternation, no lookaround),
+    * so 999.999.999.999 is no longer treated as an IP. Known residual
+    * looseness, inherent without lookahead: a longer dotted run like
+    * 1.2.3.4.5 still has its first four octets redacted (leaving ".5")
+    * — acceptable for scrubbing (over-redaction of version-ish strings,
+    * never under-redaction of a real embedded IP). */
+  val ipv4Re = {
+    val octet = "(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+    s"\\b$octet(?:\\.$octet){3}\\b"
+  }
   val longDigitsRe = "\\b\\d{9,}\\b" // SSN / phone / account-number class
 
   /** PII redaction (training-data scrubbing): emails, bare IPv4s and

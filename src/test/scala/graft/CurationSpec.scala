@@ -29,9 +29,16 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("after_near_dedup") == 2)
   }
 
-  test("curate runs exactly two actions regardless of corpus size") {
-    // at 100 TB every extra action is a full corpus scan — the funnel
-    // counters must fold into the two unavoidable materializations
+  test("curate runs exactly three actions regardless of corpus size") {
+    // at 100 TB what matters is PASSES OVER THE RAW CORPUS, and curate
+    // makes exactly two: the folded funnel aggregation, and the near-dup
+    // chain (whose first job fills the exact-dedup cache). The third
+    // action is Dedup's eager materialization of the (tiny) verified
+    // near-dup pair frame — the step that lets it release its internal
+    // signature/set caches instead of leaking them — and reads no raw
+    // corpus beyond that same chain. The funnel counters must stay
+    // folded into one aggregation: a stage-by-stage counter version
+    // cost three extra full corpus scans.
     val actions = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -48,9 +55,9 @@ class CurationSpec extends SparkTestBase {
         Curation.Config(langs = Set.empty, minTokens = 3))
       // the listener bus is async — wait for it to drain, then settle
       var waited = 0
-      while (waited < 10000 && actions.get < 2) { Thread.sleep(100); waited += 100 }
+      while (waited < 10000 && actions.get < 3) { Thread.sleep(100); waited += 100 }
       Thread.sleep(500)
-      assert(actions.get == 2, s"curate must run exactly 2 actions, saw ${actions.get}")
+      assert(actions.get == 3, s"curate must run exactly 3 actions, saw ${actions.get}")
       kept.unpersist()
     } finally spark.listenerManager.unregister(listener)
   }
@@ -72,6 +79,32 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(pairwise == Set(1L, 2L))
     assert(components == Set(1L))
+  }
+
+  test("materialized pair graph: components from catalog match the self-contained form") {
+    val catalog = new graft.catalog.ParquetCatalog(
+      java.nio.file.Files.createTempDirectory("graft-pairs").toString)
+    val docs = Tables.documents(spark, sf)
+    // write the pair graph ONCE (the expensive similarity join)...
+    Curation.materializePairs(docs, "doc_id", "text", catalog,
+      ngramN = 5, threshold = 0.4)
+    // ...then resolve clusters from the persisted table
+    val reuse = Curation.componentsFromCatalog(spark, catalog)
+    val direct = dedup.Dedup.connectedComponents(
+      dedup.Dedup.exactNgramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.4))
+    assert(reuse.orderBy("id").collect().toSeq ==
+      direct.orderBy("id").collect().toSeq)
+    // the reuse plan must read ONLY the pair table: no document scan,
+    // no shingle/ngram expressions, no similarity join to re-derive
+    val inputs = catalog.read(spark, "dup_pairs")
+      .select(col("id_a"), col("id_b")).inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains("dup_pairs")))
+    // and the anti-join gate off the same table keeps one doc/cluster
+    val keptReuse = Curation.dropNearDupsFromCatalog(docs, "doc_id", catalog)
+    val nClusters = direct.select("component").distinct().count()
+    val nClustered = direct.count()
+    assert(keptReuse.count() == docs.count() - (nClustered - nClusters))
   }
 
   test("curate on the documents table keeps a plausible fraction") {

@@ -56,18 +56,27 @@ class PlanSpec extends SparkTestBase {
       scan.requiredSchema.treeString)
   }
 
-  test("q24: recompute count stays bounded and cartesian-free") {
-    // the measured-fastest shape recomputes the n-gram subtree per
-    // consumer: 2 candidate-join sides × (toks + df agg) + 2 verify
-    // join-backs = 6 scans. A 7th means someone added a recompute
-    // path; an InMemoryTableScan means someone re-added the columnar
-    // array cache (measured slower than recompute AND it poisons AQE
-    // join choices on later invocations — see Dedup.scala).
-    val df = q("q24_ngram_jaccard_pairs")
-    assert(scans(df).size == 6, s"expected 6 documents scans, got ${scans(df).size}")
+  test("q24: broadcast index join, cached flat prefixes, cartesian-free") {
+    // The production query eagerly checkpoints (its returned plan is a
+    // bare checkpoint scan), so pin the lazy twin — the identical plan
+    // minus the materialization wrapper. Intended shape (measured
+    // 12.8 s → 4.2 s at sf0.1, see Dedup.exactSimilarityPairs):
+    //  - the candidate join broadcasts the flat prefix index (no
+    //    shuffle; partial-agg pair keys disjoint per id partition),
+    //  - the FLAT (tok,id,sz,rn) prefix frame IS cached (the
+    //    array<string> set column still is NOT — columnar cache of
+    //    nested arrays measured slower than codegen recompute),
+    //  - recompute stays bounded: 2 scans building prefixes
+    //    (toks + df agg) + 2 verify join-backs.
+    val df = graft.dedup.Dedup.exactNgramJaccardPairs(
+      Tables.documents(spark, sf), "doc_id", "text",
+      n = 5, threshold = 0.4, eager = false)
     val s = planString(df)
-    assert(!s.contains("InMemoryTableScan"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(s.contains("InMemoryTableScan") || s.contains("InMemoryRelation"),
+      "flat prefix frame should be cached:\n" + s)
     assert(!s.contains("CartesianProduct"), s)
+    assert(scans(df).size <= 6, s"expected at most 6 documents scans, got ${scans(df).size}")
   }
 
   test("q25: multi-table LSH probes broadcast; no cartesian anywhere") {

@@ -70,4 +70,17 @@ class TextFunctionsSpec extends SparkTestBase {
     // short numbers survive (year untouched)
     assert(got.contains("2023"))
   }
+
+  test("ipv4 redaction constrains octets to 0-255") {
+    // impossible octets are not an IP — left intact
+    assert(one[String](TextFunctions.redactPii(col("t")),
+      "v 999.999.999.999 x") == "v 999.999.999.999 x")
+    // boundary values redact
+    assert(one[String](TextFunctions.redactPii(col("t")),
+      "a 255.0.199.249 b") == "a <IP> b")
+    // documented residual looseness: the first four octets of a longer
+    // dotted run still redact (no lookahead in the RE2-safe subset)
+    assert(one[String](TextFunctions.redactPii(col("t")),
+      "ver 1.2.3.4.5 z") == "ver <IP>.5 z")
+  }
 }
