@@ -501,6 +501,8 @@ object SparkEntry {
     // Distribution windows: per-segment quartiles + percent rank over a
     // tie-free ordering. Partitioned by segment — an unpartitioned
     // global sort funnels everything through one reducer at scale.
+    // CAVEAT (SCALE.md): with only 5 segments each partition still
+    // sorts through one reducer; q52 is the scale-safe two-phase twin.
     "q38_distribution_windows" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -509,6 +511,20 @@ object SparkEntry {
         ntile(4).over(w).as("balance_quartile"),
         percent_rank().over(w).as("balance_pct_rank"))
     }),
+
+    // The scale-safe twin of q38: EXACT same output (it shares q38's
+    // oracle SQL) but ranks computed two-phase — sketch-placed range
+    // buckets, tiny cumulative-offset frame, per-(segment,bucket)
+    // window — so parallelism is segments x buckets instead of one
+    // reducer per low-cardinality segment (ops.Quantiles).
+    "q52_scalable_windows" -> ((s, dir) =>
+      graft.ops.Quantiles.distribution(
+        customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        segCol = "c_mktsegment", valCol = "c_acctbal",
+        tieCol = "c_custkey")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("balance_quartile"), col("balance_pct_rank"))),
 
     // TF-IDF keyword extraction (log-free surrogate, top-5 per doc).
     "q36_tfidf_keywords" -> ((s, dir) =>
@@ -849,6 +865,15 @@ object SparkEntry {
          |FROM orders GROUP BY 1""".stripMargin,
 
     "q38_distribution_windows" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+        | percent_rank() OVER w AS balance_pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin,
+
+    // q52 is rank-identical to q38 by construction — same oracle.
+    "q52_scalable_windows" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         | CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
         | percent_rank() OVER w AS balance_pct_rank

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT rank windows for low-cardinality partitions.
+  *
+  * `Window.partitionBy(seg)` funnels each segment's entire population
+  * through ONE reducer's sort — correct, but with 5 market segments at
+  * 100 TB that is five reducers doing all the work (the q38 caveat in
+  * SCALE.md). This operator computes the SAME ranks two-phase:
+  *
+  *  1. a mergeable quantile sketch (`percentile_approx`, map-side
+  *     combinable, tiny result) splits each segment's value range into
+  *     `nBuckets` contiguous buckets — broadcast back;
+  *  2. per-(segment, bucket) counts (a second tiny aggregate) turn
+  *     into cumulative row offsets via a window over the BUCKET frame
+  *     (|segments|·nBuckets rows — driver-scale, whatever the corpus);
+  *  3. the per-row rank is the bucket's offset plus the row's rank
+  *     within its (segment, bucket) window — parallelism is now
+  *     |segments|·nBuckets, and each sort handles ~1/nBuckets of a
+  *     segment. Raise nBuckets as data grows; the sketch and count
+  *     frames stay tiny.
+  *
+  * Ranks are EXACT, not approximate: the sketch only places bucket
+  * BOUNDARIES, and any boundary placement yields correct ranks —
+  * bucket membership is by value comparison, so ties always land in
+  * the same bucket and `offset + rank-within-bucket` telescopes to the
+  * global rank. A skewed sketch only unbalances bucket sizes, never
+  * results. `orderCols` must be a total order (tie-free) within a
+  * segment — the same requirement q38's window form has for
+  * deterministic output; ntile over a non-total order is
+  * underdetermined in ANY engine.
+  */
+object Quantiles {
+  /** Row number (1-based) of each row within its `segCol` partition
+    * under `orderCols`, plus the partition size — the primitives every
+    * distribution statistic (ntile, percent_rank, cume_dist) derives
+    * from. Output adds `__rn` and `__n` to `df`'s columns. */
+  private[graft] def segmentedRowNumber(df: DataFrame, segCol: String,
+                                        valCol: String, orderCols: Seq[Column],
+                                        nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    // 1. boundary sketch: one map-combinable agg, |segments| rows out
+    val bounds = df.groupBy(col(segCol))
+      .agg(percentile_approx(col(valCol), typedLit(probs), lit(1000))
+        .as("__bnds"))
+    // 2. bucket = number of boundaries strictly below the value; equal
+    // values always share a bucket, so earlier buckets hold strictly
+    // smaller values and offsets compose with within-bucket ranks
+    val bucketed = df.join(broadcast(bounds), Seq(segCol))
+      .withColumn("__bkt",
+        aggregate(col("__bnds"), lit(0),
+          (acc, b) => acc + when(b < col(valCol), 1).otherwise(0)))
+      .drop("__bnds")
+    // 3. per-bucket counts -> cumulative offsets. The window here runs
+    // over the COUNT frame (|segments|*nBuckets rows), not the data.
+    val wOff = Window.partitionBy(col(segCol)).orderBy(col("__bkt"))
+    val offsets = bucketed.groupBy(col(segCol), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(segCol), col("__bkt"),
+        (sum(col("__c")).over(wOff) - col("__c")).as("__off"),
+        sum(col("__c")).over(Window.partitionBy(col(segCol))).as("__n"))
+    // 4. rank within the (segment, bucket) window + bucket offset =
+    // exact global rank; parallelism |segments|*nBuckets
+    val wIn = Window.partitionBy(col(segCol), col("__bkt"))
+      .orderBy(orderCols: _*)
+    bucketed.join(broadcast(offsets), Seq(segCol, "__bkt"))
+      .withColumn("__rn", col("__off") + row_number().over(wIn))
+      .drop("__bkt", "__off")
+  }
+
+  /** Spark's ntile(t) from a known row number and partition size: the
+    * first n%t tiles get ceil(n/t) rows, the rest floor(n/t). */
+  private def ntileOf(t: Int, rn: Column, n: Column): Column = {
+    val q = (n / t).cast("long") // floor
+    val r = n % t
+    val bigRows = (q + 1) * r // rows covered by the larger tiles
+    when(r > 0 && rn <= bigRows, ((rn - 1) / (q + 1)).cast("int") + 1)
+      .otherwise(((rn - 1 - bigRows) / q).cast("int") + lit(1) + r.cast("int"))
+  }
+
+  /** The scale-safe twin of q38's distribution windows: per-segment
+    * ntile quartiles and percent_rank over a tie-free ordering,
+    * bit-identical to the `Window.partitionBy(seg)` form (it carries
+    * q38's own DuckDB oracle as q52) but with |segments|·nBuckets-way
+    * parallel sorts instead of one reducer per segment. */
+  def distribution(df: DataFrame, segCol: String, valCol: String,
+                   tieCol: String, nTiles: Int = 4,
+                   nBuckets: Int = 32): DataFrame = {
+    val ranked = segmentedRowNumber(df, segCol, valCol,
+      Seq(col(valCol).asc, col(tieCol).asc), nBuckets)
+    ranked
+      .withColumn("balance_quartile", ntileOf(nTiles, col("__rn"), col("__n")))
+      .withColumn("balance_pct_rank",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rn") - 1).cast("double") / (col("__n") - 1)))
+      .drop("__rn", "__n")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Quantiles
+
+/** ops.Quantiles: the two-phase scale-safe rank windows (q52). */
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("distribution is bit-identical to the window form on customers") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val windowed = cust.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal"),
+      ntile(4).over(w).as("balance_quartile"),
+      percent_rank().over(w).as("balance_pct_rank"))
+    val twoPhase = Quantiles.distribution(cust,
+      "c_mktsegment", "c_acctbal", "c_custkey")
+      .select(windowed.columns.map(col): _*)
+    assert(twoPhase.orderBy("c_custkey").collect().toSeq ==
+      windowed.orderBy("c_custkey").collect().toSeq)
+  }
+
+  test("the per-row window sorts per (segment, bucket), not per segment") {
+    // the scale property: the only window over the DATA partitions by
+    // (segment, bucket) — each reducer sorts ~1/nBuckets of a segment.
+    // The per-segment windows that remain run over the bucket-count
+    // frame (|segments|*nBuckets rows), never the data.
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val plan = Quantiles.distribution(cust,
+      "c_mktsegment", "c_acctbal", "c_custkey")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bkt"), plan.take(2000))
+  }
+
+  test("uneven tiles and singleton segments match ntile semantics") {
+    // 7 rows / 4 tiles: sizes 2,2,2,1 — exercises the n%t big-tile
+    // split; a singleton segment pins the pct_rank 0/0 guard
+    val df = Seq(
+      ("A", 10.0, 1L), ("A", 20.0, 2L), ("A", 30.0, 3L), ("A", 40.0, 4L),
+      ("A", 50.0, 5L), ("A", 60.0, 6L), ("A", 70.0, 7L),
+      ("B", 99.0, 8L)
+    ).toDF("seg", "v", "id")
+    val w = Window.partitionBy(col("seg")).orderBy(col("v").asc, col("id").asc)
+    val expect = df.select(col("id"), ntile(4).over(w).as("t"),
+      percent_rank().over(w).as("pr"))
+    val got = Quantiles.distribution(df, "seg", "v", "id")
+      .select(col("id"), col("balance_quartile").as("t"),
+        col("balance_pct_rank").as("pr"))
+    assert(got.orderBy("id").collect().toSeq ==
+      expect.orderBy("id").collect().toSeq)
+  }
+
+  test("tied values land in one bucket and rank by the tiebreak") {
+    // many duplicates of one value — the sketch may place a boundary
+    // AT the tie; membership is strict-below so all ties share a bucket
+    val df = (1L to 40L).map(i => ("S", if (i <= 30) 5.0 else i.toDouble, i))
+      .toDF("seg", "v", "id")
+    val w = Window.partitionBy(col("seg")).orderBy(col("v").asc, col("id").asc)
+    val expect = df.select(col("id"), ntile(4).over(w).as("t"),
+      percent_rank().over(w).as("pr"))
+    val got = Quantiles.distribution(df, "seg", "v", "id", nBuckets = 8)
+      .select(col("id"), col("balance_quartile").as("t"),
+        col("balance_pct_rank").as("pr"))
+    assert(got.orderBy("id").collect().toSeq ==
+      expect.orderBy("id").collect().toSeq)
+  }
+}
