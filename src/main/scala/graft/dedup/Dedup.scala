@@ -253,27 +253,34 @@ object Dedup {
     *
     * `base` must be (idCol, set: array<string>), set elements distinct.
     *
-    * `broadcastIndex` (default true) broadcasts the prefix-index side
-    * of the candidate join. Semantics are identical either way — it is
-    * purely a physical-plan choice, user-asserted like Spark's own
+    * `broadcastIndex` decides whether the prefix-index side of the
+    * candidate join is broadcast. Semantics are identical either way —
+    * it is purely a physical-plan choice, like Spark's own
     * `broadcast()` hint: the index is the flat (tok,id,sz,rn) prefix
-    * frame, ~0.6× the corpus token count, so it fits executor memory
-    * for ground-truth-scale corpora (this operator's role — the LSH
-    * twins are the 100 TB path). Broadcast removes the candidate
-    * join's shuffle AND, because the probe side arrives partitioned by
-    * id from the rank window, makes each partition's (id_a,id_b)
-    * partial-aggregation keys disjoint — partial agg output collapses
-    * to its theoretical minimum (measured 12.8 s → 4.2 s at sf0.1).
-    * Pass false when the prefix index exceeds executor memory: the
-    * join falls back to the partitioned sort-merge form.
+    * frame, ~0.6× the corpus token count. Broadcast removes the
+    * candidate join's shuffle AND, because the probe side arrives
+    * partitioned by id from the rank window, makes each partition's
+    * (id_a,id_b) partial-aggregation keys disjoint — partial agg
+    * output collapses to its theoretical minimum (measured
+    * 12.8 s → 4.2 s at sf0.1). `None` (the default) decides from the
+    * MEASURED size of the materialized index: broadcast only when the
+    * estimated bytes fit under `graft.exact.broadcastIndexMaxBytes`
+    * (default 256 MiB — executor-heap-scale, not Spark's conservative
+    * 10 MB autoBroadcastJoinThreshold, because this operator's role is
+    * ground-truth-scale corpora; the LSH twins are the 100 TB path).
+    * A corpus whose index outgrows the cap falls back to the
+    * partitioned sort-merge form instead of OOMing the driver.
+    * `Some(true)`/`Some(false)` force the choice.
     *
     * `eager` (default true) materializes the (small) verified-pairs
     * result via localCheckpoint so the prefix cache is released before
-    * returning; false returns the lazy plan with the cache left for
-    * the caller to manage (used by plan-pinning tests). */
+    * returning; false returns a PURE lazy plan — no persist, no jobs,
+    * no driver state to leak (used by plan-pinning tests). Because no
+    * job may run in the lazy path, `broadcastIndex=None` there
+    * resolves to broadcast (override with `Some(false)`). */
   def exactSimilarityPairs(base: DataFrame, idCol: String,
                            threshold: Double,
-                           broadcastIndex: Boolean = true,
+                           broadcastIndex: Option[Boolean] = None,
                            eager: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold — 0 would make every " +
@@ -291,7 +298,7 @@ object Dedup {
     val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
-    val prefixes = toks.join(dfT, Seq("tok"))
+    val prefixesPlan = toks.join(dfT, Seq("tok"))
       .withColumn("rn", row_number().over(w))
       // prefix length |X| - ceil(t|X|) + 1; ceil on DOUBLE is safe here:
       // an over-estimate of ceil would shorten the prefix (recall bug),
@@ -299,18 +306,38 @@ object Dedup {
       // t ≤ 1 and integral sz cannot exceed the true product's ceil
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("tok"), col("id"), col("sz"), col("rn"))
-      // Persisted: FLAT and narrow (two ints, a long, a short token),
-      // unlike the array<string> sets above — both candidate-join
-      // sides and the broadcast build read it, and columnar cache of
-      // flat rows reads back fast. Unpersisted after the eager
-      // materialization of the (small) verified-pairs result below,
-      // so the cache's lifetime is exactly this call.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager path only: persisted, because the frame is FLAT and narrow
+    // (two ints, a long, a short token), unlike the array<string> sets
+    // above — both candidate-join sides and the broadcast build read
+    // it, and columnar cache of flat rows reads back fast. Unpersisted
+    // after the eager materialization of the (small) verified-pairs
+    // result below, so the cache's lifetime is exactly this call. The
+    // lazy path must stay side-effect-free, so it skips the persist.
+    val prefixes =
+      if (eager) prefixesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prefixesPlan
+    val doBroadcast = broadcastIndex.getOrElse {
+      if (!eager) true // no job allowed in the lazy path; Some(false) overrides
+      else {
+        // One tiny agg over the just-persisted index: it materializes
+        // the cache the candidate join reads anyway, and its count +
+        // token-byte sum give a sound row-layout size estimate
+        // (UnsafeRow: 8B null bits + 3×8B fixed + var-len token ≈ 40B/row)
+        val r = prefixes.agg(count(lit(1)), sum(length(col("tok")))).head()
+        val n = r.getLong(0)
+        val tokBytes = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val estBytes = n * 40L + tokBytes * 2L
+        val cap = base.sparkSession.conf
+          .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
+          .toLong
+        estBytes <= cap
+      }
+    }
     val a = prefixes.select(col("tok"), col("id").as("id_a"),
       col("sz").as("sz_a"), col("rn").as("rn_a"))
     val bBare = prefixes.select(col("tok"), col("id").as("id_b"),
       col("sz").as("sz_b"), col("rn").as("rn_b"))
-    val b = if (broadcastIndex) broadcast(bBare) else bBare
+    val b = if (doBroadcast) broadcast(bBare) else bBare
     // PPJoin positional filter (Xiao et al. WWW'08 §4), relational form.
     // Both sides order tokens by the SAME global (df, token) key, so
     // among a pair's shared-prefix matches the one with max rn_a is the
@@ -358,7 +385,7 @@ object Dedup {
     * approximate [[ngramJaccardPairs]] — same sets, zero recall loss). */
   def exactNgramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                              n: Int, threshold: Double,
-                             broadcastIndex: Boolean = true,
+                             broadcastIndex: Option[Boolean] = None,
                              eager: Boolean = true): DataFrame =
     exactSimilarityPairs(
       docs.select(col(idCol), charNgrams(col(textCol), n).as("set")),
@@ -367,7 +394,7 @@ object Dedup {
   /** Exact word-shingle Jaccard pairs (ground truth for [[minhashPairs]]). */
   def exactShingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                                k: Int, threshold: Double,
-                               broadcastIndex: Boolean = true): DataFrame =
+                               broadcastIndex: Option[Boolean] = None): DataFrame =
     exactSimilarityPairs(
       docs.select(col(idCol), shingles(col(textCol), k).as("set")),
       idCol, threshold, broadcastIndex)

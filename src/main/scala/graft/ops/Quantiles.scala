@@ -43,33 +43,43 @@ object Quantiles {
                                         nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    // 1. boundary sketch: one map-combinable agg, |segments| rows out
-    val bounds = df.groupBy(col(segCol))
+    // 1. boundary sketch: one map-combinable agg, |segments| rows out.
+    // The aggregate side's key is renamed so the joins below can use
+    // null-SAFE equality (<=>): a null segment is a real partition to
+    // the window form (Window.partitionBy groups nulls together), so
+    // the two-phase form must rank it too, not drop it on null != null.
+    val bounds = df.groupBy(col(segCol).as("__seg"))
       .agg(percentile_approx(col(valCol), typedLit(probs), lit(1000))
         .as("__bnds"))
     // 2. bucket = number of boundaries strictly below the value; equal
     // values always share a bucket, so earlier buckets hold strictly
-    // smaller values and offsets compose with within-bucket ranks
-    val bucketed = df.join(broadcast(bounds), Seq(segCol))
+    // smaller values and offsets compose with within-bucket ranks.
+    // A segment whose values are ALL null sketches to a null __bnds —
+    // coalesce those rows into bucket 0 (one bucket = the window form).
+    val bucketed = df.join(broadcast(bounds), col(segCol) <=> col("__seg"))
       .withColumn("__bkt",
-        aggregate(col("__bnds"), lit(0),
-          (acc, b) => acc + when(b < col(valCol), 1).otherwise(0)))
-      .drop("__bnds")
+        coalesce(
+          aggregate(col("__bnds"), lit(0),
+            (acc, b) => acc + when(b < col(valCol), 1).otherwise(0)),
+          lit(0)))
+      .drop("__bnds", "__seg")
     // 3. per-bucket counts -> cumulative offsets. The window here runs
     // over the COUNT frame (|segments|*nBuckets rows), not the data.
-    val wOff = Window.partitionBy(col(segCol)).orderBy(col("__bkt"))
-    val offsets = bucketed.groupBy(col(segCol), col("__bkt"))
+    val wOff = Window.partitionBy(col("__oseg")).orderBy(col("__obkt"))
+    val offsets = bucketed
+      .groupBy(col(segCol).as("__oseg"), col("__bkt").as("__obkt"))
       .agg(count(lit(1)).as("__c"))
-      .select(col(segCol), col("__bkt"),
+      .select(col("__oseg"), col("__obkt"),
         (sum(col("__c")).over(wOff) - col("__c")).as("__off"),
-        sum(col("__c")).over(Window.partitionBy(col(segCol))).as("__n"))
+        sum(col("__c")).over(Window.partitionBy(col("__oseg"))).as("__n"))
     // 4. rank within the (segment, bucket) window + bucket offset =
     // exact global rank; parallelism |segments|*nBuckets
     val wIn = Window.partitionBy(col(segCol), col("__bkt"))
       .orderBy(orderCols: _*)
-    bucketed.join(broadcast(offsets), Seq(segCol, "__bkt"))
+    bucketed.join(broadcast(offsets),
+        col(segCol) <=> col("__oseg") && col("__bkt") === col("__obkt"))
       .withColumn("__rn", col("__off") + row_number().over(wIn))
-      .drop("__bkt", "__off")
+      .drop("__bkt", "__off", "__oseg", "__obkt")
   }
 
   /** Spark's ntile(t) from a known row number and partition size: the

@@ -84,13 +84,15 @@ object TextFunctions {
   // (DuckDB, Go/Rust scrubbers) reproduce the identical replacement.
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   /** Octets constrained to 0-255 (RE2-safe alternation, no lookaround),
-    * so 999.999.999.999 is no longer treated as an IP. Known residual
-    * looseness, inherent without lookahead: a longer dotted run like
-    * 1.2.3.4.5 still has its first four octets redacted (leaving ".5")
-    * — acceptable for scrubbing (over-redaction of version-ish strings,
-    * never under-redaction of a real embedded IP). */
+    * so 999.999.999.999 is no longer treated as an IP, while zero-padded
+    * log forms (192.168.001.001, 010.2.3.4) still redact — each octet
+    * admits up to two leading zeros. Known residual looseness, inherent
+    * without lookahead: a longer dotted run like 1.2.3.4.5 still has its
+    * first four octets redacted (leaving ".5") — acceptable for scrubbing
+    * (over-redaction of version-ish strings, never under-redaction of a
+    * real embedded IP). */
   val ipv4Re = {
-    val octet = "(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+    val octet = "(?:0{0,2}(?:25[0-5]|2[0-4]\\d|1\\d\\d)|0{0,2}[1-9]?\\d)"
     s"\\b$octet(?:\\.$octet){3}\\b"
   }
   val longDigitsRe = "\\b\\d{9,}\\b" // SSN / phone / account-number class

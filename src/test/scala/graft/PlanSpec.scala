@@ -56,25 +56,25 @@ class PlanSpec extends SparkTestBase {
       scan.requiredSchema.treeString)
   }
 
-  test("q24: broadcast index join, cached flat prefixes, cartesian-free") {
+  test("q24: broadcast index join, pure lazy plan, cartesian-free") {
     // The production query eagerly checkpoints (its returned plan is a
     // bare checkpoint scan), so pin the lazy twin — the identical plan
     // minus the materialization wrapper. Intended shape (measured
     // 12.8 s → 4.2 s at sf0.1, see Dedup.exactSimilarityPairs):
     //  - the candidate join broadcasts the flat prefix index (no
     //    shuffle; partial-agg pair keys disjoint per id partition),
-    //  - the FLAT (tok,id,sz,rn) prefix frame IS cached (the
-    //    array<string> set column still is NOT — columnar cache of
-    //    nested arrays measured slower than codegen recompute),
-    //  - recompute stays bounded: 2 scans building prefixes
-    //    (toks + df agg) + 2 verify join-backs.
+    //  - the lazy path is PURE: no persist (the eager path caches the
+    //    flat prefix frame internally and releases it before
+    //    returning; the lazy twin must not leak driver cache state),
+    //  - recompute stays bounded: 2 consumers × (toks + df agg)
+    //    + 2 verify join-backs = at most 6 scans.
     val df = graft.dedup.Dedup.exactNgramJaccardPairs(
       Tables.documents(spark, sf), "doc_id", "text",
       n = 5, threshold = 0.4, eager = false)
     val s = planString(df)
     assert(s.contains("BroadcastHashJoin"), s)
-    assert(s.contains("InMemoryTableScan") || s.contains("InMemoryRelation"),
-      "flat prefix frame should be cached:\n" + s)
+    assert(!s.contains("InMemoryTableScan") && !s.contains("InMemoryRelation"),
+      "lazy path must not persist (cache leak):\n" + s)
     assert(!s.contains("CartesianProduct"), s)
     assert(scans(df).size <= 6, s"expected at most 6 documents scans, got ${scans(df).size}")
   }

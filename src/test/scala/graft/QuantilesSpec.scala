@@ -55,6 +55,29 @@ class QuantilesSpec extends SparkTestBase {
       expect.orderBy("id").collect().toSeq)
   }
 
+  test("null segments and all-null-value segments rank like the window form") {
+    // Window.partitionBy treats a null segment as its own partition and
+    // sorts null values first; the two-phase form must reproduce both
+    // (null-safe joins, null-sketch bucket-0 fallback), not drop rows
+    val df = Seq(
+      (Option.empty[String], Some(3.0), 1L),
+      (Option.empty[String], Some(1.0), 2L),
+      (Option.empty[String], Option.empty[Double], 3L), // null value too
+      (Some("A"), Option.empty[Double], 4L),            // all-null segment
+      (Some("A"), Option.empty[Double], 5L),
+      (Some("B"), Some(7.0), 6L), (Some("B"), Some(2.0), 7L)
+    ).toDF("seg", "v", "id")
+    val w = Window.partitionBy(col("seg")).orderBy(col("v").asc, col("id").asc)
+    val expect = df.select(col("id"), ntile(4).over(w).as("t"),
+      percent_rank().over(w).as("pr"))
+    val got = Quantiles.distribution(df, "seg", "v", "id")
+      .select(col("id"), col("balance_quartile").as("t"),
+        col("balance_pct_rank").as("pr"))
+    assert(got.count() == df.count()) // nothing silently dropped
+    assert(got.orderBy("id").collect().toSeq ==
+      expect.orderBy("id").collect().toSeq)
+  }
+
   test("tied values land in one bucket and rank by the tiebreak") {
     // many duplicates of one value — the sketch may place a boundary
     // AT the tie; membership is strict-below so all ties share a bucket

@@ -82,5 +82,11 @@ class TextFunctionsSpec extends SparkTestBase {
     // dotted run still redact (no lookahead in the RE2-safe subset)
     assert(one[String](TextFunctions.redactPii(col("t")),
       "ver 1.2.3.4.5 z") == "ver <IP>.5 z")
+    // zero-padded log forms are still real IPs — must redact
+    assert(one[String](TextFunctions.redactPii(col("t")),
+      "src 192.168.001.001 dst 010.2.3.4 e") == "src <IP> dst <IP> e")
+    // but padding can't smuggle an impossible octet past the 0-255 bound
+    assert(one[String](TextFunctions.redactPii(col("t")),
+      "w 00256.1.1.1 x") == "w 00256.1.1.1 x")
   }
 }
