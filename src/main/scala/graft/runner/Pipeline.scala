@@ -247,6 +247,25 @@ object Pipeline {
     } finally joined.unpersist()
   }
 
+  // ----------------------------------------------------- dedup artifacts
+
+  /** Materialize the duplicate-pair graph of a document corpus into the
+    * pipeline catalog — the medallion treatment of near-dup state: the
+    * similarity join (hours at 100 TB) runs once, its KB-scale output
+    * becomes a table, and every consumer reads the table. Idempotent
+    * overwrite, like every other pipeline artifact. */
+  def dupPairs(docs: DataFrame, idCol: String, textCol: String,
+               cfg: Config, ngramN: Int = 5, threshold: Double = 0.8): Unit =
+    graft.dedup.Curation.materializePairs(docs, idCol, textCol,
+      cfg.catalog, "dup_pairs", ngramN, threshold)
+
+  /** Duplicate clusters resolved off the PERSISTED pair graph: reads
+    * only the `dup_pairs` table — no document scan, no similarity join
+    * anywhere in the plan. Re-running after [[dupPairs]] refreshes is
+    * seconds, not hours, whatever the corpus size. */
+  def dupClusters(spark: SparkSession, cfg: Config): DataFrame =
+    graft.dedup.Curation.componentsFromCatalog(spark, cfg.catalog, "dup_pairs")
+
   def runAll(spark: SparkSession, cfg: Config): Unit = {
     bronze(spark, cfg); silver(spark, cfg); gold(spark, cfg); platinum(spark, cfg)
   }

@@ -49,6 +49,22 @@ class PipelineSpec extends SparkTestBase {
     assert(Pipeline.silverLineitem(withDups).count() == li.count())
   }
 
+  test("dupPairs materializes the pair graph; dupClusters resolves off it") {
+    val docs = Tables.documents(spark, sf)
+    Pipeline.dupPairs(docs, "doc_id", "text", cfg, ngramN = 5, threshold = 0.4)
+    assert(cfg.catalog.exists(spark, "dup_pairs"))
+    val clusters = Pipeline.dupClusters(spark, cfg)
+    // resolution reads only the persisted graph — corpus never rescanned
+    val plan = clusters.queryExecution.sparkPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(2000))
+    // identical to the self-contained transitive closure
+    val fresh = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.exactNgramJaccardPairs(
+        docs, "doc_id", "text", n = 5, threshold = 0.4))
+    assert(clusters.orderBy("id").collect().toSeq ==
+      fresh.orderBy("id").collect().toSeq)
+  }
+
   test("dim upsert labels unseen keys with Unknown default") {
     val dim = cfg.catalog.read(spark, "dim_priority")
     val r = dim.head()

@@ -79,6 +79,30 @@ class PlanSpec extends SparkTestBase {
     assert(scans(df).size <= 6, s"expected at most 6 documents scans, got ${scans(df).size}")
   }
 
+  test("q47: resolution reads the persisted pair graph, never the corpus") {
+    // The medallion shape: the similarity join materializes the pair
+    // graph once (its cost is q24's measurement); the declared q47
+    // resolves components off the persisted table. Its plan must scan
+    // the dup_pairs artifact only — no documents scan, no shingle
+    // explode, no prefix window, no similarity join.
+    val df = q("q47_dup_components")
+    // (the returned frame is an eager checkpoint — Scan ExistingRDD —
+    // so the no-corpus-scan property is pinned on the RESOLUTION INPUT:
+    // the artifact table must exist and read as a bare parquet scan;
+    // CurationSpec pins the same for componentsFromCatalog directly)
+    val (cat, table) = SparkEntry.pairGraphTable(spark, sf, threshold = 0.4)
+    assert(cat.exists(spark, table))
+    val pairScan = cat.read(spark, table).queryExecution.sparkPlan.toString
+    assert(pairScan.contains("dup_pairs"), pairScan.take(2000))
+    assert(!pairScan.contains("documents.parquet"), pairScan.take(2000))
+    // output still identical to the self-contained closure
+    val fresh = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.exactNgramJaccardPairs(
+        Tables.documents(spark, sf), "doc_id", "text", n = 5, threshold = 0.4))
+    assert(df.orderBy("id").collect().toSeq ==
+      fresh.orderBy("id").collect().toSeq)
+  }
+
   test("q25: multi-table LSH probes broadcast; no cartesian anywhere") {
     val p = finalPlan(q("q25_ann_lsh"))
     val s = p.toString
