@@ -399,6 +399,34 @@ object SparkEntry {
           documents(s, dir), "doc_id", "text", "lang")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
+    // S1 ⊕ multimodal composition: the distributed ingest seam lands a
+    // binary-payload manifest (url, payload, sha256, n_bytes) and the
+    // media path consumes it batch-at-a-time — the end-to-end shape a
+    // media-corpus pipeline runs (fetch → manifest → decode → features).
+    // The url list is config-derived (the reference's month list,
+    // raw.py), the fetcher is the deterministic offline Echo, and the
+    // stub codec's features are a pure function of payload bytes — so
+    // the WHOLE composition carries a full DuckDB oracle (the oracle
+    // replays java.util.Arrays.hashCode over the url's ASCII codes
+    // with 32-bit wraparound via list_reduce).
+    "q51_ingest_media" -> ((s, dir) => {
+      import s.implicits._
+      val urls = (0 until 48).map { i =>
+        val ext = i % 3 match { case 0 => "png"; case 1 => "wav"; case _ => "mp4" }
+        f"https://cdn.example.org/media/item_$i%04d.$ext"
+      }
+      val manifest = graft.sources.Ingest.land(s, urls, graft.sources.Ingest.Echo,
+        batchId = "demo")
+      val media = manifest.select(
+        regexp_extract(col("url"), "item_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        when(col("url").endsWith(".png"), "image")
+          .when(col("url").endsWith(".wav"), "audio")
+          .otherwise("video").as("media_type"),
+        col("payload"),
+        lit("cdn").as("source")).as[Multimodal.MediaFile]
+      Multimodal.extractFeatures(media).toDF()
+    }),
+
     // Repetition quality signal (the published duplicate-fraction
     // heuristics for corpus filtering): token-level repetition ratio
     // per document, pure per-row expressions.
@@ -973,6 +1001,45 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(text, '${TF.longDigitsRe}')) AS INTEGER)
          |   AS n_nums
          |FROM documents""".stripMargin,
+
+    // Replays the composed ingest→decode path: the same config-derived
+    // url manifest, payloads = url ASCII bytes (Echo), and the stub
+    // codec's java.util.Arrays.hashCode replayed exactly — h starts at
+    // 1, each step h = (31h + byte) mod 2^32 via list_reduce; the >>10
+    // / >>20 arithmetic shifts of the SIGNED hash become floor
+    // divisions of the unsigned form (exact because 2^k divides 2^32),
+    // with the 2^31 sign correction applied where the modulus (240)
+    // does not divide 2^32.
+    "q51_ingest_media" ->
+      """WITH manifest AS (
+        |  SELECT i AS doc_id,
+        |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    printf('https://cdn.example.org/media/item_%04d.%s', i,
+        |      CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |        ELSE 'mp4' END) AS url
+        |  FROM range(0, 48) t(i)
+        |), hashed AS (
+        |  SELECT *,
+        |    list_reduce(
+        |      list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(range(1, length(url) + 1),
+        |          j -> CAST(ascii(substr(url, j, 1)) AS BIGINT))),
+        |      (h, b) -> (31 * h + b) % 4294967296) AS hu,
+        |    CAST(length(url) AS INT) AS n_bytes
+        |  FROM manifest
+        |)
+        |SELECT doc_id, media_type, n_bytes,
+        |  sha256(url) AS checksum,
+        |  CAST(64 + (hu % 1024) AS INT) AS width,
+        |  CAST(64 + ((hu // 1024) % 1024) AS INT) AS height,
+        |  CAST(CASE WHEN media_type = 'video'
+        |    THEN 1 + ((((hu // 1048576) - 4096 *
+        |      (CASE WHEN hu >= 2147483648 THEN 1 ELSE 0 END)) % 240)
+        |      + 240) % 240
+        |    ELSE 1 END AS INT) AS n_frames,
+        |  (hu % 256) / 255.0 AS mean_intensity
+        |FROM hashed""".stripMargin,
 
     // The q24 pair CTE + recursive reachability closure: component =
     // min id reachable through the near-dup graph.

@@ -29,4 +29,27 @@ class IngestSpec extends SparkTestBase {
     intercept[UnsupportedOperationException](
       Ingest.Http.fetch("https://example.org"))
   }
+
+  test("landed manifest composes into the multimodal feature path (q51)") {
+    val out = SparkEntry.queries("q51_ingest_media")(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(out.length == 48)
+    // checksum is sha256 of the fetched payload (= url bytes for Echo)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    val u7 = "https://cdn.example.org/media/item_0007.wav"
+    val exp7 = digest.digest(u7.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val r7 = out(7)
+    assert(r7.getAs[String]("checksum") == exp7)
+    assert(r7.getAs[String]("media_type") == "audio")
+    assert(r7.getAs[Int]("n_bytes") == u7.length)
+    // feature values match the stub codec applied to the same bytes
+    val (w, h, f, mi) = graft.mm.Multimodal.Codec.decodeStub(
+      u7.getBytes("UTF-8"), "audio")
+    assert(r7.getAs[Int]("width") == w && r7.getAs[Int]("height") == h)
+    assert(r7.getAs[Int]("n_frames") == f)
+    assert(r7.getAs[Double]("mean_intensity") == mi)
+    // only videos multi-frame
+    assert(out.filter(_.getAs[String]("media_type") != "video")
+      .forall(_.getAs[Int]("n_frames") == 1))
+  }
 }
