@@ -35,7 +35,10 @@ final class ParquetCatalog(root: String) extends TableCatalog {
 
   override def exists(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table))
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the SESSION's hadoop conf, not a fresh Configuration(): object
+    // stores are configured there (fs.s3a.* credentials/impl), and a
+    // default-constructed conf would not see them
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)
   }
 
