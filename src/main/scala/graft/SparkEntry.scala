@@ -302,6 +302,9 @@ object SparkEntry {
         shingleK = 3, nHashes = 16, bands = 4, minJaccard = 0.3)),
     "q21_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)),
+    // (not rows-only since r5: the stub codec is a pure function of the
+    // payload bytes and the corpus text is ASCII, so the q51-style
+    // hashCode-replay oracle applies to the whole decode path)
     "q22_multimodal_decode" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir))).toDF()),
     "q23_embedding_neardup" -> ((s, dir) =>
@@ -1001,6 +1004,35 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(text, '${TF.longDigitsRe}')) AS INTEGER)
          |   AS n_nums
          |FROM documents""".stripMargin,
+
+    // The q51 hashCode-replay oracle over the documents corpus: the
+    // media payload is the (ASCII) text's UTF-8 bytes, so every stub
+    // feature is reproducible from the text column — see q51's oracle
+    // for the arithmetic derivation.
+    "q22_multimodal_decode" ->
+      """WITH hashed AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    CAST(length(text) AS INT) AS n_bytes,
+        |    sha256(text) AS checksum,
+        |    list_reduce(
+        |      list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))),
+        |      (h, b) -> (31 * h + b) % 4294967296) AS hu
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type, n_bytes, checksum,
+        |  CAST(64 + (hu % 1024) AS INT) AS width,
+        |  CAST(64 + ((hu // 1024) % 1024) AS INT) AS height,
+        |  CAST(CASE WHEN media_type = 'video'
+        |    THEN 1 + ((((hu // 1048576) - 4096 *
+        |      (CASE WHEN hu >= 2147483648 THEN 1 ELSE 0 END)) % 240)
+        |      + 240) % 240
+        |    ELSE 1 END AS INT) AS n_frames,
+        |  (hu % 256) / 255.0 AS mean_intensity
+        |FROM hashed""".stripMargin,
 
     // Replays the composed ingest→decode path: the same config-derived
     // url manifest, payloads = url ASCII bytes (Echo), and the stub
