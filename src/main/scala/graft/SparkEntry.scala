@@ -346,6 +346,40 @@ object SparkEntry {
         centroids0 = Some(Ann.kmeansCentroids(e, k = 256, iters = 2)))
     }),
 
+    // Grouped mean-pooled embeddings (class prototypes / label
+    // centroids): one custom vector aggregate over a fixed-point
+    // integral image (functions.VectorSumFixed) — order-independent
+    // long sums, map-side combined, one shuffle of group-count
+    // buffers. The DuckDB oracle recomputes the identical
+    // floor(x·1e9) image, exact in both engines. Output boundary:
+    // the fixed-point sums stringify (driver sorts rows in pandas,
+    // which can't hash ndarray cells — see q39; and long→string is
+    // format-stable across engines where double→string is not). The
+    // double-mean form (aggs.vec_mean_fixed) is what lloydRounds
+    // consumes; VectorAggSpec pins its partition-invariance.
+    "q53_label_centroids" -> ((s, dir) => {
+      val st = graft.functions.aggs.vec_sum_fixed(
+        graft.sim.Vectors.asDouble(col("embedding")), scale = 9)
+      embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), st.as("st"))
+        .select(col("label"), col("n_vecs"),
+          array_join(transform(col("st.sums"), _.cast("string")), ",")
+            .as("centroid_fixed"))
+    }),
+
+    // SCD2 dimension history from a change log (etl.Scd.history):
+    // per-user event_type state periods — no-op re-observations
+    // collapse (null-safe), latest period open. One shuffle on the
+    // high-cardinality key feeds both window functions (plan-pinned
+    // in ScdSpec); incremental maintenance (Scd.applyChanges) never
+    // reshuffles closed periods and is spec-proven equivalent to the
+    // full rebuild.
+    "q54_scd2_history" -> ((s, dir) =>
+      graft.etl.Scd.history(
+        events(s, dir), keyCols = Seq("user_id"), tsCol = "ts",
+        attrCols = Seq("event_type"), tieCols = Seq("event_id"))),
+
     // The flagship LLM-pipeline composition END-TO-END (SURVEY §7.4):
     // language filter → quality gate → exact dedup → exact n-gram
     // near-dup removal → corpus report, as ONE pure plan
@@ -1230,5 +1264,39 @@ object SparkEntry {
         |  SELECT qid, vec_id, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // Same fixed-point image (floor(x*1e9) longs) — exact integer
+    // sums in both engines; joined to a string at the output
+    // boundary (see the q53 builder note).
+    "q53_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |flat AS (
+        |  SELECT label, unnest(generate_series(1, len(v))) AS pos, v FROM e),
+        |sums AS (
+        |  SELECT label, pos,
+        |    sum(CAST(floor(v[pos] * 1000000000.0) AS BIGINT)) AS sm
+        |  FROM flat GROUP BY label, pos),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT n.label, n.n_vecs,
+        |  (SELECT string_agg(CAST(sm AS VARCHAR), ',' ORDER BY pos)
+        |   FROM sums s WHERE s.label = n.label) AS centroid_fixed
+        |FROM n""".stripMargin,
+
+    "q54_scd2_history" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev_type,
+        |    (lag(ts) OVER w IS NULL) AS first_obs
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (
+        |  SELECT * FROM flagged
+        |  WHERE first_obs OR prev_type IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w2 AS effective_to,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
   )
 }

@@ -1,0 +1,92 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history: turn a change log (one row
+  * per observed dimension state) into versioned periods
+  * `[effective_from, effective_to)` with an open (`effective_to` null,
+  * `is_current` true) row per key.
+  *
+  * Shape: one shuffle on the dimension key, then two window functions
+  * over the SAME (key, ts, tie) sort — the no-op-change filter between
+  * them preserves ordering and partitioning, so Catalyst plans a single
+  * Exchange + Sort, not two. Keys are high-cardinality (customer ids,
+  * user ids), so the sort never funnels through one reducer — this is
+  * the partition-safe twin of the MERGE-statement SCD2 idiom.
+  *
+  * Consecutive observations with unchanged attributes are collapsed
+  * (null-safe comparison), so re-delivering an unchanged snapshot never
+  * fabricates a new version — the property that makes the operator
+  * idempotent under at-least-once upstream delivery.
+  */
+object Scd {
+
+  /** Full rebuild: change log → SCD2 history.
+    *
+    * @param changes one row per observation: key cols + attr cols + a
+    *                timestamp column (+ optional tie-breaker columns for
+    *                total determinism when timestamps can collide)
+    * @return `keyCols ++ attrCols ++ (effective_from, effective_to,
+    *         is_current)`, one row per distinct consecutive state
+    */
+  def history(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+              attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    changes
+      .select((keyCols ++ attrCols :+ tsCol) ++ tieCols map col: _*)
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // first observation, or any attribute changed (null-safe)
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select(keyCols ++ attrCols ++
+        Seq("effective_from", "effective_to", "is_current") map col: _*)
+  }
+
+  /** Incremental maintenance: fold a new change batch into an existing
+    * history WITHOUT reshuffling closed periods.
+    *
+    * Closed rows (`effective_to` non-null) are immutable by SCD2
+    * semantics and pass through untouched; only each key's single open
+    * row re-enters the window alongside the incoming batch. At 100 TB
+    * the closed set is the accumulated history (arbitrarily large,
+    * never shuffled again) while open ∪ batch is one row per live key
+    * plus the delta — the working set an incremental run should pay
+    * for, and nothing more.
+    *
+    * Equivalence `applyChanges(history(a), b) == history(a ∪ b)` holds
+    * exactly (spec-pinned): the open row carries its original
+    * `effective_from` into the recompute, and an incoming unchanged
+    * snapshot collapses against it.
+    *
+    * @param current output of [[history]] (or a previous applyChanges)
+    * @param changes new observations, same key/attr/ts columns
+    */
+  def applyChanges(current: DataFrame, changes: DataFrame,
+                   keyCols: Seq[String], tsCol: String,
+                   attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    val closed = current.filter(col("effective_to").isNotNull)
+      .select(keyCols ++ attrCols ++
+        Seq("effective_from", "effective_to", "is_current") map col: _*)
+    // the open row re-enters as an observation at its ORIGINAL
+    // effective_from, so its period start survives the recompute
+    val openAsChange = current.filter(col("effective_to").isNull)
+      .withColumn(tsCol, col("effective_from"))
+      .select(keyCols ++ attrCols :+ tsCol map col: _*)
+    val openAndNew = (if (tieCols.isEmpty) openAsChange
+      // synthesize tie cols for the reopened row: null sorts FIRST in
+      // ascending order, so it predates every new observation at the
+      // same timestamp regardless of the tie column's type
+      else tieCols.foldLeft(openAsChange)((d, t) =>
+        d.withColumn(t, lit(null).cast(changes.schema(t).dataType))))
+      .unionByName(
+        changes.select((keyCols ++ attrCols :+ tsCol) ++ tieCols map col: _*))
+    closed.unionByName(
+      history(openAndNew, keyCols, tsCol, attrCols, tieCols))
+  }
+}

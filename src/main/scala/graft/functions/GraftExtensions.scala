@@ -63,5 +63,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => JaccardSim(args.head, args(1))),
     (FunctionIdentifier("dot_product_d"),
       info("dot_product_d", "dot_product_d(a, b) - ordered dot product of double arrays"),
-      (args: Seq[Expression]) => DotProductD(args.head, args(1))))
+      (args: Seq[Expression]) => DotProductD(args.head, args(1))),
+    (FunctionIdentifier("vec_sum_fixed"),
+      info("vec_sum_fixed",
+        "vec_sum_fixed(v, scale) - grouped element-wise vector sum as struct(n, sums) of floor(x*10^scale) longs"),
+      (args: Seq[Expression]) =>
+        VectorSumFixed(args.head, intArg(args(1), "scale"))))
 }

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{lit, transform}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+
+/** Grouped element-wise vector aggregation over `array<double>` columns
+  * (mean-pooled embeddings per group, k-means centroid recomputation,
+  * class prototypes).
+  *
+  * Accumulates a FIXED-POINT image of each element — `floor(x · 10^scale)`
+  * as a long — extending the engine's integral-image determinism rule
+  * ([[graft.ops.Exact]], money cents) to vectors:
+  *
+  *  - **Order-independent.** Long addition is associative/commutative, so
+  *    the sums (and the means derived from them) are bit-identical under
+  *    any partitioning, shuffle layout, or executor count. A raw
+  *    `sum(double)` per dimension drifts in the last ulps across layouts —
+  *    fatal for reproducible dataset builds and hash-compared gates.
+  *  - **Engine-portable.** `x · 10^scale` is one IEEE multiply and `floor`
+  *    is exact, so any engine reproduces the identical longs — the DuckDB
+  *    oracle for q53 recomputes the same image in SQL and hash-matches.
+  *  - **Overflow is LOUD.** Sums use `Math.addExact`: at scale 9 with
+  *    unit-bounded elements a group overflows past ~9.2e9 rows — a 100 TB
+  *    corpus grouped into few classes can hit that, and a silent wrap
+  *    would corrupt every downstream centroid. The throw names the fix
+  *    (lower `scale`).
+  *  - Quantization error is bounded by 10^-scale per element — at the
+  *    default scale 9, far below the noise floor of any embedding model.
+  *
+  * One buffer per group per partition (map-side partial aggregation via
+  * ObjectHashAggregate), so the shuffle carries `partitions × groups`
+  * skinny buffers, never rows.
+  *
+  * Output: `struct(n: long, sums: array<long>)` — n is the count of
+  * non-null input vectors; derive means with [[exprs.vec_mean_fixed]].
+  * Null vectors are ignored (not counted); a group with no non-null
+  * vectors yields a null struct. Null ELEMENTS and non-finite values
+  * throw: a partially-null embedding is upstream corruption, and
+  * averaging it silently would fabricate a centroid.
+  */
+case class VectorSumFixed(
+    child: Expression,
+    scale: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(scale >= 0 && scale <= 15,
+    s"vec_sum_fixed: scale must be in [0, 15], got $scale")
+
+  // exact powers of ten up to 1e15 are exactly representable in binary64
+  private val pow = math.pow(10.0, scale)
+  // beyond 2^53 the quantized double can't hold the integer exactly, so
+  // the fixed-point image would silently lose low digits
+  private val MaxAbs = 9.007199254740992e15
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+
+  // buffer layout: [count, sum_0, ..., sum_{dim-1}]; empty until the
+  // first non-null vector fixes the dimension
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val d = arr.numElements()
+      val b = if (buf.isEmpty) new Array[Long](d + 1) else buf
+      if (b.length != d + 1) throw new IllegalArgumentException(
+        s"vec_sum_fixed: dimension mismatch — got $d-element vector, " +
+          s"group established ${b.length - 1}")
+      b(0) = Math.addExact(b(0), 1L)
+      var i = 0
+      while (i < d) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"vec_sum_fixed: null element at position $i")
+        val q = Math.floor(arr.getDouble(i) * pow)
+        if (!(Math.abs(q) <= MaxAbs)) throw new ArithmeticException(
+          s"vec_sum_fixed: element at position $i out of exact fixed-point " +
+            s"range at scale $scale (|x|*10^$scale > 2^53, or non-finite)")
+        b(i + 1) = Math.addExact(b(i + 1), q.toLong)
+        i += 1
+      }
+      b
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      if (a.length != b.length) throw new IllegalArgumentException(
+        s"vec_sum_fixed: merging buffers of dimension ${a.length - 1} and ${b.length - 1}")
+      var i = 0
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      a
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null
+    else InternalRow(buf(0), new GenericArrayData(buf.drop(1)))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumFixed =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumFixed =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumFixed =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the custom aggregates. */
+object aggs {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Fixed-point element-wise vector sum: `struct(n, sums: array<long>)`
+    * where `sums[i] = Σ floor(v[i] · 10^scale)`. See [[VectorSumFixed]]. */
+  def vec_sum_fixed(c: Column, scale: Int = 9): Column =
+    ColumnBridge.column(
+      VectorSumFixed(ColumnBridge.expression(c), scale).toAggregateExpression())
+
+  /** Element-wise mean vector (`array<double>`) at fixed-point `scale`:
+    * `(double) sums[i] / 10^scale / n` — exact integer sum, then two
+    * divisions in a pinned order, so the result is bit-identical across
+    * partitionings AND engines (the DuckDB twin writes the same three
+    * ops). The duplicated [[vec_sum_fixed]] reference is deduplicated by
+    * Catalyst (one aggregate buffer, not two). */
+  def vec_mean_fixed(c: Column, scale: Int = 9): Column = {
+    val st = vec_sum_fixed(c, scale)
+    val powLit = lit(math.pow(10.0, scale))
+    transform(st.getField("sums"),
+      s => s.cast("double") / powLit / st.getField("n"))
+  }
+}

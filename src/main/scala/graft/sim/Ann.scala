@@ -43,12 +43,13 @@ object Ann {
     * quantization: init = the `k` lowest-id corpus vectors, then
     * `iters` rounds of nearest-centroid assignment (broadcast argmax —
     * ties by centroid id) and element-wise mean recomputation. The
-    * mean is a (cid, dimension) groupBy over posexploded coordinates —
-    * one shuffle of |C|·dim skinny rows per round, which partitions
-    * cleanly at any corpus size; empty clusters keep their previous
-    * centroid. Each round's centroid frame is tiny and is collected
-    * into the next round's broadcast literal, so the iteration adds
-    * no lineage growth.
+    * mean is one grouped element-wise vector aggregation
+    * ([[graft.functions.VectorSumFixed]]) — a single shuffle per round
+    * carrying only partitions×k partial-sum buffers (map-side
+    * combined), never per-coordinate rows; empty clusters keep their
+    * previous centroid. Each round's centroid frame is tiny and is
+    * collected into the next round's broadcast literal, so the
+    * iteration adds no lineage growth.
     *
     * Init choice is MEASURED, not assumed: spread inits — farthest-
     * first (Gonzalez), k-means++ D²-seeding, md5-ranked pseudo-random
@@ -59,12 +60,14 @@ object Ann {
     * spread: see q48 (nCentroids=256, nProbe=64 — the same 25% scan
     * as q42's 16/4 — recall 0.975 vs 0.925).
     *
-    * Determinism: coordinate means sum an exact decimal image of each
-    * coordinate (cast to decimal(38,18)), so the per-cluster sum — and
-    * therefore the returned centroids — is identical under any
-    * partitioning or shuffle-partition setting, not just a fixed one
-    * (double `avg` accumulates in partition order and drifts in the
-    * last ulps across layouts). */
+    * Determinism: coordinate means sum a fixed-point integral image of
+    * each coordinate (floor(x·1e9) longs — [[VectorSumFixed]]), so the
+    * per-cluster sum — and therefore the returned centroids — is
+    * identical under any partitioning or shuffle-partition setting, not
+    * just a fixed one (double `avg` accumulates in partition order and
+    * drifts in the last ulps across layouts). The 1e-9 element
+    * quantization is far below embedding noise and irrelevant to a
+    * coarse quantizer. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
@@ -94,13 +97,8 @@ object Ann {
           first(col("v")).as("v"))
         .select(col("cid"), col("v"))
       val means = assigned
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast("decimal(38,18)")) / count(lit(1)))
-          .cast("double").as("m"))
         .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cid"), expr("transform(ps, x -> x.m)").as("cv"))
+        .agg(graft.functions.aggs.vec_mean_fixed(col("v"), scale = 9).as("cv"))
       // empty clusters retain their previous centroid (left anti side)
       val kept = centroids.join(means, Seq("cid"), "left_anti")
       centroids = means.unionByName(kept)

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.etl.Scd
+
+/** etl.Scd: SCD2 history build + incremental maintenance. */
+class ScdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def log = Seq(
+    // key 1: gold -> gold (no-op, collapses) -> silver
+    (1L, "gold", ts("2024-01-01 00:00:00"), 10L),
+    (1L, "gold", ts("2024-02-01 00:00:00"), 11L),
+    (1L, "silver", ts("2024-03-01 00:00:00"), 12L),
+    // key 2: single observation stays open
+    (2L, "bronze", ts("2024-01-15 00:00:00"), 20L)
+  ).toDF("k", "tier", "ts", "seq")
+
+  test("history collapses no-op changes and opens the latest period") {
+    val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+      .orderBy("k", "effective_from").collect()
+    assert(h.length == 3) // the 2024-02-01 re-observation of gold collapsed
+    val r0 = h(0)
+    assert(r0.getString(1) == "gold" &&
+      r0.getTimestamp(2) == ts("2024-01-01 00:00:00") &&
+      r0.getTimestamp(3) == ts("2024-03-01 00:00:00") && !r0.getBoolean(4))
+    val r1 = h(1)
+    assert(r1.getString(1) == "silver" && r1.isNullAt(3) && r1.getBoolean(4))
+    val r2 = h(2)
+    assert(r2.getLong(0) == 2L && r2.isNullAt(3) && r2.getBoolean(4))
+  }
+
+  test("null attributes compare null-safely (no version churn on nulls)") {
+    val withNulls = Seq(
+      (1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00"), 1L),
+      (1L, null.asInstanceOf[String], ts("2024-02-01 00:00:00"), 2L),
+      (1L, "a", ts("2024-03-01 00:00:00"), 3L)
+    ).toDF("k", "tier", "ts", "seq")
+    val h = Scd.history(withNulls, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    assert(h.count() == 2) // null==null collapses, null->a versions
+  }
+
+  test("applyChanges(history(a), b) == history(a union b) on real events") {
+    val e = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val cut = ts("2024-01-15 00:00:00")
+    val a = e.filter($"ts" < lit(cut))
+    val b = e.filter($"ts" >= lit(cut))
+    val full = Scd.history(e, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+    val inc = Scd.applyChanges(
+      Scd.history(a, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id")),
+      b, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+    assert(full.count() > 0)
+    // exact frame equality both directions
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
+  test("closed periods pass through applyChanges without recompute") {
+    val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    val more = Seq((2L, "silver", ts("2024-04-01 00:00:00"), 21L))
+      .toDF("k", "tier", "ts", "seq")
+    val h2 = Scd.applyChanges(h, more, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+      .orderBy("k", "effective_from").collect()
+    assert(h2.length == 4)
+    // key 1's closed gold period is byte-identical
+    assert(h2(0).getString(1) == "gold" &&
+      h2(0).getTimestamp(3) == ts("2024-03-01 00:00:00"))
+    // key 2's bronze row closed at the new observation, silver now open
+    assert(h2(2).getString(1) == "bronze" &&
+      h2(2).getTimestamp(3) == ts("2024-04-01 00:00:00") && !h2(2).getBoolean(4))
+    assert(h2(3).getString(1) == "silver" && h2(3).getBoolean(4))
+  }
+
+  test("one exchange feeds both window functions") {
+    val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    val plan = h.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single shuffle, plan:\n$plan")
+  }
+}
