@@ -380,6 +380,18 @@ object SparkEntry {
         events(s, dir), keyCols = Seq("user_id"), tsCol = "ts",
         attrCols = Seq("event_type"), tieCols = Seq("event_id"))),
 
+    // EXACT edit-distance self-join (fuzzy entity matching) over
+    // 48-char document-title prefixes: PassJoin segment-pigeonhole
+    // blocking (dedup.FuzzyJoin — recall 1.0 structural, equi-join
+    // candidates, id-only pair exchange, levenshtein-verified). The
+    // oracle recomputes the same pairs as a brute-force all-pairs
+    // join — exactness proven cross-engine, like q24 for Jaccard.
+    "q55_fuzzy_join" -> ((s, dir) =>
+      graft.dedup.FuzzyJoin.editDistancePairs(
+        documents(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 48).as("title")),
+        "doc_id", "title", maxDist = 2)),
+
     // The flagship LLM-pipeline composition END-TO-END (SURVEY §7.4):
     // language filter → quality gate → exact dedup → exact n-gram
     // near-dup removal → corpus report, as ONE pure plan
@@ -1298,5 +1310,16 @@ object SparkEntry {
         |  (lead(ts) OVER w2 IS NULL) AS is_current
         |FROM changes
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // Brute-force all-pairs ground truth (the blocking must lose
+    // nothing): length filter is implied by dist <= 2.
+    "q55_fuzzy_join" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 48) AS title FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+        |FROM t a JOIN t b
+        |  ON a.doc_id < b.doc_id
+        |  AND abs(len(a.title) - len(b.title)) <= 2
+        |WHERE levenshtein(a.title, b.title) <= 2""".stripMargin,
   )
 }
