@@ -392,6 +392,60 @@ object SparkEntry {
           substring(col("text"), 1, 48).as("title")),
         "doc_id", "title", maxDist = 2)),
 
+    // Bin-blocked RANGE join (ops.RangeJoin): purchase attribution —
+    // for each purchase event, every click by the same user in the
+    // hour before it. The range predicate becomes an equi-join on
+    // (hour bin, user_id) — shuffled hash join, no nested loop, no
+    // broadcast of a whole side (plan-pinned in RangeJoinSpec) — with
+    // the exact half-open predicate as a residual filter. The oracle
+    // runs the naive theta join.
+    "q56_range_join" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val ev = events(s, dir)
+      // NTZ → TIMESTAMP under the pinned UTC session = the same naive
+      // epoch DuckDB's epoch_us computes
+      val micros = unix_micros(col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), micros.as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), micros.as("pt"))
+        .withColumn("ws", col("pt") - lit(hourUs))
+      graft.ops.RangeJoin.pointInInterval(clicks, purchases,
+          col("t"), col("ws"), col("pt"), binWidth = hourUs,
+          equiKeys = Seq("user_id"))
+        .select(col("purchase_id"), col("click_id"),
+          (col("pt") - col("t")).as("gap_micros"))
+    }),
+
+    // Bounded grouped top-k (functions.TopKOrdered): 3 biggest orders
+    // per priority class. The aggregate's k-bounded heap prunes
+    // map-side, so the exchange carries partitions×groups×k rows and
+    // NO group ever sorts through one reducer — the scale-safe form of
+    // the row_number window at low group cardinality (5 groups here).
+    // Ties cut deterministically by the (price, orderkey) struct
+    // ordering; the oracle is the window form.
+    "q57_grouped_topk" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.aggs.top_k(
+          struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("rnk", "t")))
+        .select(col("o_orderpriority"),
+          (col("rnk") + 1).cast("int").as("rank"),
+          col("t.o_orderkey").as("o_orderkey"),
+          col("t.o_totalprice").as("o_totalprice"))
+    }),
+
+    // Cross-document repeated-substring signal (text.CrossDoc): the
+    // fraction of each doc's distinct 5-word shingles that occur in
+    // other documents — the substring-level dedup score pairwise joins
+    // miss (Lee et al. 2021 motivation). Linear in shingle mass: no
+    // pair frame, the shingle-keyed exchange reused for the join-back.
+    "q59_shared_shingles" -> ((s, dir) =>
+      graft.text.CrossDoc.duplicateShingleStats(
+        documents(s, dir), "doc_id", "text", shingleK = 5)),
+
     // The flagship LLM-pipeline composition END-TO-END (SURVEY §7.4):
     // language filter → quality gate → exact dedup → exact n-gram
     // near-dup removal → corpus report, as ONE pure plan
@@ -1321,5 +1375,49 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id
         |  AND abs(len(a.title) - len(b.title)) <= 2
         |WHERE levenshtein(a.title, b.title) <= 2""".stripMargin,
+
+    // Naive theta-join ground truth for the bin-blocked range join.
+    "q56_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events)
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.t - c.t AS gap_micros
+        |FROM e p JOIN e c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.t >= p.t - 3600000000 AND c.t < p.t""".stripMargin,
+
+    // Window-form ground truth: struct ordering = (price, orderkey)
+    // lexicographic descending.
+    "q57_grouped_topk" ->
+      """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    // Same shingle CTE as q44; count(*) per shingle = carrier docs
+    // because the per-doc shingle sets are DISTINCT.
+    "q59_shared_shingles" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  unnest(range(1, greatest(m-4, 1)+1)) AS i FROM base),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN m < 5 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+4), ' ')
+         |  END AS shingle FROM idx),
+         |cnt AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared,
+         |  CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    / count(*) AS shared_fraction
+         |FROM sh s JOIN cnt c USING (shingle)
+         |GROUP BY 1""".stripMargin,
   )
 }

@@ -132,6 +132,116 @@ case class VectorSumFixed(
     copy(child = newChild)
 }
 
+/** Bounded grouped top-k: keep the `k` greatest (or smallest) values of
+  * an orderable column — typically a `struct(sortKey, tiebreak, payload…)`
+  * ordered lexicographically — per group, as `array<childType>` sorted
+  * best-first.
+  *
+  * This is the scale-safe form of "top N per group". The window form
+  * (`row_number() OVER (PARTITION BY g ORDER BY …) <= k`) fully sorts
+  * every group through one reducer each — at low group cardinality that
+  * is a handful of reducers sorting the whole table (the q38 trap). A
+  * `collect_list` + `slice(sort_array(…))` rewrite restores parallelism
+  * but its map-side partial buffers hold ENTIRE groups, so memory grows
+  * with data, not with k. This aggregate's buffer is a k-bounded heap:
+  * map-side partials prune to k before the shuffle, the exchange
+  * carries `partitions × groups × k` rows, and no group is ever fully
+  * sorted or fully materialized anywhere.
+  *
+  * Determinism: ties beyond position k are cut by the ordering itself,
+  * so include a unique tiebreak field in the struct (as any
+  * deterministic top-k requires). Null inputs are ignored; a group with
+  * no non-null input yields an empty array.
+  */
+case class TopKOrdered(
+    child: Expression,
+    k: Int,
+    asc: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[Any]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"top_k: k must be positive, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .checkForOrderingExpr(child.dataType, prettyName)
+
+  // "best" = greatest under natural ordering when asc=false; the queue
+  // is keyed by the REVERSED best-first ordering so head is always the
+  // worst kept element (the eviction candidate)
+  @transient private lazy val best: Ordering[Any] = {
+    val natural = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(child.dataType)
+    if (asc) natural.reverse else natural
+  }
+
+  @transient private lazy val ser =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(Array(child.dataType))
+
+  override def prettyName: String = "top_k"
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[Any] =
+    scala.collection.mutable.PriorityQueue.empty[Any](best.reverse)
+
+  private def offer(buf: scala.collection.mutable.PriorityQueue[Any], v: Any): Unit =
+    if (buf.size < k) buf.enqueue(v)
+    else if (best.compare(v, buf.head) > 0) { buf.dequeue(); buf.enqueue(v) }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[Any],
+                      input: InternalRow): scala.collection.mutable.PriorityQueue[Any] = {
+    val v = child.eval(input)
+    // copy: unsafe rows/arrays returned by eval are reused per input row
+    if (v != null) offer(buf, InternalRow.copyValue(v))
+    buf
+  }
+
+  override def merge(a: scala.collection.mutable.PriorityQueue[Any],
+                     b: scala.collection.mutable.PriorityQueue[Any]): scala.collection.mutable.PriorityQueue[Any] = {
+    b.foreach(offer(a, _))
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[Any]): Any =
+    // ascending under `best`, then flipped → best-first
+    new GenericArrayData(buf.toArray.sorted(best).reverse)
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[Any]): Array[Byte] = {
+    val rows = buf.toArray.map(v => ser(InternalRow(v)).getBytes)
+    val bb = java.nio.ByteBuffer.allocate(4 + rows.map(_.length + 4).sum)
+    bb.putInt(rows.length)
+    rows.foreach { r => bb.putInt(r.length); bb.put(r) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[Any] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val chunk = new Array[Byte](bb.getInt)
+      bb.get(chunk)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+      row.pointTo(chunk, chunk.length)
+      buf.enqueue(InternalRow.copyValue(row.get(0, child.dataType)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKOrdered =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKOrdered =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): TopKOrdered =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom aggregates. */
 object aggs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -148,6 +258,12 @@ object aggs {
     * partitionings AND engines (the DuckDB twin writes the same three
     * ops). The duplicated [[vec_sum_fixed]] reference is deduplicated by
     * Catalyst (one aggregate buffer, not two). */
+  /** Bounded grouped top-k (see [[TopKOrdered]]): the `k` greatest
+    * (`asc=false`) or smallest values of `c` per group, best-first. */
+  def top_k(c: Column, k: Int, asc: Boolean = false): Column =
+    ColumnBridge.column(
+      TopKOrdered(ColumnBridge.expression(c), k, asc).toAggregateExpression())
+
   def vec_mean_fixed(c: Column, scale: Int = 9): Column = {
     val st = vec_sum_fixed(c, scale)
     val powLit = lit(math.pow(10.0, scale))
