@@ -319,14 +319,30 @@ object Dedup {
     val doBroadcast = broadcastIndex.getOrElse {
       if (!eager) true // no job allowed in the lazy path; Some(false) overrides
       else {
-        // One tiny agg over the just-persisted index: it materializes
-        // the cache the candidate join reads anyway, and its count +
-        // token-byte sum give a sound row-layout size estimate
-        // (UnsafeRow: 8B null bits + 3×8B fixed + var-len token ≈ 40B/row)
-        val r = prefixes.agg(count(lit(1)), sum(length(col("tok")))).head()
-        val n = r.getLong(0)
-        val tokBytes = if (r.isNullAt(1)) 0L else r.getLong(1)
-        val estBytes = n * 40L + tokBytes * 2L
+        // Sized WITHOUT materializing the index: counting the persisted
+        // prefixes forced the tokenize→df-join→window chain to run
+        // SERIALLY before the candidate join could start (measured
+        // +2.5 s at sf0.1 — work that otherwise overlaps the join's own
+        // cache fill). A SAMPLED agg over the flat doc sets bounds the
+        // index instead (the sample pushes below the set projection, so
+        // only sampled rows pay the set expression): prefix rows per
+        // doc = sz - ceil(t·sz) + 1; token bytes ≈ prefix rows ×
+        // sample-mean token length × 3 (slack for rare prefix tokens
+        // skewing longer than the mean, and for sampling error — the
+        // cap guards a 256 MiB-scale decision, not a 10 MB one).
+        // UnsafeRow fixed cost: 8B null bits + 3×8B fields ≈ 40B/row.
+        val fraction = 0.05
+        val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
+          .agg(
+            sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
+            sum(length(array_join(col("set"), ""))).cast("long"),
+            sum(col("sz")).cast("long")).head()
+        // an empty sample (tiny corpus) estimates 0 → broadcast, correct
+        val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
+        val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
+        val estBytes = prefixRows * 40L + (prefixRows * avgLen * 3).toLong
         val cap = base.sparkSession.conf
           .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
           .toLong
