@@ -104,6 +104,27 @@ object RecallReport {
       "k=5 nCentroids=256 nProbe=64 lloyd=2 (25% scan = q42)", truth, found)
   }
 
+  /** q58: SemDeDup within-cluster pairs vs brute-force cosine pairs —
+    * quantifies exactly what restricting candidates to k-means cells
+    * costs (a cross-cluster true pair is the only possible miss;
+    * precision is 1.0 by construction, every candidate is
+    * exact-cosine verified). */
+  def semantic(emb: DataFrame): Metrics = {
+    val v = emb.select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    val truth = pairSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Vectors.cosine(col("v_a"), col("v_b")) >= 0.3))
+    val found = pairSet(Dedup.semanticPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, nClusters = 64, iters = 2, probes = 6))
+    val n = emb.count()
+    val mass = Dedup.semanticCandidates(emb, "vec_id", "embedding",
+      nClusters = 64, iters = 2, probes = 6).count().toDouble / (n * (n - 1) / 2)
+    m("q58 semanticPairs",
+      f"cos>=0.3 k-means 64 cells probe-6 lloyd=2 mass=$mass%.2f of all pairs",
+      truth, found)
+  }
+
   /** q50: removal recall of the full LSH curation chain
     * ([[Curation.curateLsh]]) against the SAME chain with exact
     * shingle-Jaccard pairs — both resolve transitive components, so
@@ -137,7 +158,7 @@ object RecallReport {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb),
-      ivfTopK(emb), ivfKmeans(emb), curationChain(docs))
+      ivfTopK(emb), ivfKmeans(emb), semantic(emb), curationChain(docs))
   }
 
   /** The scales the doc AND `RecallSpec` both measure at — one source
@@ -208,6 +229,17 @@ object RecallReport {
         |  md5-ranked spread inits all recall WORSE than lowest-id +
         |  Lloyd here (0.40-0.73 at k=16); fineness, not seed spread, is
         |  what buys IVF recall at fixed scan cost.
+        |- **q58**: SemDeDup (cluster-then-pair, top-`probes` cell
+        |  multi-assignment) — recall loss is exactly the true pairs
+        |  whose members share no probed cell; precision 1.0 by
+        |  construction (exact-cosine verify). The params column carries
+        |  the MEASURED candidate mass as a fraction of n(n-1)/2 — the
+        |  scale-sensitive term. The test corpus only exercises the
+        |  weak-similarity regime (no pairs above cos 0.5 exist), where
+        |  density blocking is structurally at its worst; on tight
+        |  duplicate balls (cos >= 0.9, SemDeDup's actual regime)
+        |  boundary splits are rare — planted-ball recall 1.0 at
+        |  single-probe cost, pinned in DedupSpec.
         |- **q50**: the flagship curation chain end-to-end (language ->
         |  quality -> exact dedup -> LSH near-dup components). Recall is
         |  over REMOVED doc ids vs the exact-shingle-join chain with the

@@ -437,6 +437,16 @@ object SparkEntry {
           col("t.o_totalprice").as("o_totalprice"))
     }),
 
+    // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means
+    // clusters bound the candidate space, within-cluster cosine pairs
+    // drop the higher id. Rows-only — clustering has no SQL oracle;
+    // pair recall vs the brute-force ground truth is measured in
+    // docs/RECALL.md and lower-bounded in RecallSpec.
+    "q58_semantic_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.semanticDedup(embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.3)
+        .select(col("vec_id"), col("label"))),
+
     // Cross-document repeated-substring signal (text.CrossDoc): the
     // fraction of each doc's distinct 5-word shingles that occur in
     // other documents — the substring-level dedup score pairwise joins

@@ -531,4 +531,82 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+  // arXiv:2303.09540 — public methodology): k-means-cluster the
+  // embeddings (Ann.kmeansCentroids, deterministic Lloyd), assign each
+  // vector to its top-`probes` cells, and emit cosine-≥-threshold
+  // pairs sharing a cell. Candidate mass is ≈ p²/k of all pairs
+  // (measured, not assumed — docs/RECALL.md quotes the actual
+  // fraction), so raise `nClusters` with corpus size and buy recall
+  // back with `probes` — a near-dup pair split by one cell boundary
+  // still meets in a second-choice cell (the IVF nProbe idea applied
+  // to the corpus side; single-assignment measured recall 0.27 at
+  // cos 0.3 on the test corpus, probes=6 of 64 cells measures 0.92 at
+  // 0.44 mass). Cross-cell misses are the trade SemDeDup makes; on
+  // its actual regime — tight duplicate balls (cos ≥ 0.9), not the
+  // test corpus's weak cos-0.3 pairs — boundary splits are rare and
+  // recall is ~1 (planted-ball test in DedupSpec). Differs from
+  // embeddingPairs (hyperplane LSH) in candidate geometry: LSH
+  // buckets by random projections (per-pair collision probability),
+  // clustering by the data's own density structure — and the same
+  // centroids serve the IVF ANN index, so a pipeline pays them once.
+
+  /** The candidate (id_a, id_b, v_a, v_b) frame [[semanticPairs]]
+    * verifies: distinct pairs sharing at least one of their top-
+    * `probes` k-means cells. Exposed so candidate mass — THE
+    * scale-sensitive term of cluster-blocked dedup — can be measured
+    * directly (docs/RECALL.md quotes it as a fraction of n(n−1)/2). */
+  def semanticCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                         nClusters: Int = 64, iters: Int = 2,
+                         probes: Int = 6): DataFrame = {
+    val corpus = emb.select(col(idCol).as("id"),
+      Vectors.asDouble(col(vecCol)).as("v"))
+    val cent = graft.sim.Ann.kmeansCentroids(emb, nClusters, iters, idCol, vecCol)
+    // top-`probes` cell assignment via the k-bounded heap aggregate
+    // (map-side partial collapse like lloydRounds' argmax agg — NOT a
+    // window rank over every (vector × centroid) row). Multi-probe
+    // assignment is what keeps recall up: a near-dup pair split by one
+    // cell boundary still meets in a second-choice cell (the IVF
+    // nProbe idea applied to the corpus side).
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(first(col("v")).as("v"),
+        graft.functions.aggs.top_k(
+          struct(col("csim").as("s"), (-col("cid")).as("nc")), probes).as("cells"))
+      .select(col("id"), col("v"),
+        explode(col("cells")).as("cell"))
+      .select((-col("cell").getField("nc")).as("cid"), col("id"), col("v"))
+    val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair sharing several probed cells appears once per shared
+      // cell — dedup BEFORE the cosine so verification work is counted
+      // (and paid) once per pair
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int = 64,
+                    iters: Int = 2, probes: Int = 6): DataFrame =
+    semanticCandidates(emb, idCol, vecCol, nClusters, iters, probes)
+      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+
+  /** Keep-one-per-pair semantic dedup over [[semanticPairs]]: the
+    * higher id of each similar pair drops (pairwise semantics, like
+    * [[Curation.dropNearDups]] — chain through
+    * [[connectedComponents]] for transitive clusters). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nClusters: Int = 64,
+                    iters: Int = 2, probes: Int = 6): DataFrame = {
+    val losers = semanticPairs(emb, idCol, vecCol, threshold,
+        nClusters, iters, probes)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
 }

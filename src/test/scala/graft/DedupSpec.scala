@@ -134,6 +134,44 @@ class DedupSpec extends SparkTestBase {
       Dedup.connectedComponents(longChain, maxIter = 2))
   }
 
+  test("semanticPairs: tight duplicate balls — recall 1.0 at single-probe cost") {
+    // SemDeDup's actual regime: clusters of near-identical vectors
+    // (cos ≥ 0.99 within a ball, ≈ 0.06 across). Near-identical
+    // vectors rank centroids identically, so a ball never splits
+    // across cells — probes = 1 suffices, unlike the weak cos-0.3
+    // regime docs/RECALL.md measures (where probes buy recall back).
+    val dim = 16
+    // ids member-major so the lowest-id Lloyd init picks one vector
+    // from 8 DIFFERENT balls (ball-major ids would seed three
+    // duplicate centroids inside ball 0 and split it — the degenerate
+    // init k-means++-style seeding avoids; spreading ids is this
+    // test's equivalent)
+    val rows = for (ball <- 0 until 10; m <- 0 until 3) yield {
+      val v = Array.fill(dim)(0.0f)
+      v(ball) = 1.0f
+      v((ball + 1) % dim) = 0.02f * (m + 1) // tiny per-member jitter
+      ((m * 10 + ball + 1).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val truth = (for (b <- 0 until 10; i <- 0 until 3; j <- (i + 1) until 3)
+      yield ((i * 10 + b + 1).toLong, (j * 10 + b + 1).toLong)).toSet
+    val found = Dedup.semanticPairs(emb, "vec_id", "embedding",
+        threshold = 0.95, nClusters = 8, iters = 2, probes = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == truth) // recall 1.0 AND precision 1.0
+  }
+
+  test("semanticDedup keeps the lowest id of each similar pair") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 2, iters = 1, probes = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("embeddingPairs finds the planted duplicate vector") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
