@@ -447,6 +447,17 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.3)
         .select(col("vec_id"), col("label"))),
 
+    // Concat-and-chunk sequence packing (ops.Packing): every doc's
+    // position in the per-shard training-token stream — one shuffle on
+    // the shard key, per-shard cumsum, layout reproduced bit-for-bit
+    // by the oracle's window form. Shard count is the parallelism knob
+    // (thousands at corpus scale; 8 here).
+    "q60_sequence_pack" -> ((s, dir) =>
+      graft.ops.Packing.concatChunk(documents(s, dir), "doc_id",
+        TF.tokenCount(col("text")), seqLen = 512, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start"), col("seq_id"), col("offset_in_seq"))),
+
     // Cross-document repeated-substring signal (text.CrossDoc): the
     // fraction of each doc's distinct 5-word shingles that occur in
     // other documents — the substring-level dedup score pairwise joins
@@ -1407,6 +1418,23 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3""".stripMargin,
+
+    // The same per-shard cumulative layout in window form. Casts pin
+    // BIGINT against pandas dtype skew (sum-over-window is HUGEINT).
+    "q60_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+         |  ${TF.sql.tokenCount("text")} AS n FROM documents)
+         |SELECT doc_id, shard, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS start,
+         |  CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    // 512 AS seq_id,
+         |  CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    % 512 AS offset_in_seq
+         |FROM t""".stripMargin,
 
     // Same shingle CTE as q44; count(*) per shingle = carrier docs
     // because the per-doc shingle sets are DISTINCT.
