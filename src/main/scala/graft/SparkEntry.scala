@@ -482,6 +482,29 @@ object SparkEntry {
           (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
     }),
 
+    // The curation FUNNEL itself, oracle-gated (S11 row-count
+    // metadata made cross-engine-verifiable): input / after-language /
+    // after-quality / after-exact-dedup from ONE conditional-agg pass
+    // over the corpus (the count-distinct-fingerprint trick — no
+    // per-stage re-scan), after-near-dedup from the exact chain; the
+    // two one-row frames join scalar-to-scalar. Every number a 100 TB
+    // run would report as its drop accounting is hash-matched here.
+    "q61_curation_funnel" -> ((s, dir) => {
+      val cfg = graft.dedup.Curation.Config()
+      val docs = documents(s, dir)
+      val langOk = col("lang").isin(cfg.langs.toSeq: _*)
+      val keep = langOk && graft.dedup.Curation.qualityOk(col("text"), cfg)
+      val funnel = docs.agg(
+        count(lit(1)).as("input"),
+        count(when(langOk, 1)).as("after_lang"),
+        count(when(keep, 1)).as("after_quality"),
+        count_distinct(when(keep, TF.fingerprint(col("text"))))
+          .as("after_exact_dedup"))
+      val near = graft.dedup.Curation.curateExact(docs, "doc_id", "text", "lang")
+        .agg(count(lit(1)).as("after_near_dedup"))
+      funnel.crossJoin(near)
+    }),
+
     // Transitive duplicate-cluster resolution: connected components
     // over the EXACT n-gram near-dup pair graph (min-label
     // propagation, one keyed shuffle per round) — every clustered
@@ -1295,6 +1318,38 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  sum(n_chars)/count(*) AS avg_chars
          |FROM final GROUP BY 1, 2""".stripMargin,
+
+    // Same stage CTEs as q43, reduced to the per-stage survivor counts.
+    "q61_curation_funnel" ->
+      s"""WITH tokc AS (SELECT doc_id, text, lang, source, n_chars,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens FROM documents),
+         |kept AS (SELECT * FROM tokc
+         |  WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 100000),
+         |surv AS (SELECT * FROM kept WHERE doc_id IN
+         |  (SELECT min(doc_id) FROM kept
+         |   GROUP BY ${TF.sql.fingerprint("text")})),
+         |norm AS (SELECT doc_id,
+         |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM surv),
+         |idx AS (SELECT doc_id, t,
+         |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+         |g AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN length(t) <= 5 THEN t
+         |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+         |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT id_b FROM inter
+         |  JOIN counts ca ON ca.doc_id = id_a
+         |  JOIN counts cb ON cb.doc_id = id_b
+         |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.8),
+         |final AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT id_b FROM losers))
+         |SELECT (SELECT count(*) FROM documents) AS input,
+         |  (SELECT count(*) FROM documents WHERE lang = 'en') AS after_lang,
+         |  (SELECT count(*) FROM kept) AS after_quality,
+         |  (SELECT count(*) FROM surv) AS after_exact_dedup,
+         |  (SELECT count(*) FROM final) AS after_near_dedup""".stripMargin,
 
     "q40_deterministic_sample" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
