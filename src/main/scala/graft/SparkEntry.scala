@@ -505,6 +505,18 @@ object SparkEntry {
       funnel.crossJoin(near)
     }),
 
+    // Mergeable HLL distinct-count sketches (ops.Sketches): per-type
+    // user sketches rolled up by merge — the medallion COUNT(DISTINCT)
+    // that never rescans rows (SketchesSpec pins merge ≡ full-recompute
+    // bit-equality and replay idempotence). Oracle-able because at
+    // cardinalities ≪ 2^lgK the DataSketches HLL is in exact coupon
+    // mode, so the estimate equals DuckDB's exact distinct count.
+    "q62_sketch_rollup" -> ((s, dir) => {
+      val sk = graft.ops.Sketches.distinctSketch(
+        events(s, dir), col("user_id"), Seq("event_type"))
+      graft.ops.Sketches.rollup(sk, Seq("event_type"))
+    }),
+
     // Transitive duplicate-cluster resolution: connected components
     // over the EXACT n-gram near-dup pair graph (min-label
     // propagation, one keyed shuffle per round) — every clustered
@@ -1318,6 +1330,11 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  sum(n_chars)/count(*) AS avg_chars
          |FROM final GROUP BY 1, 2""".stripMargin,
+
+    "q62_sketch_rollup" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_distinct_est
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Same stage CTEs as q43, reduced to the per-stage survivor counts.
     "q61_curation_funnel" ->
