@@ -55,4 +55,25 @@ class EmptyInputSpec extends SparkTestBase {
     assert(kept.count() == 0)
     assert(report.head().getAs[Long]("input") == 0)
   }
+
+  test("range join, packing, top-k, cross-doc, semantic dedup on empty frames") {
+    val noPoints = Seq.empty[(Long, Long)].toDF("t", "pid")
+    val noIvals = Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e")
+    assert(graft.ops.RangeJoin.pointInInterval(noPoints, noIvals,
+      col("t"), col("s"), col("e"), binWidth = 10).count() == 0)
+    val somePoints = Seq((5L, 1L)).toDF("t", "pid")
+    assert(graft.ops.RangeJoin.pointInInterval(somePoints, noIvals,
+      col("t"), col("s"), col("e"), binWidth = 10).count() == 0)
+    assert(graft.ops.Packing.concatChunk(
+      noDocs.withColumn("n", lit(1L)), "doc_id", col("n"), 16, 4).count() == 0)
+    val noKv = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(noKv.groupBy("g")
+      .agg(graft.functions.aggs.top_k(col("v"), 3).as("t")).count() == 0)
+    assert(graft.text.CrossDoc.duplicateShingleStats(
+      noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.semanticPairs(noVecs, "vec_id", "embedding",
+      threshold = 0.5, nClusters = 4, iters = 1, probes = 1).count() == 0)
+    assert(graft.ops.Sketches.rollup(graft.ops.Sketches.distinctSketch(
+      noDocs, col("doc_id"), Seq.empty), Seq.empty).count() == 1) // global agg row
+  }
 }
