@@ -68,5 +68,14 @@ object GraftExtensions {
       info("vec_sum_fixed",
         "vec_sum_fixed(v, scale) - grouped element-wise vector sum as struct(n, sums) of floor(x*10^scale) longs"),
       (args: Seq[Expression]) =>
-        VectorSumFixed(args.head, intArg(args(1), "scale"))))
+        VectorSumFixed(args.head, intArg(args(1), "scale"))),
+    (FunctionIdentifier("top_k"),
+      info("top_k",
+        "top_k(expr, k[, asc]) - bounded per-group top-k of any orderable value, best-first array"),
+      (args: Seq[Expression]) => TopKOrdered(args.head, intArg(args(1), "k"),
+        asc = args.lift(2).exists {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+          case other => throw new IllegalArgumentException(
+            s"asc must be a boolean literal, got $other")
+        })))
 }

@@ -28,4 +28,17 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Long]("sh") != 0L)
   }
+
+  test("custom aggregates callable from SQL") {
+    import spark.implicits._
+    Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "v")
+      .createOrReplaceTempView("ext_topk_in")
+    val rows = sqlSpark.sql(
+      """SELECT g, top_k(v, 2) AS top2, top_k(v, 1, true) AS min1
+        |FROM ext_topk_in GROUP BY g ORDER BY g""".stripMargin)
+      .collect()
+    assert(rows(0).getSeq[Long](1).toSeq == Seq(3L, 2L))
+    assert(rows(0).getSeq[Long](2).toSeq == Seq(1L))
+    assert(rows(1).getSeq[Long](1).toSeq == Seq(9L))
+  }
 }
