@@ -296,10 +296,19 @@ object SparkEntry {
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
-    // --- rows-only (no SQL-expressible oracle): LSH family ---
+    // MinHash-LSH near-dup pairs, oracle-gated against the EXACT
+    // word-shingle all-pairs join: at the gate scales with pinned
+    // seeds the banding recalls every true pair (RECALL.md 1.000/1.000
+    // both scales) and the emitted jaccard is the exact verified set
+    // Jaccard, so LSH output ≡ ground truth and the oracle holds —
+    // AND the gate now fails loudly if a banding change ever loses a
+    // pair (stricter than RecallSpec's 0.8 floor). The est_jaccard
+    // minhash diagnostic stays on the operator, but not in the
+    // declared surface (hash seeds aren't SQL-reproducible).
     "q20_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), "doc_id", "text",
-        shingleK = 3, nHashes = 16, bands = 4, minJaccard = 0.3)),
+          shingleK = 3, nHashes = 16, bands = 4, minJaccard = 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))),
     "q21_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)),
     // (not rows-only since r5: the stub codec is a pure function of the
@@ -1330,6 +1339,73 @@ object SparkEntry {
          |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  sum(n_chars)/count(*) AS avg_chars
          |FROM final GROUP BY 1, 2""".stripMargin,
+
+    // The full LSH curation chain, oracle-gated like q20: measured
+    // removal recall is 1.000 at both gate scales (RECALL.md), so the
+    // kept set equals the exact-join chain's with the same transitive
+    // component semantics — q43's stage CTEs + the 3-word-shingle
+    // pair join + q47's recursive closure.
+    "q50_curation_lsh" ->
+      s"""WITH RECURSIVE
+         |tokc AS (SELECT doc_id, text, lang, source, n_chars,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens FROM documents),
+         |kept AS (SELECT * FROM tokc
+         |  WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 100000),
+         |surv AS (SELECT * FROM kept WHERE doc_id IN
+         |  (SELECT min(doc_id) FROM kept
+         |   GROUP BY ${TF.sql.fingerprint("text")})),
+         |toks2 AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T FROM surv),
+         |base2 AS (SELECT doc_id, T, len(T) AS m FROM toks2),
+         |idx2 AS (SELECT doc_id, T, m,
+         |  unnest(range(1, greatest(m-2, 1)+1)) AS i FROM base2),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN m < 3 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+2), ' ')
+         |  END AS shingle FROM idx2),
+         |counts AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT id_a, id_b FROM inter
+         |  JOIN counts ca ON ca.doc_id = id_a
+         |  JOIN counts cb ON cb.doc_id = id_b
+         |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |removed AS (SELECT id FROM reach GROUP BY id
+         |  HAVING id <> min(comp))
+         |SELECT doc_id, lang, source, n_chars FROM surv
+         |WHERE doc_id NOT IN (SELECT id FROM removed)""".stripMargin,
+
+    // Exact 3-word-shingle all-pairs ground truth (same shingle CTE
+    // shape as q44/q59): LSH recall is 1.0 at gate scale, so the
+    // operator's verified output equals this exactly.
+    "q20_minhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  unnest(range(1, greatest(m-2, 1)+1)) AS i FROM base),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN m < 3 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+2), ' ')
+         |  END AS shingle FROM idx),
+         |counts AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) AS jaccard
+         |FROM inter
+         |JOIN counts ca ON ca.doc_id = id_a
+         |JOIN counts cb ON cb.doc_id = id_b
+         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.3""".stripMargin,
 
     "q62_sketch_rollup" ->
       """SELECT event_type, count(*) AS n_rows,
