@@ -467,6 +467,18 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("start"), col("seq_id"), col("offset_in_seq"))),
 
+    // Engine-portable WEIGHTED sampling (ops.Sampling): keep each doc
+    // with probability ∝ its length signal (importance resampling by
+    // quality weight) — per-row md5 uniform vs per-row hex cut, so the
+    // exact kept set reproduces in any hex-md5 engine; report by lang.
+    "q63_weighted_sample" -> ((s, dir) => {
+      val kept = graft.ops.Sampling.weightedMd5Sample(documents(s, dir),
+        "doc_id", least(lit(1.0), col("n_chars") / lit(400.0)))
+      kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Cross-document repeated-substring signal (text.CrossDoc): the
     // fraction of each doc's distinct 5-word shingles that occur in
     // other documents — the substring-level dedup score pairwise joins
@@ -1406,6 +1418,20 @@ object SparkEntry {
          |JOIN counts ca ON ca.doc_id = id_a
          |JOIN counts cb ON cb.doc_id = id_b
          |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.3""".stripMargin,
+
+    // Same per-row uniform (md5 first 8 hex) vs the same per-row
+    // 8-digit hex cut; lexicographic == numeric on fixed-width hex.
+    "q63_weighted_sample" ->
+      """WITH w AS (SELECT *,
+        |  least(1.0, n_chars / 400.0) AS wt FROM documents),
+        |cut AS (SELECT *,
+        |  lpad(lower(to_hex(CAST(least(floor(wt * 4294967296.0), 4294967295)
+        |    AS BIGINT))), 8, '0') AS threshold FROM w),
+        |kept AS (SELECT * FROM cut
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < threshold)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM kept GROUP BY 1""".stripMargin,
 
     "q62_sketch_rollup" ->
       """SELECT event_type, count(*) AS n_rows,

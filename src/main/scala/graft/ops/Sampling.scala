@@ -56,6 +56,30 @@ object Sampling {
     df.filter(col(idCol).isNotNull && bucket(col(idCol), salt) < threshold)
   }
 
+  /** Engine-portable WEIGHTED (importance) sample: keep each row with
+    * its own probability `weight` ∈ [0, 1] — quality-score resampling,
+    * perplexity-bucket rebalancing, upweighting rare domains. The
+    * per-row uniform is the first 8 md5 hex digits of the id; the
+    * per-row cut is `weight` rendered as an 8-digit lowercase-hex
+    * threshold, so lexicographic compare == numeric compare and ANY
+    * hex-md5 engine reproduces the exact kept set (the DuckDB oracle
+    * does). Weights ≤ 0 drop the row, ≥ 1 always keep (md5 digits
+    * never reach "ffffffff"+1, but floor caps at 16⁸−1... so a
+    * weight-1 row survives every uniform except the all-f draw — one
+    * in 4.3 B; weights clamp rather than throw). Deterministic,
+    * partition-independent, and nested: lowering a row's weight can
+    * only remove it, never swap it for another. */
+  def weightedMd5Sample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    // 16^8 = 4294967296, capped at 16^8−1 so weight-1 rows emit
+    // "ffffffff", never a 9-digit string (lpad TRUNCATES overlength);
+    // hex() uppercases in Spark, md5 is lowercase
+    val cut = lpad(lower(hex(
+      least(floor(w * lit(4294967296.0)).cast("long"), lit(4294967295L)))), 8, "0")
+    df.filter(col(idCol).isNotNull &&
+      substring(md5(col(idCol).cast("string")), 1, 8) < cut)
+  }
+
   /** Engine-portable stratified sample: per-stratum lowercase-hex md5
     * thresholds ([[md5Sample]] semantics per stratum — e.g. language
     * rebalancing a corpus with a decision any hex-md5 engine

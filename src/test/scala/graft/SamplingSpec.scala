@@ -43,6 +43,33 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.nonEmpty && kept.size < all.length)
   }
 
+  test("weightedMd5Sample keeps each row per its own probability, portably") {
+    import org.apache.spark.sql.functions._
+    // weights proportional to id (clamped): java-side replica decides
+    val withW = docs.withColumn("w", least(lit(1.0), col("doc_id") / lit(250.0)))
+    val kept = Sampling.weightedMd5Sample(withW, "doc_id", col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = docs.select("doc_id").as[Long].collect()
+    val want = all.filter { id =>
+      val w = math.min(1.0, id / 250.0)
+      val cutLong = math.min(math.floor(w * 4294967296.0).toLong, 4294967295L)
+      val cut = f"$cutLong%08x"
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      hex < cut
+    }.toSet
+    assert(kept == want)
+    assert(kept.nonEmpty && kept.size < all.length)
+    // weight 1 keeps (effectively) everything; weight 0 keeps nothing
+    assert(Sampling.weightedMd5Sample(withW, "doc_id", lit(1.0)).count() == all.length)
+    assert(Sampling.weightedMd5Sample(withW, "doc_id", lit(0.0)).count() == 0)
+    // monotone: lowering weights only removes rows
+    val lower = Sampling.weightedMd5Sample(withW, "doc_id", col("w") / 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lower.subsetOf(kept))
+  }
+
   test("md5Sample thresholds nest and reject non-hex input") {
     val small = Sampling.md5Sample(docs, "doc_id", "1")
       .select("doc_id").as[Long].collect().toSet
