@@ -401,6 +401,21 @@ object SparkEntry {
           substring(col("text"), 1, 48).as("title")),
         "doc_id", "title", maxDist = 2)),
 
+    // Incremental EXACT similarity maintenance (daily-ingest dedup):
+    // pairs touching the "new batch" (doc_id % 10 = 0) vs the standing
+    // corpus, WITHOUT the corpus×corpus candidate join — the probe
+    // side of the prefix join holds batch prefixes only. Oracle = the
+    // q24 all-pairs CTE restricted to batch-touching pairs; DedupSpec
+    // proves equality with the full join at the operator level.
+    "q64_incremental_pairs" -> ((s, dir) => {
+      val sets = documents(s, dir)
+        .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+      Dedup.incrementalSimilarityPairs(
+        sets.filter(col("doc_id") % 10 =!= 0),
+        sets.filter(col("doc_id") % 10 === 0),
+        "doc_id", threshold = 0.4)
+    }),
+
     // Bin-blocked RANGE join (ops.RangeJoin): purchase attribution —
     // for each purchase event, every click by the same user in the
     // hour before it. The range predicate becomes an equi-join on
@@ -1171,6 +1186,27 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    // q24's all-pairs CTE restricted to pairs touching the batch.
+    "q64_incremental_pairs" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN length(t) <= 5 THEN t
+        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+        |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) AS jaccard
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = id_a
+        |JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4
+        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin,
 
     "q49_pii_redaction" ->
       s"""SELECT doc_id, ${TF.sql.redactPii("text")} AS clean_text,

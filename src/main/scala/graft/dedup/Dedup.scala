@@ -316,39 +316,7 @@ object Dedup {
     val prefixes =
       if (eager) prefixesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else prefixesPlan
-    val doBroadcast = broadcastIndex.getOrElse {
-      if (!eager) true // no job allowed in the lazy path; Some(false) overrides
-      else {
-        // Sized WITHOUT materializing the index: counting the persisted
-        // prefixes forced the tokenize→df-join→window chain to run
-        // SERIALLY before the candidate join could start (measured
-        // +2.5 s at sf0.1 — work that otherwise overlaps the join's own
-        // cache fill). A SAMPLED agg over the flat doc sets bounds the
-        // index instead (the sample pushes below the set projection, so
-        // only sampled rows pay the set expression): prefix rows per
-        // doc = sz - ceil(t·sz) + 1; token bytes ≈ prefix rows ×
-        // sample-mean token length × 3 (slack for rare prefix tokens
-        // skewing longer than the mean, and for sampling error — the
-        // cap guards a 256 MiB-scale decision, not a 10 MB one).
-        // UnsafeRow fixed cost: 8B null bits + 3×8B fields ≈ 40B/row.
-        val fraction = 0.05
-        val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
-          .agg(
-            sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
-            sum(length(array_join(col("set"), ""))).cast("long"),
-            sum(col("sz")).cast("long")).head()
-        // an empty sample (tiny corpus) estimates 0 → broadcast, correct
-        val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
-        val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
-        val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
-        val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
-        val estBytes = prefixRows * 40L + (prefixRows * avgLen * 3).toLong
-        val cap = base.sparkSession.conf
-          .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
-          .toLong
-        estBytes <= cap
-      }
-    }
+    val doBroadcast = decideBroadcast(prepped, threshold, broadcastIndex, eager)
     val a = prefixes.select(col("tok"), col("id").as("id_a"),
       col("sz").as("sz_a"), col("rn").as("rn_a"))
     val bBare = prefixes.select(col("tok"), col("id").as("id_b"),
@@ -390,6 +358,125 @@ object Dedup {
     // ContextCleaner once the returned frame is unreachable. This makes
     // the operator eager — its callers (dedup gates, oracle queries)
     // all consume the pairs immediately anyway.
+    if (eager) {
+      val out = verified.localCheckpoint(true)
+      prefixes.unpersist(false)
+      out
+    } else verified
+  }
+
+  /** Whether to broadcast the prefix-index side of the candidate join.
+    * Sized WITHOUT materializing the index: counting the persisted
+    * prefixes forced the tokenize→df-join→window chain to run SERIALLY
+    * before the candidate join could start (measured +2.5 s at sf0.1 —
+    * work that otherwise overlaps the join's own cache fill). A SAMPLED
+    * agg over the flat doc sets bounds the index instead (the sample
+    * pushes below the set projection, so only sampled rows pay the set
+    * expression): prefix rows per doc = sz - ceil(t·sz) + 1; token
+    * bytes ≈ prefix rows × sample-mean token length × 3 (slack for rare
+    * prefix tokens skewing longer than the mean, and for sampling error
+    * — the cap guards a 256 MiB-scale decision, not a 10 MB one).
+    * UnsafeRow fixed cost: 8B null bits + 3×8B fields ≈ 40B/row. */
+  private def decideBroadcast(prepped: DataFrame, threshold: Double,
+                              broadcastIndex: Option[Boolean],
+                              eager: Boolean): Boolean =
+    broadcastIndex.getOrElse {
+      if (!eager) true // no job allowed in the lazy path; Some(false) overrides
+      else {
+        val fraction = 0.05
+        val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
+          .agg(
+            sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
+            sum(length(array_join(col("set"), ""))).cast("long"),
+            sum(col("sz")).cast("long")).head()
+        // an empty sample (tiny corpus) estimates 0 → broadcast, correct
+        val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
+        val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
+        val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
+        val estBytes = prefixRows * 40L + (prefixRows * avgLen * 3).toLong
+        val cap = prepped.sparkSession.conf
+          .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
+          .toLong
+        estBytes <= cap
+      }
+    }
+
+  /** Incremental EXACT similarity maintenance: every ≥-threshold pair
+    * that TOUCHES the new batch — batch×corpus and batch×batch —
+    * without re-running the corpus×corpus candidate join. This is the
+    * daily-ingest shape: the candidate join's probe side holds only
+    * the BATCH's prefix rows, so candidate mass scales with batch
+    * prefix mass × token df, not the corpus's. Token document
+    * frequencies and the rarest-first prefix ordering come from the
+    * UNION — the same global order a full [[exactSimilarityPairs]]
+    * over the union would use — so the AllPairs prefix theorem and
+    * the PPJoin positional filter apply unchanged, and the output is
+    * spec-proven EQUAL to the full join restricted to batch-touching
+    * pairs (DedupSpec). One linear scan of the corpus (df + index
+    * build) remains — unavoidable without state; a production
+    * pipeline persists the prefix index as a medallion artifact and
+    * appends the batch's increment instead of rebuilding (the same
+    * split as [[graft.dedup.Curation.materializePairs]]).
+    *
+    * `corpusBase`/`batchBase` are (idCol, set) frames like
+    * [[exactSimilarityPairs]]'s `base`; ids must be unique ACROSS both
+    * (a batch row reusing a corpus id would dedup against itself).
+    * Output (id_a, id_b, jaccard), id_a < id_b, each pair once. */
+  def incrementalSimilarityPairs(corpusBase: DataFrame, batchBase: DataFrame,
+                                 idCol: String, threshold: Double,
+                                 broadcastIndex: Option[Boolean] = None,
+                                 eager: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val prepped = corpusBase.select(col(idCol).as("id"), col("set"))
+      .unionByName(batchBase.select(col(idCol).as("id"), col("set")))
+      .withColumn("sz", size(col("set")))
+    val batchIds = batchBase.select(col(idCol).as("id")).distinct()
+    val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
+    val prefixesPlan = toks.join(dfT, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"), col("sz"), col("rn"))
+    val prefixes =
+      if (eager) prefixesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prefixesPlan
+    val doBroadcast = decideBroadcast(prepped, threshold, broadcastIndex, eager)
+    // probe side: batch prefixes only (the incremental restriction)
+    val a = prefixes.join(broadcast(batchIds), Seq("id"))
+      .select(col("tok"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+    val bBare = prefixes.select(col("tok"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("rn").as("rn_b"))
+    val b = if (doBroadcast) broadcast(bBare) else bBare
+    val alpha = lit(threshold / (1 + threshold))
+    // id_a != id_b (not <): a batch doc must also pair with corpus docs
+    // of LOWER id; batch×batch pairs arrive in both orders and collapse
+    // in the canonical select below
+    val cand = a.join(b, Seq("tok"))
+      .filter(col("id_a") =!= col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("rn_a")).as("amax"), max(col("rn_b")).as("bmax"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("cnt") +
+        least(col("sz_a") - col("amax"), col("sz_b") - col("bmax")) >=
+        alpha * (col("sz_a") + col("sz_b")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+    val verified = cand
+      .join(prepped.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
     if (eager) {
       val out = verified.localCheckpoint(true)
       prefixes.unpersist(false)

@@ -134,6 +134,22 @@ class DedupSpec extends SparkTestBase {
       Dedup.connectedComponents(longChain, maxIter = 2))
   }
 
+  test("incrementalSimilarityPairs == full join restricted to batch-touching pairs") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(Dedup.exactSimilarityPairs(sets, "doc_id", 0.4))
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val inc = pairs(Dedup.incrementalSimilarityPairs(
+      sets.filter(col("doc_id") % 5 =!= 0),
+      sets.filter(col("doc_id") % 5 === 0), "doc_id", 0.4))
+    assert(inc == expected)
+    assert(expected.nonEmpty, "trivially-true test — pick a batch that has pairs")
+    assert(inc.size < full.size, "batch restriction must prune something")
+  }
+
   test("semanticPairs: tight duplicate balls — recall 1.0 at single-probe cost") {
     // SemDeDup's actual regime: clusters of near-identical vectors
     // (cos ≥ 0.99 within a ball, ≈ 0.06 across). Near-identical
