@@ -461,6 +461,14 @@ object SparkEntry {
           col("t.o_totalprice").as("o_totalprice"))
     }),
 
+    // Self k-NN JOIN (Ann.knnJoin): every vector's k approximate
+    // nearest neighbors — the k-NN graph. Symmetric LSH bucket
+    // self-join (no broadcastable query side exists when every vector
+    // is a query) + the k-bounded heap aggregate for per-vector top-k.
+    // Rows-only; graph recall ≥0.95 measured in RECALL.md.
+    "q65_knn_graph" -> ((s, dir) =>
+      graft.sim.Ann.knnJoin(embeddings(s, dir), k = 5)),
+
     // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means
     // clusters bound the candidate space, within-cluster cosine pairs
     // drop the higher id. Rows-only — clustering has no SQL oracle;

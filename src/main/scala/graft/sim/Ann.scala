@@ -213,4 +213,60 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
+
+  /** Self k-NN JOIN: every vector's k approximate nearest neighbors —
+    * the k-NN graph semantic dedup, SemDeDup-style clustering audits,
+    * and diversity sampling all build on. [[lshTopK]] assumes a small
+    * broadcastable query set; here EVERY vector is a query, so the
+    * shape is symmetric instead: candidates come from a bucket
+    * SELF-join over the same `nTables` independent hyperplane tables
+    * (ids only — vectors never replicate across tables), mirrored into
+    * both directions, and each vector's top-k is taken by the
+    * k-bounded heap aggregate ([[graft.functions.aggs.top_k]]) — the
+    * partial buffers prune to k map-side, so the exchange carries
+    * |V|·k skinny rows, never the candidate mass, and no window ever
+    * sorts a whole candidate partition.
+    *
+    * Recall vs the brute-force graph is measured in docs/RECALL.md and
+    * bounded in RecallSpec (the same LSH recall math as [[lshTopK]];
+    * no multi-probe — the mirror doubles candidate coverage instead).
+    * `maxBucket` caps hyperplane-bucket floods like the dedup family's
+    * candidate generators. */
+  def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 3, nTables: Int = 16,
+              dim: Int = 64, maxBucket: Int = 10000,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tables = (0 until nTables)
+      .map(t => Vectors.seededPlanes(nPlanes, dim, seed = 42L + t))
+    def bucketArray(v: Column): Column =
+      array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("t"), Vectors.hyperplaneBucket(v, planes).as("b"))
+      }: _*)
+    val corpus = prep(emb, idCol, vecCol)
+    val buckets = corpus
+      .select(col("id"), explode(bucketArray(col("v"))).as("tb"))
+      .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    // flood cap: a bucket holding maxBucket+ ids (near-constant vectors,
+    // zero embeddings) would emit size² pairs; drop it loudly via count
+    val bucketSizes = buckets.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("tbl"), col("bucket"))
+    val capped = buckets.join(bucketSizes, Seq("tbl", "bucket"))
+    val a = capped.select(col("tbl"), col("bucket"), col("id").as("qid"))
+    val b = capped.select(col("tbl"), col("bucket"), col("id"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
+      .dropDuplicates("qid", "id")
+    val scored = cand
+      .join(corpus.select(col("id"), col("v")), Seq("id"))
+      .join(corpus.select(col("id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .withColumn("sim", Vectors.cosine(col("qv"), col("v")))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.aggs.top_k(
+        struct(col("sim").as("s"), (-col("id")).as("ni")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("qid"), (-col("t.ni")).as(idCol),
+        col("t.s").as("sim"), (col("r") + 1).cast("int").as("rank"))
+  }
 }

@@ -56,6 +56,14 @@ class RecallSpec extends SparkTestBase {
       assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
 
+    test(s"[$tag] self k-NN graph recall >= 0.95 (q65)") {
+      // measured 0.980/0.986 at r=3 × L=16 over ALL (vector, neighbor)
+      // edges — every vector is a query, so this is the graph the
+      // dedup/diversity pipelines would actually consume
+      val x = RecallReport.knnGraph(emb)
+      assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
+    }
+
     test(s"[$tag] SemDeDup cluster-blocked pairs recall >= 0.9 (q58)") {
       // measured 0.924/0.914 at 64 cells × probe-6 on the WEAK
       // (cos 0.3) regime — the hardest case for density blocking; the
