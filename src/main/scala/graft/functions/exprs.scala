@@ -165,7 +165,26 @@ case class WordShingles(child: Expression, k: Int)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+    val out = ShingleBuilder.distinctShingles(input.asInstanceOf[ArrayData], k)
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) {
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared tight-loop shingle-set builder for [[WordShingles]] (array
+  * form) and [[WordShingleExplode]] (generator form) — one definition,
+  * so the two surfaces can never drift. */
+private[functions] object ShingleBuilder {
+  def distinctShingles(arr: ArrayData, k: Int): java.util.LinkedHashSet[String] = {
     val m = arr.numElements()
     val toks = new Array[String](m)
     var i = 0
@@ -190,14 +209,37 @@ case class WordShingles(child: Expression, k: Int)
         i += 1
       }
     }
-    val res = new Array[Any](out.size)
-    val it = out.iterator()
-    i = 0
-    while (it.hasNext) {
-      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
-      i += 1
+    out
+  }
+}
+
+/** GENERATOR form of [[WordShingles]]: emits each distinct k-word
+  * shingle as its own output ROW — the custom-`Generator` surface
+  * (SURVEY §7.4). Semantically identical to
+  * `explode(word_shingles(toks, k))`, but the per-document shingle
+  * array is never materialized: rows stream straight out of the
+  * builder, which matters on the corpus-wide shingle scans (q44/q59
+  * explode ~300 shingles per document). Null token arrays generate
+  * nothing (matching explode-of-null). */
+case class WordShingleExplode(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+  override def elementSchema: StructType =
+    new StructType().add("shingle", StringType, nullable = false)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val it = ShingleBuilder
+        .distinctShingles(v.asInstanceOf[ArrayData], k).iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(it.next()))
+      }
     }
-    new GenericArrayData(res)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -280,6 +322,9 @@ object exprs {
     toCol(DotProductD(toExpr(a), toExpr(b)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
+  /** Generator: one row per distinct k-shingle (see [[WordShingleExplode]]). */
+  def word_shingle_rows(c: Column, k: Int): Column =
+    toCol(WordShingleExplode(toExpr(c), k))
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSim(toExpr(a), toExpr(b)))
   def cents(c: Column): Column = toCol(Cents(toExpr(c)))

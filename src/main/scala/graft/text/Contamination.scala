@@ -19,21 +19,22 @@ import org.apache.spark.sql.functions._
   * (collision-tolerant for a flagging decision).
   */
 object Contamination {
-  private def shingles(c: Column, k: Int): Column =
-    graft.functions.exprs.word_shingles(TextFunctions.tokens(c), k)
-
   /** (idCol, n_hits, contaminated) for EVERY document of `docs` —
     * zero-hit rows are kept (n_hits = 0) so downstream filters see an
     * explicit decision per document, never an absence. */
   def flag(docs: DataFrame, probes: DataFrame, idCol: String,
            textCol: String, shingleK: Int = 5, minHits: Int = 2): DataFrame = {
+    // generator form (word_shingle_rows): shingle rows stream straight
+    // out of the tight-loop builder, no per-doc array materialization
     val probeShingles = probes
-      .select(explode(shingles(col(textCol), shingleK)).as("shingle"))
+      .select(graft.functions.exprs.word_shingle_rows(
+        TextFunctions.tokens(col(textCol)), shingleK).as("shingle"))
       .distinct()
-    // doc shingle sets are distinct per doc (WordShingles emits a set),
+    // doc shingle sets are distinct per doc (the builder emits a set),
     // so count(*) after the join IS the distinct-overlap size
     val hits = docs
-      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("shingle"))
+      .select(col(idCol), graft.functions.exprs.word_shingle_rows(
+        TextFunctions.tokens(col(textCol)), shingleK).as("shingle"))
       .join(broadcast(probeShingles), Seq("shingle"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     docs.select(col(idCol))

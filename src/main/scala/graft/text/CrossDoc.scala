@@ -35,9 +35,11 @@ object CrossDoc {
     * document scores. */
   def duplicateShingleStats(docs: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol), explode(
-      graft.functions.exprs.word_shingles(
-        TextFunctions.tokens(col(textCol)), shingleK)).as("shingle"))
+    // generator form: shingle rows stream straight out of the builder,
+    // no per-doc array materialization before the explode
+    val sh = docs.select(col(idCol),
+      graft.functions.exprs.word_shingle_rows(
+        TextFunctions.tokens(col(textCol)), shingleK).as("shingle"))
     val carriers = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("__n_docs"))
     sh.join(carriers, Seq("shingle"))

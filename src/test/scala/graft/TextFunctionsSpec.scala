@@ -5,6 +5,26 @@ import graft.text.TextFunctions
 
 /** text.TextFunctions: tokenizer edges, lang-ID, fingerprint. */
 class TextFunctionsSpec extends SparkTestBase {
+
+  test("word_shingle_rows generator ≡ explode(word_shingles) incl. short/dup docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.exprs
+    import graft.text.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c a b c a b c"), // dup shingles collapse
+      (3L, "tiny"), (4L, "x y"), (5L, "")             // short-doc whole-text rule
+    ).toDF("doc_id", "text")
+    val viaArray = docs.select(col("doc_id"),
+        explode(exprs.word_shingles(TF.tokens(col("text")), 3)).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaGen = docs.select(col("doc_id"),
+        exprs.word_shingle_rows(TF.tokens(col("text")), 3).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaGen == viaArray)
+    assert(viaGen.contains((3L, "tiny")) && viaGen.contains((5L, "")))
+    assert(viaGen.count(_._1 == 2L) == 3) // distinct, not 7
+  }
   import spark.implicits._
 
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
