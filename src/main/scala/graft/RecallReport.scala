@@ -111,7 +111,7 @@ object RecallReport {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Ann.bruteForceTopK(emb, emb, k = 5))
     val found = pairs(Ann.knnJoin(emb, k = 5))
-    m("q65 knnJoin", "k=5 r=3 planes x L=16 tables, self-graph", truth, found)
+    m("q65 knnJoin", "k=5 r=4 planes x L=16 tables, self-graph", truth, found)
   }
 
   /** q58: SemDeDup within-cluster pairs vs brute-force cosine pairs —
@@ -244,10 +244,10 @@ object RecallReport {
         |  there is no broadcastable probe side; candidates come from a
         |  symmetric bucket self-join over L independent tables and each
         |  vector's top-k is a k-bounded heap aggregate (map-side
-        |  pruned), never a window over candidate partitions. r buys
-        |  bucket selectivity (raise it with corpus size), L buys
-        |  recall: r=3 x L=12 measured 0.944-0.952, L=16 lifts to
-        |  0.980-0.986.
+        |  pruned), never a window over candidate partitions. Candidate
+        |  mass ~ n^2 L/2^r, so r scales with the corpus; the measured
+        |  curve: r=4 x L=16 = 0.90 (default), r=3 x L=16 = 0.98 at 2x
+        |  the candidates, r=2 x L=12 = 0.995 at 8x.
         |- **q58**: SemDeDup (cluster-then-pair, top-`probes` cell
         |  multi-assignment) — recall loss is exactly the true pairs
         |  whose members share no probed cell; precision 1.0 by

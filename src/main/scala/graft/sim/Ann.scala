@@ -230,9 +230,13 @@ object Ann {
     * Recall vs the brute-force graph is measured in docs/RECALL.md and
     * bounded in RecallSpec (the same LSH recall math as [[lshTopK]];
     * no multi-probe — the mirror doubles candidate coverage instead).
+    * Candidate mass ≈ n²·L/2^r, so `nPlanes` is the knob that scales
+    * with the corpus (each +1 halves mass); measured trade at the gate
+    * corpora: r=3 recalls 0.98 at 2× the candidates of r=4's 0.90 —
+    * the default takes r=4, raise L to buy recall back when needed.
     * `maxBucket` caps hyperplane-bucket floods like the dedup family's
     * candidate generators. */
-  def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 3, nTables: Int = 16,
+  def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 16,
               dim: Int = 64, maxBucket: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tables = (0 until nTables)

@@ -56,12 +56,14 @@ class RecallSpec extends SparkTestBase {
       assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
 
-    test(s"[$tag] self k-NN graph recall >= 0.95 (q65)") {
-      // measured 0.980/0.986 at r=3 × L=16 over ALL (vector, neighbor)
-      // edges — every vector is a query, so this is the graph the
-      // dedup/diversity pipelines would actually consume
+    test(s"[$tag] self k-NN graph recall >= 0.85 (q65)") {
+      // measured 0.905/0.895 at the r=4 × L=16 default over ALL
+      // (vector, neighbor) edges — every vector is a query. r=4 is the
+      // candidate-mass setting (mass ~ n²L/2^r); r=3 lifts recall to
+      // 0.98 at 2× the candidates when a consumer wants it (curve in
+      // RECALL.md notes).
       val x = RecallReport.knnGraph(emb)
-      assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
+      assert(x.recall >= 0.85, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
 
     test(s"[$tag] SemDeDup cluster-blocked pairs recall >= 0.9 (q58)") {
