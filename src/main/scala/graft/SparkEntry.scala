@@ -41,8 +41,11 @@ object SparkEntry {
   private[graft] def pairGraphTable(s: SparkSession, dir: String,
                                     threshold: Double): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    // round, not truncate: (0.29*100).toInt == 28 in binary64, which
+    // would collide with threshold 0.28's graph and silently serve
+    // pairs built at the wrong cutoff
     val table = "dup_pairs_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
-      "_t" + (threshold * 100).toInt
+      "_t" + math.round(threshold * 1000)
     if (!cat.exists(s, table))
       graft.dedup.Curation.materializePairs(documents(s, dir), "doc_id", "text",
         cat, table, ngramN = 5, threshold = threshold)

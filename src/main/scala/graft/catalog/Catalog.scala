@@ -68,14 +68,16 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     * sink needs: streaming/batch appends accumulate files per
     * micro-batch, and at 100 TB a table of million-row-total,
     * thousand-file partitions wastes its scan time on open/footer
-    * overhead and floods the driver with file listings. Rewrites the
-    * table (or one partition subtree via `partition` like
-    * "month=1996-03") into ≈`targetBytes`-sized files, computed from
-    * the CURRENT on-disk size — never a guessed constant — and
-    * preserves values byte-for-byte (CompactionSpec pins data equality
-    * and the file-count drop). Uses a temp-dir + atomic-ish swap so a
-    * crashed compaction never leaves a half-written table; re-running
-    * is idempotent. */
+    * overhead and floods the driver with file listings. Rewrites an
+    * unpartitioned table — or ONE partition subtree via `partition`
+    * like "month=1996-03"; a partitioned root refuses a flat rewrite —
+    * into ≈`targetBytes`-sized files, computed from the CURRENT
+    * on-disk size, never a guessed constant, preserving values
+    * byte-for-byte (CompactionSpec pins data equality and the
+    * file-count drop). Scratch dirs are underscore-prefixed siblings
+    * (invisible to partition discovery, so concurrent readers never
+    * see a phantom copy), the install is a rename pair with crash
+    * recovery on re-entry — a died compaction re-runs to completion. */
   def compact(spark: SparkSession, table: String,
               partition: Option[String] = None,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -83,13 +85,33 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     val rel = partition.map(p => s"$table/$p").getOrElse(table)
     val dir = new org.apache.hadoop.fs.Path(path(rel))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scratch dirs are SIBLINGS of the target but underscore-prefixed:
+    // Spark's partition discovery ignores _-prefixed paths, so a
+    // concurrent whole-table read during compaction never sees the
+    // half-written copy as a phantom partition value
+    def scratch(suffix: String) = new org.apache.hadoop.fs.Path(
+      dir.getParent, "_" + dir.getName + suffix)
+    val tmp = scratch("__compacting")
+    val bak = scratch("__old")
+    // crash recovery: a previous run that died between the two renames
+    // left the data under the backup name — restore it first, so
+    // re-running a crashed compaction is genuinely idempotent
+    if (!fs.exists(dir) && fs.exists(bak)) {
+      if (!fs.rename(bak, dir)) throw new java.io.IOException(
+        s"compact: could not restore $bak after a previous crash")
+    }
+    // a partition-structured root must compact per partition — a flat
+    // rewrite would fold the directory-encoded keys into the files and
+    // silently destroy pruning + dynamic partition overwrite
+    val partitioned = fs.listStatus(dir).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned, s"compact: $dir contains partition " +
+      "subdirectories — compact each partition (partition = Some(\"k=v\"))")
     val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir.toString)
-    val tmp = new org.apache.hadoop.fs.Path(path(rel) + "__compacting")
     // coalesce, not repartition: merging files needs no shuffle
     df.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path(rel) + "__old")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(dir, bak))
       throw new java.io.IOException(s"compact: could not move $dir aside")

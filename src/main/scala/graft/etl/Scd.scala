@@ -60,9 +60,13 @@ object Scd {
     * for, and nothing more.
     *
     * Equivalence `applyChanges(history(a), b) == history(a ∪ b)` holds
-    * exactly (spec-pinned): the open row carries its original
-    * `effective_from` into the recompute, and an incoming unchanged
-    * snapshot collapses against it.
+    * exactly (spec-pinned) for in-order batches: the open row carries
+    * its original `effective_from` into the recompute, and an incoming
+    * unchanged snapshot collapses against it. A batch observation
+    * OLDER than a key's open-period start would require rewriting
+    * closed history — the operator THROWS on it (spec-pinned) instead
+    * of silently emitting overlapping periods; retro-corrections go
+    * through a full rebuild.
     *
     * @param current output of [[history]] (or a previous applyChanges)
     * @param changes new observations, same key/attr/ts columns
@@ -84,9 +88,32 @@ object Scd {
       // same timestamp regardless of the tie column's type
       else tieCols.foldLeft(openAsChange)((d, t) =>
         d.withColumn(t, lit(null).cast(changes.schema(t).dataType))))
+      .withColumn("__reopened", lit(true))
       .unionByName(
-        changes.select((keyCols ++ attrCols :+ tsCol) ++ tieCols map col: _*))
+        changes.select((keyCols ++ attrCols :+ tsCol) ++ tieCols map col: _*)
+          .withColumn("__reopened", lit(false)))
+    // GUARD: an observation OLDER than its key's open-period start
+    // belongs inside closed history — folding it into the open∪batch
+    // recompute would emit overlapping periods and silently diverge
+    // from history(a ∪ b). Refuse loudly (the caller must full-rebuild
+    // for retro-corrections). The check rides ON the ts column (not a
+    // side column Catalyst would prune) and its window shares the
+    // key partitioning the history windows use.
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val openStart = max(when(col("__reopened"), col(tsCol))).over(wKey)
+    val guarded = openAndNew
+      .withColumn(tsCol,
+        when(!col("__reopened") && col(tsCol) < openStart,
+          raise_error(concat(
+            lit("Scd.applyChanges: observation at "),
+            col(tsCol).cast("string"),
+            lit(" predates the open period start "),
+            openStart.cast("string"),
+            lit(" — late-arriving changes inside closed history need a full rebuild (history(a ∪ b))"))))
+          .otherwise(col(tsCol)))
+      .drop("__reopened")
     closed.unionByName(
-      history(openAndNew, keyCols, tsCol, attrCols, tieCols))
+      history(guarded, keyCols, tsCol, attrCols, tieCols))
   }
 }

@@ -252,18 +252,18 @@ object aggs {
     ColumnBridge.column(
       VectorSumFixed(ColumnBridge.expression(c), scale).toAggregateExpression())
 
-  /** Element-wise mean vector (`array<double>`) at fixed-point `scale`:
-    * `(double) sums[i] / 10^scale / n` — exact integer sum, then two
-    * divisions in a pinned order, so the result is bit-identical across
-    * partitionings AND engines (the DuckDB twin writes the same three
-    * ops). The duplicated [[vec_sum_fixed]] reference is deduplicated by
-    * Catalyst (one aggregate buffer, not two). */
   /** Bounded grouped top-k (see [[TopKOrdered]]): the `k` greatest
     * (`asc=false`) or smallest values of `c` per group, best-first. */
   def top_k(c: Column, k: Int, asc: Boolean = false): Column =
     ColumnBridge.column(
       TopKOrdered(ColumnBridge.expression(c), k, asc).toAggregateExpression())
 
+  /** Element-wise mean vector (`array<double>`) at fixed-point `scale`:
+    * `(double) sums[i] / 10^scale / n` — exact integer sum, then two
+    * divisions in a pinned order, so the result is bit-identical across
+    * partitionings AND engines (the DuckDB twin writes the same three
+    * ops). The duplicated [[vec_sum_fixed]] reference is deduplicated by
+    * Catalyst (one aggregate buffer, not two). */
   def vec_mean_fixed(c: Column, scale: Int = 9): Column = {
     val st = vec_sum_fixed(c, scale)
     val powLit = lit(math.pow(10.0, scale))

@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
   private val Bin = "__rj_bin"
 
-  /** Bin id covering value `v` for width `w`: floor division (works
-    * for negative epochs too, unlike `v / w` integer division). */
+  /** Bin id covering value `v` for width `w`: EXACT long floor
+    * division — `(v - pmod(v, w)) / w` stays in integer arithmetic,
+    * handles negative values (pmod is non-negative), and is correct
+    * for the full long range. A double-division floor would misbin
+    * values above 2^53 (nanosecond epochs ≈ 1.7e18 round to the
+    * nearest 256 as doubles) and silently LOSE matching pairs — the
+    * residual filter can only remove false candidates, never recover
+    * a pair the binning failed to co-locate. */
   private def binOf(v: Column, w: Long): Column =
-    floor(v / lit(w.toDouble)).cast("long")
+    call_function("div", v - pmod(v, lit(w)), lit(w))
 
   /** points ⋈ intervals on `start <= t < end` (half-open, ASOF-style)
     * plus any `equiKeys` present on BOTH sides.

@@ -250,7 +250,12 @@ object Ann {
       .select(col("id"), explode(bucketArray(col("v"))).as("tb"))
       .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
     // flood cap: a bucket holding maxBucket+ ids (near-constant vectors,
-    // zero embeddings) would emit size² pairs; drop it loudly via count
+    // zero embeddings) would emit size² pairs — such buckets are
+    // EXCLUDED from candidate generation (like the dedup family's
+    // maxBucket bound). A vector whose every bucket floods in every
+    // table emits no edges and is absent from the graph; recall
+    // accounting in RECALL.md covers this, and consumers needing a row
+    // per vector left-join the corpus back
     val bucketSizes = buckets.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)

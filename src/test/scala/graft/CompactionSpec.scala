@@ -39,6 +39,28 @@ class CompactionSpec extends SparkTestBase {
     assert(cat.read(spark, "t").collect().map(_.toSeq).toSet == beforeRows)
   }
 
+  test("partitioned root refuses a flat rewrite; scratch dirs invisible to discovery") {
+    val (cat, root) = newCatalog()
+    cat.append(Seq((1L, "x", "m1"), (2L, "y", "m2")).toDF("id", "v", "m"),
+      "p", partitionBy = Seq("m"))
+    intercept[IllegalArgumentException](cat.compact(spark, "p"))
+    // a stale _-prefixed scratch dir is ignored by partition discovery
+    new java.io.File(s"$root/p/_m=m1__compacting").mkdirs()
+    assert(cat.read(spark, "p").count() == 2)
+  }
+
+  test("crash recovery: a run that died between renames restores on re-entry") {
+    val (cat, root) = newCatalog()
+    cat.append((1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "t")
+    val rows = cat.read(spark, "t").collect().map(_.toSeq).toSet
+    // simulate the crash window: data moved aside, replacement missing
+    val fs = new java.io.File(s"$root/t")
+    assert(fs.renameTo(new java.io.File(s"$root/_t__old")))
+    cat.compact(spark, "t")
+    assert(cat.read(spark, "t").collect().map(_.toSeq).toSet == rows)
+    assert(!new java.io.File(s"$root/_t__old").exists())
+  }
+
   test("partition-scoped compaction leaves other partitions untouched") {
     val (cat, root) = newCatalog()
     for (b <- 0 until 6)

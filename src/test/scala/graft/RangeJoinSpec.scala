@@ -61,6 +61,18 @@ class RangeJoinSpec extends SparkTestBase {
     assert(out.select("pid").as[String].collect().toSeq == Seq("neg"))
   }
 
+  test("binning is exact above 2^53 (nanosecond-epoch longs)") {
+    // 10^18 + 999 rounds to 10^18 + 1024 as a double — a double-based
+    // floor division misbins it and the pair silently vanishes
+    val base = 1000000000000000000L
+    val p = Seq((base + 999L, "hi"), (base + 1L, "lo")).toDF("t", "pid")
+    val i = Seq((1L, base, base + 1000L)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointInInterval(p, i, col("t"), col("s"), col("e"),
+        binWidth = 1000L)
+      .select("pid").as[String].collect().toSet
+    assert(out == Set("hi", "lo"))
+  }
+
   test("physical plan is an equi join on the bin, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points, intervals,
         col("t"), col("s"), col("e"), binWidth = 50)

@@ -74,6 +74,17 @@ class ScdSpec extends SparkTestBase {
     assert(h2(3).getString(1) == "silver" && h2(3).getBoolean(4))
   }
 
+  test("applyChanges throws on a late observation inside closed history") {
+    val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    // key 1's open period starts 2024-03-01; this observation predates it
+    val late = Seq((1L, "retro", ts("2024-01-15 00:00:00"), 99L))
+      .toDF("k", "tier", "ts", "seq")
+    val ex = intercept[Exception](
+      Scd.applyChanges(h, late, Seq("k"), "ts", Seq("tier"), Seq("seq")).count())
+    assert(ex.getMessage.contains("full rebuild") ||
+      Option(ex.getCause).exists(_.getMessage.contains("full rebuild")))
+  }
+
   test("one exchange feeds both window functions") {
     val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
     val plan = h.queryExecution.executedPlan.toString
