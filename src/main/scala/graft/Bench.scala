@@ -33,7 +33,15 @@ object Bench {
         run(name, fn, sfDir)
         (System.nanoTime() - t0) / 1e9
       }
-      try { name -> math.min(once(), once()) }
+      try {
+        val t1 = once(); val t2 = once()
+        val best = math.min(t1, t2)
+        // a >1.5x disagreement means one run ate a GC/page-cache stall;
+        // a third sample keeps the reported min honest without paying
+        // three runs for every stable query
+        name -> (if (math.max(t1, t2) > 1.5 * best) math.min(best, once())
+                 else best)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
