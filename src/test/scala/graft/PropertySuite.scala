@@ -96,4 +96,45 @@ object PropertySuite extends Properties("graft") {
         df.select(Cleanse.durationSeconds(col("s"), col("e")))
           .head().getLong(0) == delta
     }
+
+  property("bin-blocked range join == naive theta join, any bin width") =
+    Prop.forAll(
+      Gen.listOfN(25, Gen.choose(-200L, 200L)),
+      Gen.listOfN(10, for {
+        s <- Gen.choose(-200L, 200L); len <- Gen.choose(0L, 120L)
+      } yield (s, s + len)),
+      Gen.oneOf(1L, 7L, 64L, 1000L)) { (ts, ivals, w) =>
+      val points = ts.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("t", "pid")
+      val intervals = ivals.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("iid", "s", "e")
+      val naive = points.join(intervals,
+          col("t") >= col("s") && col("t") < col("e"))
+        .select("pid", "iid").collect().map(_.toSeq).toSet
+      val binned = graft.ops.RangeJoin.pointInInterval(points, intervals,
+          col("t"), col("s"), col("e"), binWidth = w)
+        .select("pid", "iid").collect().map(_.toSeq).toSet
+      binned == naive
+    }
+
+  property("top_k aggregate == sort-take, any partitioning") =
+    Prop.forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 3), Gen.choose(-100L, 100L))),
+      Gen.choose(1, 6), Gen.choose(1, 5)) { (rows, k, parts) =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v, i.toLong) }
+        .toDF("g", "v", "id")
+        .repartition(parts)
+      val got = df.groupBy("g")
+        .agg(graft.functions.aggs.top_k(struct(col("v"), col("id")), k).as("t"))
+        .select(col("g"), explode(col("t")).as("x"))
+        .select(col("g"), col("x.v"), col("x.id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toList).toMap
+      val want = rows.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v, i.toLong) }
+        .groupBy(_._1).view.mapValues(
+          _.map(x => (x._2, x._3)).sorted.reverse.take(k).toList).toMap
+      got == want
+    }
 }
