@@ -505,6 +505,15 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Deterministic exactly-k-per-group sampling (ops.Sampling
+    // .groupedMd5Sample): 20 docs per language by md5 rank — the
+    // balanced-dataset primitive, selected through the bounded heap
+    // (no per-group window sort; 5 groups here is exactly the
+    // low-cardinality case the window form serializes on).
+    "q66_grouped_sample" -> ((s, dir) =>
+      graft.ops.Sampling.groupedMd5Sample(
+        documents(s, dir), "doc_id", Seq("lang"), k = 20)),
+
     // Cross-document repeated-substring signal (text.CrossDoc): the
     // fraction of each doc's distinct 5-word shingles that occur in
     // other documents — the substring-level dedup score pairwise joins
@@ -1465,6 +1474,17 @@ object SparkEntry {
          |JOIN counts ca ON ca.doc_id = id_a
          |JOIN counts cb ON cb.doc_id = id_b
          |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.3""".stripMargin,
+
+    // Window form over the same md5 permutation (id tiebreak is
+    // unreachable: md5 collisions over distinct ids don't exist at
+    // test scale, and the struct ordering breaks them identically).
+    "q66_grouped_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 20""".stripMargin,
 
     // Same per-row uniform (md5 first 8 hex) vs the same per-row
     // 8-digit hex cut; lexicographic == numeric on fixed-width hex.

@@ -80,6 +80,27 @@ object Sampling {
       substring(md5(col(idCol).cast("string")), 1, 8) < cut)
   }
 
+  /** Deterministic FIXED-SIZE sample per group: the `k` rows with the
+    * smallest md5(id) in each group — "exactly k per class", the
+    * balanced-dataset build primitive, where the fraction-based
+    * samplers can't promise a count. The md5 rank is a uniform
+    * permutation, so this is sampling without replacement; it is
+    * engine-portable (same kept set anywhere with hex md5), nested
+    * (k−1 keeps a subset of k), and partition-independent. Selection
+    * runs through the k-bounded heap aggregate — map-side pruned, no
+    * per-group window sort (the q38 trap at low group cardinality).
+    * Returns (groupCols..., idCol); join back for payloads. */
+  def groupedMd5Sample(df: DataFrame, idCol: String, groupCols: Seq[String],
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val key = struct(md5(col(idCol).cast("string")).as("u"), col(idCol).as("i"))
+    df.filter(col(idCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.aggs.top_k(key, k, asc = true).as("__s"))
+      .select(groupCols.map(col) :+ explode(col("__s")).as("__x"): _*)
+      .select(groupCols.map(col) :+ col("__x.i").as(idCol): _*)
+  }
+
   /** Engine-portable stratified sample: per-stratum lowercase-hex md5
     * thresholds ([[md5Sample]] semantics per stratum — e.g. language
     * rebalancing a corpus with a decision any hex-md5 engine

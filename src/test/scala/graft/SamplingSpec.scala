@@ -70,6 +70,28 @@ class SamplingSpec extends SparkTestBase {
     assert(lower.subsetOf(kept))
   }
 
+  test("groupedMd5Sample: exactly k per group, nested, heap not window") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf)
+    val k5 = Sampling.groupedMd5Sample(d, "doc_id", Seq("lang"), 5)
+    val counts = k5.groupBy("lang").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 5))
+    // nested: the k=3 sample is a subset of the k=5 sample per group
+    val k3 = Sampling.groupedMd5Sample(d, "doc_id", Seq("lang"), 3)
+      .collect().map(_.toSeq).toSet
+    assert(k3.subsetOf(k5.collect().map(_.toSeq).toSet))
+    // matches the reference MD5 rank computed java-side
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = d.select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).values.flatMap(_.sortBy { case (_, id) =>
+        md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }.take(5)).toSet
+    assert(k5.select("lang", "doc_id").as[(String, Long)].collect().toSet == want)
+    // selection is the bounded-heap aggregate, not a per-group sort
+    val plan = k5.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"), plan)
+  }
+
   test("md5Sample thresholds nest and reject non-hex input") {
     val small = Sampling.md5Sample(docs, "doc_id", "1")
       .select("doc_id").as[Long].collect().toSet
