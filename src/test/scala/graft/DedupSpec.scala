@@ -150,6 +150,22 @@ class DedupSpec extends SparkTestBase {
     assert(inc.size < full.size, "batch restriction must prune something")
   }
 
+  test("incrementalSimilarityPairs: lazy path matches eager; empty batch is empty") {
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+    val corpus = sets.filter(col("doc_id") % 5 =!= 0)
+    val batch = sets.filter(col("doc_id") % 5 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(_.toSeq).toSet
+    val eager = pairs(Dedup.incrementalSimilarityPairs(corpus, batch, "doc_id", 0.4))
+    val lazyP = pairs(Dedup.incrementalSimilarityPairs(corpus, batch, "doc_id", 0.4,
+      eager = false))
+    assert(lazyP == eager && eager.nonEmpty)
+    val emptyBatch = batch.filter(lit(false))
+    assert(Dedup.incrementalSimilarityPairs(corpus, emptyBatch, "doc_id", 0.4)
+      .count() == 0)
+  }
+
   test("semanticPairs: tight duplicate balls — recall 1.0 at single-probe cost") {
     // SemDeDup's actual regime: clusters of near-identical vectors
     // (cos ≥ 0.99 within a ball, ≈ 0.06 across). Near-identical
