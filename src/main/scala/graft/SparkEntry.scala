@@ -514,6 +514,23 @@ object SparkEntry {
       graft.ops.Sampling.groupedMd5Sample(
         documents(s, dir), "doc_id", Seq("lang"), k = 20)),
 
+    // The COMPLETE dataset build as one plan: curation (language →
+    // quality → exact dedup → exact near-dup removal) feeding
+    // sequence packing, reduced to the per-shard manifest a training
+    // run consumes (docs, tokens, sequences). Every stage's arithmetic
+    // is hash-verified cross-engine in one oracle — the end-to-end
+    // composition a 100 TB corpus run executes, not just its pieces.
+    "q67_dataset_build" -> ((s, dir) => {
+      val kept = graft.dedup.Curation.curateExact(
+        documents(s, dir), "doc_id", "text", "lang")
+      graft.ops.Packing.concatChunk(kept, "doc_id",
+          TF.tokenCount(col("text")), seqLen = 512, nShards = 4)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (max(col("seq_id")) + 1).cast("long").as("n_sequences"))
+    }),
+
     // Cross-document repeated-substring signal (text.CrossDoc): the
     // fraction of each doc's distinct 5-word shingles that occur in
     // other documents — the substring-level dedup score pairwise joins
@@ -1504,6 +1521,43 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_rows,
         |  count(DISTINCT user_id) AS n_distinct_est
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q43's curation CTEs + q60's per-shard window layout, reduced to
+    // the shard manifest.
+    "q67_dataset_build" ->
+      s"""WITH tokc AS (SELECT doc_id, text, lang, source, n_chars,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens FROM documents),
+         |kept AS (SELECT * FROM tokc
+         |  WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 100000),
+         |surv AS (SELECT * FROM kept WHERE doc_id IN
+         |  (SELECT min(doc_id) FROM kept
+         |   GROUP BY ${TF.sql.fingerprint("text")})),
+         |norm AS (SELECT doc_id,
+         |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM surv),
+         |idx AS (SELECT doc_id, t,
+         |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+         |g AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN length(t) <= 5 THEN t
+         |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+         |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+         |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT id_b FROM inter
+         |  JOIN counts ca ON ca.doc_id = id_a
+         |  JOIN counts cb ON cb.doc_id = id_b
+         |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.8),
+         |final AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+         |packed AS (SELECT doc_id % 4 AS shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0) AS start
+         |  FROM final)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(max(start // 512) + 1 AS BIGINT) AS n_sequences
+         |FROM packed GROUP BY 1""".stripMargin,
 
     // Same stage CTEs as q43, reduced to the per-stage survivor counts.
     "q61_curation_funnel" ->

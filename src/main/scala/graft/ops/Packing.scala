@@ -41,7 +41,11 @@ object Packing {
       .select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         tokens.cast("long").as("n_tokens"))
       .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_id", floor(col("start") / lit(seqLen)))
+      // integral division, not a double floor: offsets are exact for
+      // the whole long range (a 2^53+ token stream would misbin under
+      // binary64 — same fix as RangeJoin.binOf)
+      .withColumn("seq_id",
+        call_function("div", col("start"), lit(seqLen.toLong)))
       .withColumn("offset_in_seq", pmod(col("start"), lit(seqLen.toLong)))
   }
 }
