@@ -143,8 +143,8 @@ object RecallReport {
     * exact-dedup → near-dedup kept). */
   def curationChain(docs: DataFrame): Metrics = {
     val cfg = Curation.Config()
-    val langOk = col("lang").isin(cfg.langs.toSeq: _*)
-    val filtered = docs.filter(langOk && Curation.qualityOk(col("text"), cfg))
+    val filtered = docs.filter(
+      Curation.langOk(col("lang"), cfg) && Curation.qualityOk(col("text"), cfg))
     val exact = Dedup.exactDedup(filtered, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def removed(pairs: DataFrame): Set[Long] =

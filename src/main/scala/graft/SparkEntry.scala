@@ -565,14 +565,13 @@ object SparkEntry {
     "q61_curation_funnel" -> ((s, dir) => {
       val cfg = graft.dedup.Curation.Config()
       val docs = documents(s, dir)
-      val langOk = col("lang").isin(cfg.langs.toSeq: _*)
-      val keep = langOk && graft.dedup.Curation.qualityOk(col("text"), cfg)
-      val funnel = docs.agg(
-        count(lit(1)).as("input"),
-        count(when(langOk, 1)).as("after_lang"),
-        count(when(keep, 1)).as("after_quality"),
-        count_distinct(when(keep, TF.fingerprint(col("text"))))
-          .as("after_exact_dedup"))
+      // the SAME predicate + aggregate definitions curate() reports —
+      // shared via Curation.{langOk, qualityOk, funnelAggs}, so the
+      // gated funnel and the production accounting cannot drift
+      val lang = graft.dedup.Curation.langOk(col("lang"), cfg)
+      val keep = lang && graft.dedup.Curation.qualityOk(col("text"), cfg)
+      val aggs = graft.dedup.Curation.funnelAggs(lang, keep, col("text"))
+      val funnel = docs.agg(aggs.head, aggs.tail: _*)
       val near = graft.dedup.Curation.curateExact(docs, "doc_id", "text", "lang")
         .agg(count(lit(1)).as("after_near_dedup"))
       funnel.crossJoin(near)

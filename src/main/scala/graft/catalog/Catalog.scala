@@ -77,7 +77,19 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     * file-count drop). Scratch dirs are underscore-prefixed siblings
     * (invisible to partition discovery, so concurrent readers never
     * see a phantom copy), the install is a rename pair with crash
-    * recovery on re-entry — a died compaction re-runs to completion. */
+    * recovery on re-entry — a died compaction re-runs to completion.
+    *
+    * WRITER fencing is the caller's: like any rewrite of a Hive-style
+    * directory table without a transaction log, compaction requires
+    * EXCLUSIVE write access — an append landing between the rewrite
+    * read and the swap would be discarded with the old files. Run it
+    * in the maintenance window between appends (the partition-scoped
+    * form compacts yesterday's partition after its last append).
+    * The swap's atomicity is the filesystem's rename: HDFS-like
+    * stores give atomic directory rename; on raw S3A (copy+delete)
+    * a mid-swap crash is DETECTED (both dirs present → loud refusal,
+    * never a silent partial compact) but needs manual reconciliation
+    * — use a table format for transactional compaction there. */
   def compact(spark: SparkSession, table: String,
               partition: Option[String] = None,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -100,6 +112,22 @@ final class ParquetCatalog(root: String) extends TableCatalog {
       if (!fs.rename(bak, dir)) throw new java.io.IOException(
         s"compact: could not restore $bak after a previous crash")
     }
+    // BOTH present: either (a) a run crashed AFTER installing the
+    // compacted copy but before deleting the backup — the installed
+    // dir carries the marker written into tmp, so finish the cleanup —
+    // or (b) a rename died midway on a filesystem whose rename is
+    // copy-then-delete (raw S3A). Proceeding under (b) would compact
+    // the partial dir and then DELETE the rows stranded in the backup,
+    // so refuse loudly and leave both for manual reconciliation.
+    val marker = new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMPACTED")
+    if (fs.exists(dir) && fs.exists(bak)) {
+      if (fs.exists(marker)) fs.delete(bak, true)
+      else throw new java.io.IOException(
+        s"compact: both $dir and $bak exist and $dir carries no " +
+          "compaction marker — a previous swap did not complete " +
+          "atomically (object-store rename?); reconcile manually " +
+          "before re-running")
+    }
     // a partition-structured root must compact per partition — a flat
     // rewrite would fold the directory-encoded keys into the files and
     // silently destroy pruning + dynamic partition overwrite
@@ -112,6 +140,9 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     val df = spark.read.parquet(dir.toString)
     // coalesce, not repartition: merging files needs no shuffle
     df.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    // the marker rides the rename into the installed dir (underscore-
+    // prefixed: invisible to partition discovery and parquet reads)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_GRAFT_COMPACTED"), true).close()
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(dir, bak))
       throw new java.io.IOException(s"compact: could not move $dir aside")

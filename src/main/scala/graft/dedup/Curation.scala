@@ -32,6 +32,23 @@ object Curation {
       nHashes: Int = 16,
       bands: Int = 8)
 
+  /** Per-row language predicate; empty `langs` keeps everything. */
+  def langOk(langCol: Column, cfg: Config): Column =
+    if (cfg.langs.isEmpty) lit(true) else langCol.isin(cfg.langs.toSeq: _*)
+
+  /** The funnel-stage aggregate columns — input / after-language /
+    * after-quality / after-exact-dedup from ONE conditional-agg corpus
+    * pass (count-distinct-fingerprint, no per-stage re-scan). One
+    * definition consumed by [[curate]]'s accounting AND the q61 oracle
+    * query, so the funnel a run reports can never drift from the one
+    * the gate verifies. */
+  def funnelAggs(lang: Column, keep: Column, text: Column): Seq[Column] = Seq(
+    count(lit(1)).as("input"),
+    count(when(lang, 1)).as("after_lang"),
+    count(when(keep, 1)).as("after_quality"),
+    count_distinct(when(keep, TextFunctions.fingerprint(text)))
+      .as("after_exact_dedup"))
+
   /** Per-row quality predicate (no shuffle). */
   def qualityOk(text: Column, cfg: Config): Column = {
     val n = TextFunctions.tokenCount(text)
@@ -83,10 +100,8 @@ object Curation {
   def curateExact(docs: DataFrame, idCol: String, textCol: String,
                   langCol: String, cfg: Config = Config(),
                   ngramN: Int = 5): DataFrame = {
-    val langOk =
-      if (cfg.langs.isEmpty) lit(true)
-      else col(langCol).isin(cfg.langs.toSeq: _*)
-    val filtered = docs.filter(langOk && qualityOk(col(textCol), cfg))
+    val filtered = docs.filter(
+      langOk(col(langCol), cfg) && qualityOk(col(textCol), cfg))
     val exact = Dedup.exactDedup(filtered, idCol, textCol)
     val losers = Dedup.exactNgramJaccardPairs(exact, idCol, textCol,
         n = ngramN, threshold = cfg.minJaccard)
@@ -104,10 +119,8 @@ object Curation {
     * funnel accounting around the same stages. */
   def curateLsh(docs: DataFrame, idCol: String, textCol: String,
                 langCol: String, cfg: Config = Config()): DataFrame = {
-    val langOk =
-      if (cfg.langs.isEmpty) lit(true)
-      else col(langCol).isin(cfg.langs.toSeq: _*)
-    val filtered = docs.filter(langOk && qualityOk(col(textCol), cfg))
+    val filtered = docs.filter(
+      langOk(col(langCol), cfg) && qualityOk(col(textCol), cfg))
     val exact = Dedup.exactDedup(filtered, idCol, textCol)
     dropNearDupComponents(exact, idCol, textCol, cfg)
   }
@@ -192,17 +205,10 @@ object Curation {
              cfg: Config = Config()): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val langOk =
-      if (cfg.langs.isEmpty) lit(true)
-      else col(langCol).isin(cfg.langs.toSeq: _*)
-    val qOk = qualityOk(col(textCol), cfg)
-    val keep = langOk && qOk
-    val funnel = docs.agg(
-      count(lit(1)).as("input"),
-      count(when(langOk, 1)).as("after_lang"),
-      count(when(keep, 1)).as("after_quality"),
-      count_distinct(when(keep, TextFunctions.fingerprint(col(textCol))))
-        .as("after_exact_dedup")).head() // action 1
+    val lang = langOk(col(langCol), cfg)
+    val keep = lang && qualityOk(col(textCol), cfg)
+    val aggs = funnelAggs(lang, keep, col(textCol))
+    val funnel = docs.agg(aggs.head, aggs.tail: _*).head() // action 1
     val exact = Dedup.exactDedup(docs.filter(keep), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val near = dropNearDups(exact, idCol, textCol, cfg)

@@ -294,18 +294,7 @@ object Dedup {
     // verification join-backs), each a cheap codegen scan.
     val prepped = base.select(col(idCol).as("id"), col("set"))
       .withColumn("sz", size(col("set")))
-    val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
-    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
-    val prefixesPlan = toks.join(dfT, Seq("tok"))
-      .withColumn("rn", row_number().over(w))
-      // prefix length |X| - ceil(t|X|) + 1; ceil on DOUBLE is safe here:
-      // an over-estimate of ceil would shorten the prefix (recall bug),
-      // but IEEE ceil only errs when t*sz computes high, which for
-      // t ≤ 1 and integral sz cannot exceed the true product's ceil
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"), col("sz"), col("rn"))
+    val prefixesPlan = prefixIndexPlan(prepped, threshold)
     // Eager path only: persisted, because the frame is FLAT and narrow
     // (two ints, a long, a short token), unlike the array<string> sets
     // above — both candidate-join sides and the broadcast build read
@@ -317,41 +306,9 @@ object Dedup {
       if (eager) prefixesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else prefixesPlan
     val doBroadcast = decideBroadcast(prepped, threshold, broadcastIndex, eager)
-    val a = prefixes.select(col("tok"), col("id").as("id_a"),
-      col("sz").as("sz_a"), col("rn").as("rn_a"))
-    val bBare = prefixes.select(col("tok"), col("id").as("id_b"),
-      col("sz").as("sz_b"), col("rn").as("rn_b"))
-    val b = if (doBroadcast) broadcast(bBare) else bBare
-    // PPJoin positional filter (Xiao et al. WWW'08 §4), relational form.
-    // Both sides order tokens by the SAME global (df, token) key, so
-    // among a pair's shared-prefix matches the one with max rn_a is the
-    // max-global-order token w* and simultaneously has max rn_b. Every
-    // shared token ≤ w* sits before w* in BOTH prefixes, hence is one of
-    // the cnt matches; every shared token > w* sits after position amax
-    // in a and bmax in b. So overlap ≤ cnt + min(sz_a−amax, sz_b−bmax),
-    // and J ≥ t needs overlap ≥ t/(1+t)·(sz_a+sz_b) — prune below that.
-    // The 1e-9 slack keeps the double-arithmetic bound sound (pruning
-    // is only ever allowed to be too lax, never too eager).
-    val alpha = lit(threshold / (1 + threshold))
-    val cand = a.join(b, Seq("tok"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("sz_a"), col("sz_b")) >=
-          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("cnt"),
-        max(col("rn_a")).as("amax"), max(col("rn_b")).as("bmax"),
-        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
-      .filter(col("cnt") +
-        least(col("sz_a") - col("amax"), col("sz_b") - col("bmax")) >=
-        alpha * (col("sz_a") + col("sz_b")) - lit(1e-9))
-      .select(col("id_a"), col("id_b"))
-    val verified = cand
-      .join(prepped.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val cand = ppjoinCandidates(prefixes, prefixes, threshold, doBroadcast,
+      pairFilter = col("id_a") < col("id_b"))
+    val verified = verifyJaccard(cand, prepped, threshold)
     // Eagerly materialize the (small — surviving pairs only) result so
     // the prefix cache can be released HERE rather than leaking until
     // context shutdown; localCheckpoint blocks are reclaimed by the
@@ -364,6 +321,73 @@ object Dedup {
       out
     } else verified
   }
+
+  /** Flat (tok, id, sz, rn) prefix-index plan over a prepped (id, set,
+    * sz) frame: global rarest-first (df, token) order, prefix length
+    * |X| − ceil(t·|X|) + 1. ONE definition shared by
+    * [[exactSimilarityPairs]] and [[incrementalSimilarityPairs]] so
+    * the prefix theorem's arithmetic can never drift between them.
+    * ceil on DOUBLE is safe here: an over-estimate of ceil would
+    * shorten the prefix (recall bug), but IEEE ceil only errs when
+    * t·sz computes high, which for t ≤ 1 and integral sz cannot exceed
+    * the true product's ceil. */
+  private def prefixIndexPlan(prepped: DataFrame, threshold: Double): DataFrame = {
+    val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
+    toks.join(dfT, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"), col("sz"), col("rn"))
+  }
+
+  /** Candidate (id_a, id_b) pairs from a prefix join of `probe` × `index`
+    * with PPJoin pruning (Xiao et al. WWW'08 §4), relational form.
+    * Both sides order tokens by the SAME global (df, token) key, so
+    * among a pair's shared-prefix matches the one with max rn_a is the
+    * max-global-order token w* and simultaneously has max rn_b. Every
+    * shared token ≤ w* sits before w* in BOTH prefixes, hence is one of
+    * the cnt matches; every shared token > w* sits after position amax
+    * in a and bmax in b. So overlap ≤ cnt + min(sz_a−amax, sz_b−bmax),
+    * and J ≥ t needs overlap ≥ t/(1+t)·(sz_a+sz_b) — prune below that.
+    * The 1e-9 slack keeps the double-arithmetic bound sound (pruning
+    * is only ever allowed to be too lax, never too eager). */
+  private def ppjoinCandidates(probe: DataFrame, index: DataFrame,
+                               threshold: Double, broadcastIndex: Boolean,
+                               pairFilter: Column): DataFrame = {
+    val a = probe.select(col("tok"), col("id").as("id_a"),
+      col("sz").as("sz_a"), col("rn").as("rn_a"))
+    val bBare = index.select(col("tok"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("rn").as("rn_b"))
+    val b = if (broadcastIndex) broadcast(bBare) else bBare
+    val alpha = lit(threshold / (1 + threshold))
+    a.join(b, Seq("tok"))
+      .filter(pairFilter &&
+        least(col("sz_a"), col("sz_b")) >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("rn_a")).as("amax"), max(col("rn_b")).as("bmax"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("cnt") +
+        least(col("sz_a") - col("amax"), col("sz_b") - col("bmax")) >=
+        alpha * (col("sz_a") + col("sz_b")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Exact set-Jaccard verification of candidate pairs: sets join back
+    * by id (candidates carry ids only), the tight-loop jaccard_sim
+    * filters at the threshold. */
+  private def verifyJaccard(cand: DataFrame, prepped: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(prepped.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Whether to broadcast the prefix-index side of the candidate join.
     * Sized WITHOUT materializing the index: counting the persisted
@@ -433,47 +457,19 @@ object Dedup {
       .unionByName(batchBase.select(col(idCol).as("id"), col("set")))
       .withColumn("sz", size(col("set")))
     val batchIds = batchBase.select(col(idCol).as("id")).distinct()
-    val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
-    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
-    val prefixesPlan = toks.join(dfT, Seq("tok"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"), col("sz"), col("rn"))
+    val prefixesPlan = prefixIndexPlan(prepped, threshold)
     val prefixes =
       if (eager) prefixesPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else prefixesPlan
     val doBroadcast = decideBroadcast(prepped, threshold, broadcastIndex, eager)
-    // probe side: batch prefixes only (the incremental restriction)
-    val a = prefixes.join(broadcast(batchIds), Seq("id"))
-      .select(col("tok"), col("id").as("id_a"),
-        col("sz").as("sz_a"), col("rn").as("rn_a"))
-    val bBare = prefixes.select(col("tok"), col("id").as("id_b"),
-      col("sz").as("sz_b"), col("rn").as("rn_b"))
-    val b = if (doBroadcast) broadcast(bBare) else bBare
-    val alpha = lit(threshold / (1 + threshold))
-    // id_a != id_b (not <): a batch doc must also pair with corpus docs
-    // of LOWER id; batch×batch pairs arrive in both orders and collapse
-    // in the canonical select below
-    val cand = a.join(b, Seq("tok"))
-      .filter(col("id_a") =!= col("id_b") &&
-        least(col("sz_a"), col("sz_b")) >=
-          lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(1e-9))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("cnt"),
-        max(col("rn_a")).as("amax"), max(col("rn_b")).as("bmax"),
-        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
-      .filter(col("cnt") +
-        least(col("sz_a") - col("amax"), col("sz_b") - col("bmax")) >=
-        alpha * (col("sz_a") + col("sz_b")) - lit(1e-9))
-      .select(col("id_a"), col("id_b"))
-    val verified = cand
-      .join(prepped.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
+    // probe side: batch prefixes only (the incremental restriction);
+    // pairFilter is != rather than < because a batch doc must also
+    // pair with corpus docs of LOWER id — batch×batch pairs arrive in
+    // both orders and collapse in the canonical select below
+    val probe = prefixes.join(broadcast(batchIds), Seq("id"))
+    val cand = ppjoinCandidates(probe, prefixes, threshold, doBroadcast,
+      pairFilter = col("id_a") =!= col("id_b"))
+    val verified = verifyJaccard(cand, prepped, threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
       .dropDuplicates("id_a", "id_b")

@@ -63,10 +63,13 @@ object Scd {
     * exactly (spec-pinned) for in-order batches: the open row carries
     * its original `effective_from` into the recompute, and an incoming
     * unchanged snapshot collapses against it. A batch observation
-    * OLDER than a key's open-period start would require rewriting
-    * closed history — the operator THROWS on it (spec-pinned) instead
-    * of silently emitting overlapping periods; retro-corrections go
-    * through a full rebuild.
+    * OLDER than a key's open-period start, when that key has CLOSED
+    * periods, would require rewriting closed history — the operator
+    * THROWS on it (spec-pinned) instead of silently emitting
+    * overlapping periods; retro-corrections go through a full
+    * rebuild. Keys with no closed rows accept out-of-order batches
+    * exactly (their entire history is the open row, which re-enters
+    * the recompute).
     *
     * @param current output of [[history]] (or a previous applyChanges)
     * @param changes new observations, same key/attr/ts columns
@@ -93,18 +96,25 @@ object Scd {
         changes.select((keyCols ++ attrCols :+ tsCol) ++ tieCols map col: _*)
           .withColumn("__reopened", lit(false)))
     // GUARD: an observation OLDER than its key's open-period start
-    // belongs inside closed history — folding it into the open∪batch
-    // recompute would emit overlapping periods and silently diverge
-    // from history(a ∪ b). Refuse loudly (the caller must full-rebuild
-    // for retro-corrections). The check rides ON the ts column (not a
-    // side column Catalyst would prune) and its window shares the
-    // key partitioning the history windows use.
+    // AND older than some CLOSED row belongs inside closed history —
+    // folding it into the open∪batch recompute would emit overlapping
+    // periods and silently diverge from history(a ∪ b). Refuse loudly
+    // (the caller must full-rebuild for retro-corrections). Keys with
+    // no closed rows are exempt: their whole history re-enters the
+    // window, so an out-of-order batch row is handled exactly. The
+    // check rides ON the ts column (not a side column Catalyst would
+    // prune) and its window shares the key partitioning the history
+    // windows use; the closed-key flag is a keys-only semi-join over
+    // the working set.
+    val closedKeys = closed.select(keyCols.map(col): _*).distinct()
+      .withColumn("__has_closed", lit(true))
     val wKey = Window.partitionBy(keyCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val openStart = max(when(col("__reopened"), col(tsCol))).over(wKey)
     val guarded = openAndNew
+      .join(closedKeys, keyCols, "left")
       .withColumn(tsCol,
-        when(!col("__reopened") && col(tsCol) < openStart,
+        when(col("__has_closed") && !col("__reopened") && col(tsCol) < openStart,
           raise_error(concat(
             lit("Scd.applyChanges: observation at "),
             col(tsCol).cast("string"),
@@ -112,7 +122,7 @@ object Scd {
             openStart.cast("string"),
             lit(" — late-arriving changes inside closed history need a full rebuild (history(a ∪ b))"))))
           .otherwise(col(tsCol)))
-      .drop("__reopened")
+      .drop("__reopened", "__has_closed")
     closed.unionByName(
       history(guarded, keyCols, tsCol, attrCols, tieCols))
   }

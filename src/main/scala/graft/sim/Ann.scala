@@ -175,19 +175,31 @@ object Ann {
     * — vectors never replicate across tables; candidate (qid, id) pairs
     * re-join the corpus once for the cosine. Query side stays tiny
     * (×L·(r+1) rows, broadcast). */
+  /** ONE definition of the multi-table hash geometry shared by the
+    * query-probe ([[lshTopK]]) and self-join ([[knnJoin]]) forms —
+    * seed-offset plane tables and the per-vector (t, b) bucket array —
+    * so the two can never drift apart and RECALL.md's shared recall
+    * math stays valid for both. */
+  private def planeTables(nPlanes: Int, nTables: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map(t => Vectors.seededPlanes(nPlanes, dim, seed = 42L + t))
+
+  private def bucketArray(tables: Seq[Seq[Seq[Double]]])(v: Column): Column =
+    array(tables.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("t"), Vectors.hyperplaneBucket(v, planes).as("b"))
+    }: _*)
+
+  /** (id, tbl, bucket) rows for a prepared (id, v) corpus. */
+  private def bucketRows(corpus: DataFrame, tables: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus
+      .select(col("id"), explode(bucketArray(tables)(col("v"))).as("tb"))
+      .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 4,
               nTables: Int = 6, dim: Int = 64, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => Vectors.seededPlanes(nPlanes, dim, seed = 42L + t))
-    def bucketArray(v: Column): Column =
-      array(tables.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("t"), Vectors.hyperplaneBucket(v, planes).as("b"))
-      }: _*)
+    val tables = planeTables(nPlanes, nTables, dim)
     val corpus = prep(emb, idCol, vecCol)
-    val corpusBuckets = corpus
-      .select(col("id"), explode(bucketArray(col("v"))).as("tb"))
-      .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    val corpusBuckets = bucketRows(corpus, tables)
     // probes: own bucket per table, + every 1-bit flip when multiProbe;
     // buckets computed once into an array column, flips derived from it
     val flips: Column => Seq[Column] = tb =>
@@ -196,7 +208,8 @@ object Ann {
           .map(j => tb.getField("b").bitwiseXOR(lit(1L << j)))
       else Seq(tb.getField("b"))
     val qProbes = prep(queries, idCol, vecCol)
-      .select(col("id").as("qid"), explode(bucketArray(col("v"))).as("tb"))
+      .select(col("id").as("qid"),
+        explode(bucketArray(tables)(col("v"))).as("tb"))
       .select(col("qid"), col("tb.t").as("tbl"),
         explode(array(flips(col("tb")): _*)).as("bucket"))
     val cand = corpusBuckets.join(broadcast(qProbes), Seq("tbl", "bucket"))
@@ -239,16 +252,8 @@ object Ann {
   def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 16,
               dim: Int = 64, maxBucket: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = (0 until nTables)
-      .map(t => Vectors.seededPlanes(nPlanes, dim, seed = 42L + t))
-    def bucketArray(v: Column): Column =
-      array(tables.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("t"), Vectors.hyperplaneBucket(v, planes).as("b"))
-      }: _*)
     val corpus = prep(emb, idCol, vecCol)
-    val buckets = corpus
-      .select(col("id"), explode(bucketArray(col("v"))).as("tb"))
-      .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
+    val buckets = bucketRows(corpus, planeTables(nPlanes, nTables, dim))
     // flood cap: a bucket holding maxBucket+ ids (near-constant vectors,
     // zero embeddings) would emit size² pairs — such buckets are
     // EXCLUDED from candidate generation (like the dedup family's

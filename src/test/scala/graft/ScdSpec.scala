@@ -85,6 +85,19 @@ class ScdSpec extends SparkTestBase {
       Option(ex.getCause).exists(_.getMessage.contains("full rebuild")))
   }
 
+  test("applyChanges accepts out-of-order batches for keys with no closed history") {
+    // key 9 has a single (open) observation — an earlier batch row
+    // needs no closed-history rewrite and must match the full rebuild
+    val a = Seq((9L, "b", ts("2024-02-01 00:00:00"), 2L)).toDF("k", "tier", "ts", "seq")
+    val b = Seq((9L, "a", ts("2024-01-01 00:00:00"), 1L)).toDF("k", "tier", "ts", "seq")
+    val inc = Scd.applyChanges(
+      Scd.history(a, Seq("k"), "ts", Seq("tier"), Seq("seq")),
+      b, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    val full = Scd.history(a.unionByName(b), Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    assert(full.count() == 2)
+  }
+
   test("one exchange feeds both window functions") {
     val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
     val plan = h.queryExecution.executedPlan.toString
