@@ -419,6 +419,36 @@ object SparkEntry {
         "doc_id", threshold = 0.4)
     }),
 
+    // PIVOT: order counts and exact revenue per (year × priority) —
+    // the wide reshaping surface. Pivot values are declared explicitly
+    // (the two-pass value-discovery form is a driver round-trip a
+    // 100 TB plan should never pay); the aggregate underneath is one
+    // shuffle on the group key like any other groupBy.
+    "q68_pivot" -> ((s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)).as("n"),
+          Exact.sumMoney(col("o_totalprice")).as("rev"))
+    }),
+
+    // UNPIVOT (melt): the long form of the same per-year measures —
+    // narrow (metric, value) rows for metric stores and chart feeds.
+    // unpivot is a Generate-style row expansion, no shuffle beyond
+    // the aggregate that feeds it.
+    "q69_unpivot" -> ((s, dir) => {
+      val wide = orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("revenue"),
+          Exact.avgMoney(col("o_totalprice")).as("avg_price"))
+      wide.unpivot(Array(col("o_year")),
+        Array(col("n_orders"), col("revenue"), col("avg_price")),
+        "metric", "value")
+    }),
+
     // Bin-blocked RANGE join (ops.RangeJoin): purchase attribution —
     // for each purchase event, every click by the same user in the
     // hour before it. The range predicate becomes an equi-join on
@@ -1690,6 +1720,32 @@ object SparkEntry {
         |  ON a.doc_id < b.doc_id
         |  AND abs(len(a.title) - len(b.title)) <= 2
         |WHERE levenshtein(a.title, b.title) <= 2""".stripMargin,
+
+    // Manual CASE pivot; nullif(·, 0) reproduces Spark's NULL for an
+    // empty (year × priority) cell exactly.
+    "q68_pivot" -> {
+      val ps = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cells = ps.map { p =>
+        s"""nullif(count(CASE WHEN o_orderpriority = '$p' THEN 1 END), 0)
+           |    AS "${p}_n",
+           |  sum(round((CASE WHEN o_orderpriority = '$p' THEN o_totalprice END)
+           |    * 100))/100.0 AS "${p}_rev"""".stripMargin
+      }.mkString(",\n  ")
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  $cells
+         |FROM orders GROUP BY 1""".stripMargin
+    },
+
+    // UNION-ALL long form of the same measures.
+    "q69_unpivot" ->
+      """WITH w AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(count(*) AS DOUBLE) AS n_orders,
+        |  sum(round(o_totalprice*100))/100.0 AS revenue,
+        |  (sum(round(o_totalprice*100))/100.0)/count(*) AS avg_price
+        |FROM orders GROUP BY 1)
+        |SELECT o_year, 'n_orders' AS metric, n_orders AS value FROM w
+        |UNION ALL SELECT o_year, 'revenue', revenue FROM w
+        |UNION ALL SELECT o_year, 'avg_price', avg_price FROM w""".stripMargin,
 
     // Naive theta-join ground truth for the bin-blocked range join.
     "q56_range_join" ->
