@@ -52,6 +52,12 @@ object SparkEntry {
     (cat, table)
   }
 
+  /** The q68 pivot's explicit value set — ONE list consumed by both
+    * the Spark query and its oracle builder, so the two column sets
+    * cannot drift. */
+  private val orderPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
   /** Lineitem with the silver-style derived columns used downstream. */
   private def cleansedLineitem(s: SparkSession, dir: String): DataFrame =
     Cleanse.derive(
@@ -424,15 +430,12 @@ object SparkEntry {
     // (the two-pass value-discovery form is a driver round-trip a
     // 100 TB plan should never pay); the aggregate underneath is one
     // shuffle on the group key like any other groupBy.
-    "q68_pivot" -> ((s, dir) => {
-      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-        "4-NOT SPECIFIED", "5-LOW")
+    "q68_pivot" -> ((s, dir) =>
       orders(s, dir)
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .pivot("o_orderpriority", priorities)
+        .pivot("o_orderpriority", orderPriorities)
         .agg(count(lit(1)).as("n"),
-          Exact.sumMoney(col("o_totalprice")).as("rev"))
-    }),
+          Exact.sumMoney(col("o_totalprice")).as("rev"))),
 
     // UNPIVOT (melt): the long form of the same per-year measures —
     // narrow (metric, value) rows for metric stores and chart feeds.
@@ -1724,12 +1727,11 @@ object SparkEntry {
     // Manual CASE pivot; nullif(·, 0) reproduces Spark's NULL for an
     // empty (year × priority) cell exactly.
     "q68_pivot" -> {
-      val ps = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-      val cells = ps.map { p =>
+      val cells = orderPriorities.map { p =>
+        val cond = s"CASE WHEN o_orderpriority = '$p' THEN o_totalprice END"
         s"""nullif(count(CASE WHEN o_orderpriority = '$p' THEN 1 END), 0)
            |    AS "${p}_n",
-           |  sum(round((CASE WHEN o_orderpriority = '$p' THEN o_totalprice END)
-           |    * 100))/100.0 AS "${p}_rev"""".stripMargin
+           |  ${Exact.sql.sumMoney(cond)} AS "${p}_rev"""".stripMargin
       }.mkString(",\n  ")
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  $cells
@@ -1738,14 +1740,14 @@ object SparkEntry {
 
     // UNION-ALL long form of the same measures.
     "q69_unpivot" ->
-      """WITH w AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  CAST(count(*) AS DOUBLE) AS n_orders,
-        |  sum(round(o_totalprice*100))/100.0 AS revenue,
-        |  (sum(round(o_totalprice*100))/100.0)/count(*) AS avg_price
-        |FROM orders GROUP BY 1)
-        |SELECT o_year, 'n_orders' AS metric, n_orders AS value FROM w
-        |UNION ALL SELECT o_year, 'revenue', revenue FROM w
-        |UNION ALL SELECT o_year, 'avg_price', avg_price FROM w""".stripMargin,
+      s"""WITH w AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(count(*) AS DOUBLE) AS n_orders,
+         |  ${Exact.sql.sumMoney("o_totalprice")} AS revenue,
+         |  ${Exact.sql.avgMoney("o_totalprice")} AS avg_price
+         |FROM orders GROUP BY 1)
+         |SELECT o_year, 'n_orders' AS metric, n_orders AS value FROM w
+         |UNION ALL SELECT o_year, 'revenue', revenue FROM w
+         |UNION ALL SELECT o_year, 'avg_price', avg_price FROM w""".stripMargin,
 
     // Naive theta-join ground truth for the bin-blocked range join.
     "q56_range_join" ->

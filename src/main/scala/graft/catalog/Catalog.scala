@@ -85,11 +85,14 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     * read and the swap would be discarded with the old files. Run it
     * in the maintenance window between appends (the partition-scoped
     * form compacts yesterday's partition after its last append).
-    * The swap's atomicity is the filesystem's rename: HDFS-like
-    * stores give atomic directory rename; on raw S3A (copy+delete)
-    * a mid-swap crash is DETECTED (both dirs present → loud refusal,
-    * never a silent partial compact) but needs manual reconciliation
-    * — use a table format for transactional compaction there. */
+    * The swap's atomicity is the filesystem's rename: on HDFS-like
+    * stores (atomic directory rename) every crash point either
+    * restores, finishes cleanup via the marker, or refuses loudly —
+    * never a silent partial compact. Raw S3A renames are copy+delete
+    * and can strand a PARTIAL directory that defeats the marker
+    * protocol; do not run compact there — use a table format for
+    * transactional compaction on object stores (the s3a path of this
+    * catalog is for reads/writes, which are committer-protected). */
   def compact(spark: SparkSession, table: String,
               partition: Option[String] = None,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -135,6 +138,12 @@ final class ParquetCatalog(root: String) extends TableCatalog {
       s.isDirectory && s.getPath.getName.contains("="))
     require(!partitioned, s"compact: $dir contains partition " +
       "subdirectories — compact each partition (partition = Some(\"k=v\"))")
+    // drop any marker left by a PREVIOUS successful compaction before
+    // this run's renames: within one run, a marker in `dir` can then
+    // only mean THIS run's install completed (it rode in with tmp) —
+    // without this, a stale marker would make the both-present branch
+    // misread a partial dir as an installed one
+    fs.delete(marker, false)
     val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(dir.toString)

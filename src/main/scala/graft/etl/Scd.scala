@@ -104,9 +104,15 @@ object Scd {
     // window, so an out-of-order batch row is handled exactly. The
     // check rides ON the ts column (not a side column Catalyst would
     // prune) and its window shares the key partitioning the history
-    // windows use; the closed-key flag is a keys-only semi-join over
-    // the working set.
-    val closedKeys = closed.select(keyCols.map(col): _*).distinct()
+    // windows use. The closed-key flag must NOT scan the accumulated
+    // closed history (the scaling contract above: closed rows never
+    // reshuffle) — the guard only matters for keys IN the batch, so
+    // closed is first semi-joined against the batch's distinct keys
+    // (broadcast: delta-sized) and the distinct runs over that slice.
+    val batchKeys = changes.select(keyCols.map(col): _*).distinct()
+    val closedKeys = closed
+      .join(broadcast(batchKeys), keyCols, "left_semi")
+      .select(keyCols.map(col): _*).distinct()
       .withColumn("__has_closed", lit(true))
     val wKey = Window.partitionBy(keyCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

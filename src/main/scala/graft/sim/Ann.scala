@@ -156,25 +156,6 @@ object Ann {
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: candidates limited to matching sign-bit buckets,
-    * amplified across `nTables` INDEPENDENT hash tables (seed-offset
-    * plane sets) — a neighbor is a candidate if it shares a bucket in
-    * ANY table. Multi-probe: each query additionally probes every
-    * bucket at Hamming distance 1 from its own in every table (one
-    * flipped hyperplane bit), recovering neighbors just across a plane.
-    *
-    * Recall math: a neighbor at angle θ lands in the query's bucket of
-    * one r-plane table with p^r (p = 1 − θ/π); Hamming-1 probing lifts
-    * that to p^r + r·p^(r−1)(1−p), and L tables to 1 − (1 − ·)^L. The
-    * round-2 single-table form (r = 6, L = 1) recalled 0.25 of true
-    * top-5; the default (r = 4, L = 6, probe-1) sits ≥ 0.97 for cos 0.5
-    * neighbors. Raise `nPlanes` (halves candidate mass per +1) as the
-    * corpus grows; raise `nTables` to buy recall back.
-    *
-    * Scale shape: the corpus explodes to (id, table, bucket) rows ONLY
-    * — vectors never replicate across tables; candidate (qid, id) pairs
-    * re-join the corpus once for the cosine. Query side stays tiny
-    * (×L·(r+1) rows, broadcast). */
   /** ONE definition of the multi-table hash geometry shared by the
     * query-probe ([[lshTopK]]) and self-join ([[knnJoin]]) forms —
     * seed-offset plane tables and the per-vector (t, b) bucket array —
@@ -194,6 +175,25 @@ object Ann {
       .select(col("id"), explode(bucketArray(tables)(col("v"))).as("tb"))
       .select(col("id"), col("tb.t").as("tbl"), col("tb.b").as("bucket"))
 
+  /** LSH-bucketed ANN: candidates limited to matching sign-bit buckets,
+    * amplified across `nTables` INDEPENDENT hash tables (seed-offset
+    * plane sets) — a neighbor is a candidate if it shares a bucket in
+    * ANY table. Multi-probe: each query additionally probes every
+    * bucket at Hamming distance 1 from its own in every table (one
+    * flipped hyperplane bit), recovering neighbors just across a plane.
+    *
+    * Recall math: a neighbor at angle θ lands in the query's bucket of
+    * one r-plane table with p^r (p = 1 − θ/π); Hamming-1 probing lifts
+    * that to p^r + r·p^(r−1)(1−p), and L tables to 1 − (1 − ·)^L. The
+    * round-2 single-table form (r = 6, L = 1) recalled 0.25 of true
+    * top-5; the default (r = 4, L = 6, probe-1) sits ≥ 0.97 for cos 0.5
+    * neighbors. Raise `nPlanes` (halves candidate mass per +1) as the
+    * corpus grows; raise `nTables` to buy recall back.
+    *
+    * Scale shape: the corpus explodes to (id, table, bucket) rows ONLY
+    * — vectors never replicate across tables; candidate (qid, id) pairs
+    * re-join the corpus once for the cosine. Query side stays tiny
+    * (×L·(r+1) rows, broadcast). */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 4,
               nTables: Int = 6, dim: Int = 64, multiProbe: Boolean = true,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
