@@ -554,14 +554,28 @@ object SparkEntry {
     // is hash-verified cross-engine in one oracle — the end-to-end
     // composition a 100 TB corpus run executes, not just its pieces.
     "q67_dataset_build" -> ((s, dir) => {
-      val kept = graft.dedup.Curation.curateExact(
-        documents(s, dir), "doc_id", "text", "lang")
+      // near-dup stage from the materialized pair graph (the q47
+      // medallion shape): the t=0.4 artifact carries exact jaccard
+      // per pair, so filtering it at the curation threshold is
+      // EXACTLY the in-place join's pair set restricted to survivors
+      // (Curation.curateExactFromCatalog soundness note; q43 keeps
+      // the self-contained variant for purity).
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val kept = graft.dedup.Curation.curateExactFromCatalog(
+        documents(s, dir), "doc_id", "text", "lang", cat, table)
       graft.ops.Packing.concatChunk(kept, "doc_id",
           TF.tokenCount(col("text")), seqLen = 512, nShards = 4)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
-          (max(col("seq_id")) + 1).cast("long").as("n_sequences"))
+          // ceil(total_tokens / seqLen): the number of sequences the
+          // shard's contiguous token stream fills — NOT max(seq_id)+1,
+          // which counts only sequences where a doc STARTS and
+          // undercounts when the last doc spans several chunks. The
+          // double division is exact: n_tokens + 511 ≪ 2^44, so the
+          // quotient (a multiple of 2^-9) is representable.
+          floor((sum(col("n_tokens")) + lit(511)) / lit(512.0)).cast("long")
+            .as("n_sequences"))
     }),
 
     // Cross-document repeated-substring signal (text.CrossDoc): the
@@ -605,7 +619,10 @@ object SparkEntry {
       val keep = lang && graft.dedup.Curation.qualityOk(col("text"), cfg)
       val aggs = graft.dedup.Curation.funnelAggs(lang, keep, col("text"))
       val funnel = docs.agg(aggs.head, aggs.tail: _*)
-      val near = graft.dedup.Curation.curateExact(docs, "doc_id", "text", "lang")
+      // near-dup survivors off the materialized pair graph (see q67)
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val near = graft.dedup.Curation.curateExactFromCatalog(
+          docs, "doc_id", "text", "lang", cat, table)
         .agg(count(lit(1)).as("after_near_dedup"))
       funnel.crossJoin(near)
     }),
@@ -1544,7 +1561,8 @@ object SparkEntry {
         |  lpad(lower(to_hex(CAST(least(floor(wt * 4294967296.0), 4294967295)
         |    AS BIGINT))), 8, '0') AS threshold FROM w),
         |kept AS (SELECT * FROM cut
-        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < threshold)
+        |  WHERE wt >= 1.0
+        |     OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < threshold)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM kept GROUP BY 1""".stripMargin,
@@ -1554,8 +1572,9 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_distinct_est
         |FROM events GROUP BY 1""".stripMargin,
 
-    // q43's curation CTEs + q60's per-shard window layout, reduced to
-    // the shard manifest.
+    // q43's curation CTEs reduced to the shard manifest; n_sequences
+    // is ceil(shard tokens / 512) — the count the contiguous token
+    // stream fills, mirroring the Spark side's formula exactly.
     "q67_dataset_build" ->
       s"""WITH tokc AS (SELECT doc_id, text, lang, source, n_chars,
          |  ${TF.sql.tokenCount("text")} AS n_tokens FROM documents),
@@ -1580,16 +1599,11 @@ object SparkEntry {
          |  JOIN counts cb ON cb.doc_id = id_b
          |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.8),
          |final AS (SELECT * FROM surv
-         |  WHERE doc_id NOT IN (SELECT id_b FROM losers)),
-         |packed AS (SELECT doc_id % 4 AS shard, n_tokens,
-         |  coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4
-         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-         |    AND 1 PRECEDING), 0) AS start
-         |  FROM final)
-         |SELECT shard, count(*) AS n_docs,
+         |  WHERE doc_id NOT IN (SELECT id_b FROM losers))
+         |SELECT doc_id % 4 AS shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(max(start // 512) + 1 AS BIGINT) AS n_sequences
-         |FROM packed GROUP BY 1""".stripMargin,
+         |  CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_sequences
+         |FROM final GROUP BY 1""".stripMargin,
 
     // Same stage CTEs as q43, reduced to the per-stage survivor counts.
     "q61_curation_funnel" ->

@@ -88,7 +88,13 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     * The swap's atomicity is the filesystem's rename: on HDFS-like
     * stores (atomic directory rename) every crash point either
     * restores, finishes cleanup via the marker, or refuses loudly —
-    * never a silent partial compact. Raw S3A renames are copy+delete
+    * never a silent partial compact. READERS: each rename is atomic
+    * but the PAIR is not — between moving the old directory aside and
+    * installing the compacted copy the table/partition path is briefly
+    * absent, so a concurrent read in that window can fail with
+    * FileNotFound and should simply retry; what the protocol
+    * guarantees is that no reader ever sees a partial or phantom copy,
+    * not uninterrupted availability. Raw S3A renames are copy+delete
     * and can strand a PARTIAL directory that defeats the marker
     * protocol; do not run compact there — use a table format for
     * transactional compaction on object stores (the s3a path of this

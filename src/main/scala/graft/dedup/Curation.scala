@@ -169,6 +169,36 @@ object Curation {
     Dedup.connectedComponents(
       catalog.read(spark, table).select(col("id_a"), col("id_b")))
 
+  /** [[curateExact]] with the near-dup stage read from the PERSISTED
+    * pair graph instead of re-deriving the similarity join. Sound
+    * because Jaccard is pairwise — a pair's similarity does not depend
+    * on the rest of the corpus — so the full-corpus pair graph at
+    * `threshold`, restricted to pairs whose BOTH sides survive the
+    * language/quality/exact-dedup stages, is exactly the pair set
+    * curateExact computes in place (CurationSpec pins the
+    * equivalence). The narrow per-row stages still re-run (cheap,
+    * one scan); what the catalog saves is the expensive join — hours
+    * at 100 TB, re-read here as a tiny (id_a, id_b) table. The graph
+    * must have been materialized at a threshold ≤ the one curated at;
+    * [[materializePairs]] with the same threshold is the exact twin. */
+  def curateExactFromCatalog(docs: DataFrame, idCol: String, textCol: String,
+                             langCol: String, catalog: TableCatalog,
+                             table: String = "dup_pairs",
+                             cfg: Config = Config()): DataFrame = {
+    val filtered = docs.filter(
+      langOk(col(langCol), cfg) && qualityOk(col(textCol), cfg))
+    val exact = Dedup.exactDedup(filtered, idCol, textCol)
+    val ids = exact.select(col(idCol))
+    val losers = catalog.read(docs.sparkSession, table)
+      .filter(col("jaccard") >= cfg.minJaccard)
+      // both endpoints must SURVIVE the upstream stages: a pair whose
+      // lower id was filtered out must not drop the higher id
+      .join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+      .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Transitive near-dup removal off the persisted graph: one anti-join
     * against the resolved non-representatives — `docs` is scanned once,
     * the similarity join not at all. */

@@ -70,13 +70,26 @@ object Dedup {
     * bound, not a silent cap. */
   private def bucketPairs(bucketed: DataFrame, idCol: String,
                           maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket_no"), col("bucket_sig"))
-    val sized = bucketed
+    val rows = bucketed
       .select(col("bucket_no"), col("bucket_sig"), col(idCol).as("id"))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("n").between(2, maxBucket))
-      .drop("n")
+    // The flood cap is enforced by a map-side-combinable AGGREGATE plus
+    // a semi-join of the survivors — NOT by `count(*) over (bucket
+    // partition)`: the window form funnels an entire flood bucket
+    // through ONE task to attach the size BEFORE the filter can drop
+    // it, which is exactly the degenerate input the cap exists for.
+    // The aggregate collapses each bucket to one row during partial
+    // aggregation, so a billion-row bucket costs one counter per map
+    // partition; the surviving (2 ≤ n ≤ maxBucket) bucket keys then
+    // gate the pair expansion through a plain equi-join. Same shape as
+    // Ann.knnJoin's cap — kept textually parallel so the two cannot
+    // drift. (Singleton buckets would emit no pairs anyway; dropping
+    // them here just keeps them out of the expansion join.)
+    val kept = rows
+      .groupBy(col("bucket_no"), col("bucket_sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("bucket_no"), col("bucket_sig"))
+    val sized = rows.join(kept, Seq("bucket_no", "bucket_sig"))
     val a = sized.select(col("bucket_no"), col("bucket_sig"), col("id").as("id_a"))
     val b = sized.select(col("bucket_no"), col("bucket_sig"), col("id").as("id_b"))
     a.join(b, Seq("bucket_no", "bucket_sig"))
@@ -401,28 +414,44 @@ object Dedup {
     * prefix tokens skewing longer than the mean, and for sampling error
     * — the cap guards a 256 MiB-scale decision, not a 10 MB one).
     * UnsafeRow fixed cost: 8B null bits + 3×8B fields ≈ 40B/row. */
+  /** Per-JVM memo of broadcast decisions keyed by (canonical plan hash
+    * of `prepped`, threshold bits, cap). The sampling probe is one
+    * extra job per invocation — ~0.5 s that every repeated call over
+    * the same corpus (dedup gates, curation chains, benchmark reruns)
+    * paid again for an identical answer. The decision is purely a
+    * PHYSICAL-plan choice, so a stale hit (files changed under the
+    * same path mid-JVM) can only yield a suboptimal-but-correct plan,
+    * never wrong rows — the same staleness contract as Spark's own
+    * per-session file-listing cache. */
+  private val broadcastDecisionCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Long), java.lang.Boolean]()
+
   private def decideBroadcast(prepped: DataFrame, threshold: Double,
                               broadcastIndex: Option[Boolean],
                               eager: Boolean): Boolean =
     broadcastIndex.getOrElse {
       if (!eager) true // no job allowed in the lazy path; Some(false) overrides
       else {
-        val fraction = 0.05
-        val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
-          .agg(
-            sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
-            sum(length(array_join(col("set"), ""))).cast("long"),
-            sum(col("sz")).cast("long")).head()
-        // an empty sample (tiny corpus) estimates 0 → broadcast, correct
-        val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
-        val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
-        val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
-        val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
-        val estBytes = prefixRows * 40L + (prefixRows * avgLen * 3).toLong
         val cap = prepped.sparkSession.conf
           .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
           .toLong
-        estBytes <= cap
+        val key = (prepped.queryExecution.analyzed.semanticHash(),
+          java.lang.Double.doubleToLongBits(threshold), cap)
+        broadcastDecisionCache.computeIfAbsent(key, _ => {
+          val fraction = 0.05
+          val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
+            .agg(
+              sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
+              sum(length(array_join(col("set"), ""))).cast("long"),
+              sum(col("sz")).cast("long")).head()
+          // an empty sample (tiny corpus) estimates 0 → broadcast, correct
+          val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
+          val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
+          val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
+          val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
+          val estBytes = prefixRows * 40L + (prefixRows * avgLen * 3).toLong
+          estBytes <= cap
+        })
       }
     }
 
@@ -643,6 +672,8 @@ object Dedup {
   def semanticCandidates(emb: DataFrame, idCol: String, vecCol: String,
                          nClusters: Int = 64, iters: Int = 2,
                          probes: Int = 6): DataFrame = {
+    // the cell heap breaks ties via -cid, and cid derives from idCol
+    graft.sim.Ann.requireNumericId(emb, idCol, "semanticCandidates")
     val corpus = emb.select(col(idCol).as("id"),
       Vectors.asDouble(col(vecCol)).as("v"))
     val cent = graft.sim.Ann.kmeansCentroids(emb, nClusters, iters, idCol, vecCol)

@@ -57,7 +57,11 @@ object Scd {
     * the closed set is the accumulated history (arbitrarily large,
     * never shuffled again) while open ∪ batch is one row per live key
     * plus the delta — the working set an incremental run should pay
-    * for, and nothing more.
+    * for, and nothing more. The late-arrival guard broadcasts the
+    * batch's distinct keys by default (delta-sized in the daily-ingest
+    * regime); for deltas whose KEY SET itself is too large to
+    * broadcast, set `graft.scd.broadcastGuardKeys=false` to shuffle
+    * that semi-join instead.
     *
     * Equivalence `applyChanges(history(a), b) == history(a ∪ b)` holds
     * exactly (spec-pinned) for in-order batches: the open row carries
@@ -108,10 +112,21 @@ object Scd {
     // closed history (the scaling contract above: closed rows never
     // reshuffle) — the guard only matters for keys IN the batch, so
     // closed is first semi-joined against the batch's distinct keys
-    // (broadcast: delta-sized) and the distinct runs over that slice.
+    // and the distinct runs over that slice. The key set is BROADCAST
+    // by default — right for the daily-delta regime this operator
+    // targets — but a delta carrying hundreds of millions of distinct
+    // keys would blow the broadcast: set
+    // `graft.scd.broadcastGuardKeys=false` to route the semi-join
+    // through a shuffle instead (same semantics, closed rows still
+    // touched once, keyed not collected).
     val batchKeys = changes.select(keyCols.map(col): _*).distinct()
+    val guardKeySide =
+      if (changes.sparkSession.conf
+            .get("graft.scd.broadcastGuardKeys", "true").toBoolean)
+        broadcast(batchKeys)
+      else batchKeys
     val closedKeys = closed
-      .join(broadcast(batchKeys), keyCols, "left_semi")
+      .join(guardKeySide, keyCols, "left_semi")
       .select(keyCols.map(col): _*).distinct()
       .withColumn("__has_closed", lit(true))
     val wKey = Window.partitionBy(keyCols.map(col): _*)

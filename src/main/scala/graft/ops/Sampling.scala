@@ -63,10 +63,11 @@ object Sampling {
     * per-row cut is `weight` rendered as an 8-digit lowercase-hex
     * threshold, so lexicographic compare == numeric compare and ANY
     * hex-md5 engine reproduces the exact kept set (the DuckDB oracle
-    * does). Weights ≤ 0 drop the row, ≥ 1 always keep (md5 digits
-    * never reach "ffffffff"+1, but floor caps at 16⁸−1... so a
-    * weight-1 row survives every uniform except the all-f draw — one
-    * in 4.3 B; weights clamp rather than throw). Deterministic,
+    * does). Weights ≤ 0 drop the row; weights ≥ 1 BYPASS the hash
+    * compare entirely, so "weight 1" is a genuine no-op filter — the
+    * strict `< cut` against "ffffffff" alone would drop the one-in-
+    * 2³² row whose md5 prefix is exactly "ffffffff". Out-of-range
+    * weights clamp rather than throw. Deterministic,
     * partition-independent, and nested: lowering a row's weight can
     * only remove it, never swap it for another. */
   def weightedMd5Sample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
@@ -77,7 +78,8 @@ object Sampling {
     val cut = lpad(lower(hex(
       least(floor(w * lit(4294967296.0)).cast("long"), lit(4294967295L)))), 8, "0")
     df.filter(col(idCol).isNotNull &&
-      substring(md5(col(idCol).cast("string")), 1, 8) < cut)
+      (w >= lit(1.0) ||
+        substring(md5(col(idCol).cast("string")), 1, 8) < cut))
   }
 
   /** Deterministic FIXED-SIZE sample per group: the `k` rows with the

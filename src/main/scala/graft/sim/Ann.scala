@@ -22,6 +22,18 @@ object Ann {
   private def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), Vectors.asDouble(col(vecCol)).as("v"))
 
+  /** Operators that break similarity ties by DESCENDING id inside an
+    * ascending-ordered struct encode the id as `-id`, which requires a
+    * NUMERIC id column — a string id fails at analysis time with an
+    * opaque cast error, so check up front with a named message.
+    * (Long.MinValue would overflow on negation; ids are expected
+    * nonnegative, as every generated corpus id is.) */
+  private[graft] def requireNumericId(df: DataFrame, idCol: String, op: String): Unit =
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op requires a numeric id column (ties break via -id); " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
+
   /** Exact top-k neighbors for each query row (excluding self-matches).
     * Ties broken by candidate id for determinism. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int,
@@ -71,6 +83,7 @@ object Ann {
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(emb, idCol, "kmeansCentroids")
     val corpus = prep(emb, idCol, vecCol)
     val init = corpus.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
@@ -248,10 +261,13 @@ object Ann {
     * corpora: r=3 recalls 0.98 at 2× the candidates of r=4's 0.90 —
     * the default takes r=4, raise L to buy recall back when needed.
     * `maxBucket` caps hyperplane-bucket floods like the dedup family's
-    * candidate generators. */
+    * candidate generators.
+    * `idCol` must be NUMERIC (nonnegative): ties inside the bounded
+    * heap break by descending id encoded as `-id`. */
   def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 16,
               dim: Int = 64, maxBucket: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(emb, idCol, "knnJoin")
     val corpus = prep(emb, idCol, vecCol)
     val buckets = bucketRows(corpus, planeTables(nPlanes, nTables, dim))
     // flood cap: a bucket holding maxBucket+ ids (near-constant vectors,

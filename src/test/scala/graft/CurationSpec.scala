@@ -107,6 +107,25 @@ class CurationSpec extends SparkTestBase {
     assert(keptReuse.count() == docs.count() - (nClustered - nClusters))
   }
 
+  test("curateExactFromCatalog ≡ curateExact off a lower-threshold pair graph") {
+    // Jaccard is pairwise, so the FULL-corpus graph at t=0.4 filtered
+    // to >= cfg.minJaccard and restricted to stage survivors must
+    // reproduce the in-place chain's kept set exactly — including the
+    // both-endpoints-survive subtlety (a pair whose lower id failed
+    // quality must not drop the higher id).
+    val catalog = new graft.catalog.ParquetCatalog(
+      java.nio.file.Files.createTempDirectory("graft-pairs2").toString)
+    val docs = Tables.documents(spark, sf)
+    Curation.materializePairs(docs, "doc_id", "text", catalog,
+      ngramN = 5, threshold = 0.4)
+    val cfg = Curation.Config() // minJaccard 0.8 > materialized 0.4
+    val fromCat = Curation.curateExactFromCatalog(
+      docs, "doc_id", "text", "lang", catalog, "dup_pairs", cfg)
+    val direct = Curation.curateExact(docs, "doc_id", "text", "lang", cfg)
+    assert(fromCat.select("doc_id").orderBy("doc_id").collect().toSeq ==
+      direct.select("doc_id").orderBy("doc_id").collect().toSeq)
+  }
+
   test("curate on the documents table keeps a plausible fraction") {
     val docs = Tables.documents(spark, sf)
     val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",

@@ -103,6 +103,26 @@ class PlanSpec extends SparkTestBase {
       fresh.orderBy("id").collect().toSeq)
   }
 
+  test("dedup candidate generation enforces the flood cap without a Window") {
+    // bucketPairs (shared by the minhash/simhash/embedding candidate
+    // generators) must gate oversized buckets with a map-side
+    // combinable aggregate + semi-join — the knnJoin shape — not a
+    // `count(*) over (bucket partition)` window, which would funnel a
+    // whole flood bucket through one task before the cap can drop it.
+    // simhashPairs and embeddingPairs return pure plans through the
+    // same helper, so pinning them pins the minhash path too.
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    for ((name, df) <- Seq(
+        "simhash" -> graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text"),
+        "embedding" -> graft.dedup.Dedup.embeddingPairs(emb, "vec_id", "embedding"))) {
+      val s = planString(df)
+      assert(!s.contains("Window"),
+        s"$name candidate plan must not contain a Window over the bucket frame:\n$s")
+      assert(s.contains("HashAggregate"), s"$name: expected the bucket-size aggregate:\n$s")
+    }
+  }
+
   test("q25: multi-table LSH probes broadcast; no cartesian anywhere") {
     val p = finalPlan(q("q25_ann_lsh"))
     val s = p.toString

@@ -57,11 +57,12 @@ class SamplingSpec extends SparkTestBase {
       val cut = f"$cutLong%08x"
       val hex = md.digest(id.toString.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.substring(0, 8)
-      hex < cut
+      w >= 1.0 || hex < cut
     }.toSet
     assert(kept == want)
     assert(kept.nonEmpty && kept.size < all.length)
-    // weight 1 keeps (effectively) everything; weight 0 keeps nothing
+    // weight 1 is a GUARANTEED no-op filter (hash compare bypassed,
+    // including the 1-in-2^32 "ffffffff" md5 prefix); weight 0 keeps nothing
     assert(Sampling.weightedMd5Sample(withW, "doc_id", lit(1.0)).count() == all.length)
     assert(Sampling.weightedMd5Sample(withW, "doc_id", lit(0.0)).count() == 0)
     // monotone: lowering weights only removes rows
