@@ -125,21 +125,24 @@ object Nyc {
     * Out-of-calendar trips drop via the inner joins — a reference
     * behavior we preserve (SURVEY §7.4 trap). */
   def factBuild(trips: DataFrame, dateDim: DataFrame, typeDim: DataFrame,
-                watermark: Option[Any]): DataFrame = {
+                watermark: Option[Any], keep: Seq[String] = Nil): DataFrame = {
     val incremental = Star.newerThan(trips, "pickup_datetime", watermark)
     val withPu = Star.joinDateDim(incremental, dateDim, "pickup_datetime", "date_puID")
     val withDo = Star.joinDateDim(withPu, dateDim, "dropoff_datetime", "date_doID")
     val typed = Star.joinDim(
       withDo.withColumnRenamed("payment_type", "paymentID"),
       typeDim.withColumnRenamed("typeName", "taxi_type"), Seq("taxi_type"))
+    // `keep` rides extra source columns through the projection (e.g.
+    // the pickup timestamp the incremental-append watermark needs) —
+    // the canonical fact shape is the 17 columns alone
     Cleanse.fillNumeric(
-      typed.select(
+      typed.select(Seq(
         col("VendorID"), col("date_puID"), col("date_doID"),
         col("PULocationID"), col("DOLocationID"), col("RatecodeID"),
         col("paymentID"), col("typeID"), col("passenger_count"),
         col("trip_distance"), col("fare_amount"), col("tip_amount"),
         col("tolls_amount"), col("total_amount"), col("airport_fee"),
-        col("total_surcharges"), col("trip_duration")),
+        col("total_surcharges"), col("trip_duration")) ++ keep.map(col): _*),
       0.0)
   }
 

@@ -125,6 +125,88 @@ class NycGoldenSpec extends SparkTestBase {
     zoned.unpersist()
   }
 
+  // ------------------------------------------------- yellow union (R1)
+
+  // The snapshot strips all 12 yellow parquet files
+  // (/root/reference/.MISSING_LARGE_BLOBS:2-13), so the R1-fixing
+  // two-type union runs against a SCHEMA-FAITHFUL synthetic yellow
+  // 2023-01: the real TLC yellow footer layout (19 columns — int64
+  // keys, double measures, int64 payment_type, string
+  // store_and_fwd_flag, timestamps NTZ like the real files), 50,000
+  // rows derived deterministically from xxhash64(id, seed), plus 100
+  // planted exact duplicates (dedup must drop) and one 2022-dated
+  // pickup (calendar prune must drop).
+  private val yellowN = 50000L
+  lazy val rawYellow: org.apache.spark.sql.DataFrame = {
+    def h(seed: Int, m: Long) = pmod(xxhash64(col("id"), lit(seed)), lit(m))
+    def money(seed: Int, m: Long) = h(seed, m).cast("double") / lit(100.0)
+    val base = spark.range(yellowN)
+      // 2023-01-01 00:00:00 UTC = 1672531200; id 0 plants a 2022-12-31
+      // pickup that must fall out of the 2023 calendar join
+      .withColumn("pu_s",
+        when(col("id") === 0, lit(1672444800L))
+          .otherwise(lit(1672531200L) + h(2, 31L * 24 * 3600)))
+      .select(
+        col("id"),
+        (lit(1L) + h(1, 2)).as("VendorID"),
+        timestamp_seconds(col("pu_s")).cast("timestamp_ntz")
+          .as("tpep_pickup_datetime"),
+        timestamp_seconds(col("pu_s") + lit(60L) + h(3, 3600))
+          .cast("timestamp_ntz").as("tpep_dropoff_datetime"),
+        when(h(4, 50) === 0, lit(null)).otherwise(h(4, 5).cast("double") + 1.0)
+          .as("passenger_count"),
+        money(5, 3000).as("trip_distance"),
+        when(h(6, 50) === 0, lit(null)).otherwise(h(6, 6).cast("double") + 1.0)
+          .as("RatecodeID"),
+        when(h(7, 20) === 0, lit("Y")).otherwise(lit("N"))
+          .as("store_and_fwd_flag"),
+        (lit(1L) + h(8, 265)).as("PULocationID"),
+        (lit(1L) + h(9, 265)).as("DOLocationID"),
+        (lit(1L) + h(10, 4)).as("payment_type"),
+        money(11, 5000).as("fare_amount"),
+        money(12, 300).as("extra"),
+        lit(0.5).as("mta_tax"),
+        money(13, 1500).as("tip_amount"),
+        money(14, 700).as("tolls_amount"),
+        lit(1.0).as("improvement_surcharge"),
+        money(15, 8000).as("total_amount"),
+        when(h(16, 50) === 0, lit(null).cast("double")).otherwise(lit(2.5))
+          .as("congestion_surcharge"),
+        when(h(17, 3) === 0, lit(1.25)).otherwise(lit(0.0)).as("airport_fee"))
+    // planted exact duplicates: rows 0..99 appear twice (id selected by
+    // value, not limit() — deterministic under any partitioning), then
+    // the id column drops so the copies are bit-identical
+    base.union(base.filter(col("id") < 100)).drop("id")
+  }
+  lazy val silverYellow = Nyc.cleanseYellow(rawYellow).cache()
+
+  test("silver: synthetic yellow conforms, dedups, and unions by name with real green (R1)") {
+    assume(available)
+    assert(silverYellow.columns.toSeq == Nyc.canonicalColumns)
+    assert(silverYellow.count() == yellowN) // 100 planted dupes dropped
+    val union = Nyc.unionTrips(Seq(silver, silverYellow))
+    assert(union.columns.toSeq == Nyc.canonicalColumns)
+    assert(union.count() == 68211L + yellowN)
+    // both taxi types present post-union — the exact composition the
+    // reference's positional 17x16 union crashes on (gold.py:273)
+    assert(union.select("taxi_type").distinct().count() == 2)
+  }
+
+  test("gold: two-type fact keys yellow rows typeID=2, prunes the 2022 pickup") {
+    assume(available)
+    val union = Nyc.unionTrips(Seq(silver, silverYellow))
+    val fact2 = Nyc.factBuild(union, dateDim, Nyc.seedTypes(spark), None).cache()
+    // green loses its 3 out-of-2023 trips, yellow exactly the planted one
+    assert(fact2.count() == 68208L + (yellowN - 1))
+    assert(fact2.filter(col("typeID") === 1).count() == 68208L)
+    assert(fact2.filter(col("typeID") === 2).count() == yellowN - 1)
+    // marts aggregate the union without loss
+    val monthly = Nyc.monthlyReport(fact2, dateDim)
+    assert(monthly.agg(sum("total_rows")).head().getLong(0) ==
+      68208L + yellowN - 1)
+    fact2.unpersist()
+  }
+
   test("platinum: mart content hash is pinned (regression golden)") {
     assume(available)
     // deterministic row image: sorted keys, exact-aggregate measures
