@@ -111,7 +111,7 @@ object RecallReport {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Ann.bruteForceTopK(emb, emb, k = 5))
     val found = pairs(Ann.knnJoin(emb, k = 5))
-    m("q65 knnJoin", "k=5 r=4 planes x L=16 tables, self-graph", truth, found)
+    m("q65 knnJoin", "k=5 r=3 planes x L=16 tables, self-graph", truth, found)
   }
 
   /** q58: SemDeDup within-cluster pairs vs brute-force cosine pairs —
@@ -126,12 +126,12 @@ object RecallReport {
     val truth = pairSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .filter(Vectors.cosine(col("v_a"), col("v_b")) >= 0.3))
     val found = pairSet(Dedup.semanticPairs(emb, "vec_id", "embedding",
-      threshold = 0.3, nClusters = 64, iters = 2, probes = 6))
+      threshold = 0.3, nClusters = 128, iters = 1, probes = 12))
     val n = emb.count()
     val mass = Dedup.semanticCandidates(emb, "vec_id", "embedding",
-      nClusters = 64, iters = 2, probes = 6).count().toDouble / (n * (n - 1) / 2)
+      nClusters = 128, iters = 1, probes = 12).count().toDouble / (n * (n - 1) / 2)
     m("q58 semanticPairs",
-      f"cos>=0.3 k-means 64 cells probe-6 lloyd=2 mass=$mass%.2f of all pairs",
+      f"cos>=0.3 k-means 128 cells probe-12 lloyd=1 mass=$mass%.2f of all pairs",
       truth, found)
   }
 
@@ -246,13 +246,19 @@ object RecallReport {
         |  vector's top-k is a k-bounded heap aggregate (map-side
         |  pruned), never a window over candidate partitions. Candidate
         |  mass ~ n^2 L/2^r, so r scales with the corpus; the measured
-        |  curve: r=4 x L=16 = 0.90 (default), r=3 x L=16 = 0.98 at 2x
-        |  the candidates, r=2 x L=12 = 0.995 at 8x.
+        |  curve: r=3 x L=16 = 0.98 (DEFAULT — the graph is built once
+        |  and consumed many times, so recall is worth the one-time 2x
+        |  candidate mass), r=4 x L=16 = 0.90 at half the candidates,
+        |  r=4 x L=24 = 0.96 at 1.5x, r=2 x L=12 = 0.995 at 8x.
         |- **q58**: SemDeDup (cluster-then-pair, top-`probes` cell
         |  multi-assignment) — recall loss is exactly the true pairs
         |  whose members share no probed cell; precision 1.0 by
-        |  construction (exact-cosine verify). The params column carries
-        |  the MEASURED candidate mass as a fraction of n(n-1)/2 — the
+        |  construction (exact-cosine verify). Defaults apply q48's
+        |  fineness lesson: at EQUAL candidate mass (~0.65 here),
+        |  128 cells x probe-12 recalls 0.994 vs 64 x probe-8's 0.973
+        |  and 96 x probe-10's 0.990; the old 64 x probe-6 default sat
+        |  at 0.92 / 0.44 mass. The params column carries the MEASURED
+        |  candidate mass as a fraction of n(n-1)/2 — the
         |  scale-sensitive term. The test corpus only exercises the
         |  weak-similarity regime (no pairs above cos 0.5 exist), where
         |  density blocking is structurally at its worst; on tight

@@ -650,19 +650,23 @@ object Dedup {
   // vector to its top-`probes` cells, and emit cosine-≥-threshold
   // pairs sharing a cell. Candidate mass is ≈ p²/k of all pairs
   // (measured, not assumed — docs/RECALL.md quotes the actual
-  // fraction), so raise `nClusters` with corpus size and buy recall
-  // back with `probes` — a near-dup pair split by one cell boundary
-  // still meets in a second-choice cell (the IVF nProbe idea applied
-  // to the corpus side; single-assignment measured recall 0.27 at
-  // cos 0.3 on the test corpus, probes=6 of 64 cells measures 0.92 at
-  // 0.44 mass). Cross-cell misses are the trade SemDeDup makes; on
-  // its actual regime — tight duplicate balls (cos ≥ 0.9), not the
-  // test corpus's weak cos-0.3 pairs — boundary splits are rare and
-  // recall is ~1 (planted-ball test in DedupSpec). Differs from
-  // embeddingPairs (hyperplane LSH) in candidate geometry: LSH
-  // buckets by random projections (per-pair collision probability),
-  // clustering by the data's own density structure — and the same
-  // centroids serve the IVF ANN index, so a pipeline pays them once.
+  // fraction); a near-dup pair split by one cell boundary still meets
+  // in a second-choice cell (the IVF nProbe idea applied to the
+  // corpus side; single-assignment measured recall 0.27 at cos 0.3).
+  // Defaults follow the SAME lesson q48 measured for IVF: at equal
+  // candidate mass, quantization FINENESS beats probe count —
+  // 128 cells × probe-12 recalls 0.994 where 64 × probe-8 recalls
+  // 0.973 at the same 0.65 mass (64 × probe-6, the old default, sat
+  // at 0.92 / 0.44 mass; the sweep is in docs/RECALL.md). Scale k
+  // with corpus size, keep probes ≈ k/10. Cross-cell misses are the
+  // trade SemDeDup makes; on its actual regime — tight duplicate
+  // balls (cos ≥ 0.9), not the test corpus's weak cos-0.3 pairs —
+  // boundary splits are rare and recall is ~1 (planted-ball test in
+  // DedupSpec). Differs from embeddingPairs (hyperplane LSH) in
+  // candidate geometry: LSH buckets by random projections (per-pair
+  // collision probability), clustering by the data's own density
+  // structure — and the same centroids serve the IVF ANN index, so a
+  // pipeline pays them once.
 
   /** The candidate (id_a, id_b, v_a, v_b) frame [[semanticPairs]]
     * verifies: distinct pairs sharing at least one of their top-
@@ -670,8 +674,8 @@ object Dedup {
     * scale-sensitive term of cluster-blocked dedup — can be measured
     * directly (docs/RECALL.md quotes it as a fraction of n(n−1)/2). */
   def semanticCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                         nClusters: Int = 64, iters: Int = 2,
-                         probes: Int = 6): DataFrame = {
+                         nClusters: Int = 128, iters: Int = 1,
+                         probes: Int = 12): DataFrame = {
     // the cell heap breaks ties via -cid, and cid derives from idCol
     graft.sim.Ann.requireNumericId(emb, idCol, "semanticCandidates")
     val corpus = emb.select(col(idCol).as("id"),
@@ -704,8 +708,8 @@ object Dedup {
   }
 
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nClusters: Int = 64,
-                    iters: Int = 2, probes: Int = 6): DataFrame =
+                    threshold: Double, nClusters: Int = 128,
+                    iters: Int = 1, probes: Int = 12): DataFrame =
     semanticCandidates(emb, idCol, vecCol, nClusters, iters, probes)
       .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
@@ -716,8 +720,8 @@ object Dedup {
     * [[Curation.dropNearDups]] — chain through
     * [[connectedComponents]] for transitive clusters). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nClusters: Int = 64,
-                    iters: Int = 2, probes: Int = 6): DataFrame = {
+                    threshold: Double, nClusters: Int = 128,
+                    iters: Int = 1, probes: Int = 12): DataFrame = {
     val losers = semanticPairs(emb, idCol, vecCol, threshold,
         nClusters, iters, probes)
       .select(col("id_b").as(idCol)).distinct()

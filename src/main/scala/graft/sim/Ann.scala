@@ -258,13 +258,16 @@ object Ann {
     * no multi-probe — the mirror doubles candidate coverage instead).
     * Candidate mass ≈ n²·L/2^r, so `nPlanes` is the knob that scales
     * with the corpus (each +1 halves mass); measured trade at the gate
-    * corpora: r=3 recalls 0.98 at 2× the candidates of r=4's 0.90 —
-    * the default takes r=4, raise L to buy recall back when needed.
-    * `maxBucket` caps hyperplane-bucket floods like the dedup family's
-    * candidate generators.
+    * corpora: r=3×L=16 recalls 0.98, r=4×L=16 recalls 0.90 at half
+    * the candidates. The DEFAULT takes r=3 — the k-NN graph is built
+    * once and consumed many times (dedup audits, diversity sampling,
+    * clustering), so recall is worth 2× one-time candidate mass;
+    * raise `nPlanes` as the corpus grows and buy recall back with
+    * `nTables`. `maxBucket` caps hyperplane-bucket floods like the
+    * dedup family's candidate generators.
     * `idCol` must be NUMERIC (nonnegative): ties inside the bounded
     * heap break by descending id encoded as `-id`. */
-  def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 16,
+  def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 3, nTables: Int = 16,
               dim: Int = 64, maxBucket: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     requireNumericId(emb, idCol, "knnJoin")
