@@ -949,7 +949,46 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("order_rank"),
           col("prev_gap_days"), col("running_spend"))
     }),
+
+    // Corpus bigram LM quality score (graft.text.NgramLm): the
+    // CCNet-style in-distribution filter as exact integer arithmetic —
+    // ratio of corpus-count sums instead of a log-prob mean, so the
+    // score is bit-deterministic and fully oracle-gated.
+    "q70_lm_quality" -> ((s, dir) =>
+      graft.text.NgramLm.bigramScore(documents(s, dir), "doc_id", "text")),
+
+    // Token-budget mixture build (graft.ops.Mixture): per-domain
+    // md5-order document prefixes until each domain's token budget is
+    // met. Spark runs the two-phase segmented prefix sum (no
+    // one-reducer-per-domain window); the oracle replays the naive
+    // window form — results are bit-identical.
+    "q71_token_mixture" -> ((s, dir) =>
+      graft.ops.Mixture.tokenBudget(
+        documents(s, dir)
+          .withColumn("n_tokens", TF.tokenCount(col("text"))),
+        "doc_id", "source", "n_tokens", mixtureBudgets)),
+
+    // JSONL round-trip (graft.sources.Sources): write the documents
+    // table as JSON-lines, read it back under the writer's schema, and
+    // hash-compare against the original rows — the lossless-interchange
+    // contract LLM pipelines assume of their JSONL corpora.
+    "q72_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val out = jsonlDir(dir)
+      graft.sources.Sources.writeJson(docs, out) // bench pays write+read
+      graft.sources.Sources.readJson(s, out, Some(docs.schema))
+    }),
   )
+
+  /** q71's declared mixture: one budget list consumed by both the
+    * Spark query and its oracle, so the kept sets cannot drift. */
+  private val mixtureBudgets: Map[String, Long] =
+    Map("src0" -> 400L, "src1" -> 250L, "src7" -> 600L, "src13" -> 100L)
+
+  /** q72's per-(JVM, source-dir) JSONL dump location (under the same
+    * temp artifact root as the pair graphs). */
+  private def jsonlDir(dir: String): String =
+    artifactRoot + "/jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Shared gold-style fact: lineitem ⋈ orders ⋈ customer with derived
     * calendar attributes (reference fact build, gold.py:256-330). */
@@ -1823,5 +1862,45 @@ object SparkEntry {
          |    / count(*) AS shared_fraction
          |FROM sh s JOIN cnt c USING (shingle)
          |GROUP BY 1""".stripMargin,
+
+    // Same ratio-of-integer-sums score; list_zip builds the bigram
+    // stream the Spark side gets from zip_with over token slices.
+    "q70_lm_quality" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS t
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |  unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS bg
+         |  FROM toks WHERE len(t) >= 2),
+         |bi AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM b),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1)
+         |SELECT bi.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(c2.c2) AS BIGINT) AS sum_c2,
+         |  CAST(sum(c1.c1) AS BIGINT) AS sum_c1,
+         |  CAST(sum(c2.c2) AS DOUBLE) / CAST(sum(c1.c1) AS DOUBLE)
+         |    AS lm_score
+         |FROM bi JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+         |        JOIN c1 ON bi.w1 = c1.w1
+         |GROUP BY 1""".stripMargin,
+
+    // Naive window-cumsum ground truth for the two-phase mixture cut;
+    // the budget CASE is generated from the same mixtureBudgets map
+    // the Spark query consumes.
+    "q71_token_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR)) AS u FROM documents),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER
+         |  (PARTITION BY source ORDER BY u, doc_id) AS BIGINT)
+         |  AS cum_tokens FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < CASE source ${
+               mixtureBudgets.toSeq.sorted.map { case (k, v) =>
+                 s"WHEN '$k' THEN $v" }.mkString(" ")} ELSE -1 END""".stripMargin,
+
+    // Round-trip identity: the JSONL write→read must reproduce the
+    // source rows exactly.
+    "q72_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
   )
 }

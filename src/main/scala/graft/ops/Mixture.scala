@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-weighted dataset mixture building: the step after curation
+  * where a training corpus is assembled from per-domain token budgets
+  * ("20 B tokens of web, 5 B of code, 1 B of reference"). Each domain
+  * contributes its documents in md5(id) order until the budget is
+  * reached — a deterministic, engine-portable prefix of a uniform
+  * permutation, so reruns and engine swaps assemble the SAME corpus
+  * (md5 order, like [[Sampling.md5Sample]], is reproducible anywhere
+  * with a hex md5; the DuckDB oracle replays the exact kept set).
+  *
+  * Scale shape: the naive form is a per-domain window cumsum — one
+  * reducer sorts an entire domain, exactly the q38 trap (a web domain
+  * at 100 TB is most of the corpus). This implementation runs the
+  * two-phase [[Quantiles.segmentedPrefixSum]] instead: a boundary
+  * sketch on the hash prefix splits each domain into `nBuckets`
+  * ranges, bucket-level weight offsets compose over a driver-scale
+  * frame, and only ~1/nBuckets of a domain sorts per task. Results
+  * are EXACT and bit-identical to the window form.
+  */
+object Mixture {
+  /** Documents selected into the mixture: for each domain with a
+    * budget, the docs whose md5-order token prefix STARTS inside the
+    * budget (so the budget-crossing doc is kept and every budget is
+    * met, not undershot). Domains absent from `budgets` contribute
+    * nothing. Output: (idCol, domainCol, weightCol, cum_tokens) where
+    * cum_tokens is the inclusive running total within the domain —
+    * the audit column a mixture manifest wants. */
+  def tokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                  weightCol: String, budgets: Map[String, Long],
+                  nBuckets: Int = 64): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one domain")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    // __u: the portable selection order; __un: its first 15 hex digits
+    // as a number (fits a long, 16^15 = 2^60) for the boundary sketch.
+    // Numeric order on a fixed-width prefix == lexicographic order on
+    // the full digest wherever prefixes differ, so (__u, id) refines
+    // __un as segmentedPrefixSum requires.
+    val withU = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__u", md5(col(idCol).cast("string")))
+      .withColumn("__un", conv(substring(col("__u"), 1, 15), 16, 10)
+        .cast("long"))
+    val budget: Column = budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
+      when(col(domainCol) === k, lit(b)).otherwise(acc)
+    }
+    Quantiles.segmentedPrefixSum(withU, domainCol, weightCol, "__un",
+        Seq(col("__u").asc, col(idCol).asc), nBuckets)
+      .filter(col("__cum") - col(weightCol) < budget)
+      .select(col(idCol), col(domainCol), col(weightCol),
+        col("__cum").as("cum_tokens"))
+  }
+}

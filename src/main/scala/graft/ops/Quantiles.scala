@@ -82,6 +82,53 @@ object Quantiles {
       .drop("__bkt", "__off", "__oseg", "__obkt")
   }
 
+  /** Scale-safe EXACT per-segment running sum of `weightCol` under a
+    * total order — the weighted sibling of [[segmentedRowNumber]],
+    * and the primitive behind budget cuts ("take documents in hash
+    * order until the domain's token budget is reached",
+    * [[Mixture.tokenBudget]]). Same three-phase shape: boundary
+    * sketch on `orderNumCol`, per-(segment, bucket) weight sums with
+    * prefix offsets over the tiny bucket frame, then a within-bucket
+    * running sum — so no segment ever funnels through one reducer.
+    *
+    * `orderCols` must be a tie-free total order that REFINES
+    * `orderNumCol` (equal `orderNumCol` values may order freely
+    * within their shared bucket, but a row ordered earlier must never
+    * have a larger `orderNumCol`) — otherwise bucket offsets and
+    * within-bucket ranks would disagree about which rows precede
+    * which. Output adds `__cum` (inclusive running sum, LongType) to
+    * `df`'s columns. `weightCol` must be non-negative integral. */
+  private[graft] def segmentedPrefixSum(df: DataFrame, segCol: String,
+                                        weightCol: String, orderNumCol: String,
+                                        orderCols: Seq[Column],
+                                        nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.groupBy(col(segCol).as("__seg"))
+      .agg(percentile_approx(col(orderNumCol), typedLit(probs), lit(1000))
+        .as("__bnds"))
+    val bucketed = df.join(broadcast(bounds), col(segCol) <=> col("__seg"))
+      .withColumn("__bkt",
+        coalesce(
+          aggregate(col("__bnds"), lit(0),
+            (acc, b) => acc + when(b < col(orderNumCol), 1).otherwise(0)),
+          lit(0)))
+      .drop("__bnds", "__seg")
+    val wOff = Window.partitionBy(col("__oseg")).orderBy(col("__obkt"))
+    val offsets = bucketed
+      .groupBy(col(segCol).as("__oseg"), col("__bkt").as("__obkt"))
+      .agg(sum(col(weightCol)).cast("long").as("__w"))
+      .select(col("__oseg"), col("__obkt"),
+        (sum(col("__w")).over(wOff) - col("__w")).as("__woff"))
+    val wIn = Window.partitionBy(col(segCol), col("__bkt"))
+      .orderBy(orderCols: _*)
+    bucketed.join(broadcast(offsets),
+        col(segCol) <=> col("__oseg") && col("__bkt") === col("__obkt"))
+      .withColumn("__cum",
+        col("__woff") + sum(col(weightCol)).over(wIn).cast("long"))
+      .drop("__bkt", "__woff", "__oseg", "__obkt")
+  }
+
   /** Spark's ntile(t) from a known row number and partition size: the
     * first n%t tiles get ceil(n/t) rows, the rest floor(n/t). */
   private def ntileOf(t: Int, rn: Column, n: Column): Column = {

@@ -28,4 +28,13 @@ object Sources {
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).json(path)
   }
+
+  /** JSON-lines sink — the interchange format LLM data pipelines live
+    * on (one document object per line, splittable, appendable). JSONL
+    * drops null fields by default on write; reading back with the
+    * writer's schema restores them as nulls, so a write→read
+    * round-trip is lossless for JSON-representable types (the q72
+    * oracle hash-verifies this on the documents table). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
