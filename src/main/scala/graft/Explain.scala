@@ -4,11 +4,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan (and optionally time)
   * for named queries — `runMain graft.Explain <sfDir> <query...>`.
-  * Used to audit pushdown, broadcast choice, and codegen spans. */
+  * Used to audit pushdown, broadcast choice, and codegen spans.
+  *
+  * `runMain graft.Explain headline` regenerates the per-round plan
+  * audit at docs/plans/headline_plans.txt from the curated headline
+  * list. (A compiled main, not a REPL session: `typedLit` inside
+  * compiled operators trips a REPL-only literal-conversion error, so
+  * console-driven explains crash on every two-phase-window query.) */
 object Explain {
+  /** The queries whose plans the per-round audit reads — the shuffle-
+    * heavy and composition queries where a scale regression would
+    * hide. */
+  val headline: Seq[String] = Seq(
+    "q09_monthly_report", "q26_fact_build", "q24_ngram_jaccard_pairs",
+    "q23_embedding_neardup", "q25_ann_lsh", "q42_ann_ivf",
+    "q43_curated_corpus", "q44_contamination", "q47_dup_components",
+    "q48_ann_ivf_kmeans", "q50_curation_lsh", "q53_label_centroids",
+    "q54_scd2_history", "q55_fuzzy_join", "q56_range_join",
+    "q57_grouped_topk", "q58_semantic_dedup", "q59_shared_shingles",
+    "q60_sequence_pack", "q61_curation_funnel", "q64_incremental_pairs",
+    "q65_knn_graph", "q67_dataset_build",
+    "q70_lm_quality", "q71_token_mixture", "q72_jsonl_roundtrip")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val toFile = args.headOption.contains("headline")
+    val sfDir = if (toFile) "/root/testdata/sf0.01"
+                else args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (toFile) headline
+                else if (args.length > 1) args.tail.toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -18,13 +42,23 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sb = new StringBuilder
+    def emit(s: String): Unit = if (toFile) { sb ++= s; sb += '\n' }
+                                else println(s)
     names.foreach { n =>
-      println(s"\n========== $n ==========")
+      emit(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.explain("formatted")
+      emit(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"[time] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      emit(f"[time] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    if (toFile) {
+      val out = "docs/plans/headline_plans.txt"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        sb.toString)
+      println(s"[explain] wrote ${names.size} plans to $out")
     }
     spark.stop()
   }

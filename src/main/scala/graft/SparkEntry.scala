@@ -978,6 +978,19 @@ object SparkEntry {
       graft.sources.Sources.writeJson(docs, out) // bench pays write+read
       graft.sources.Sources.readJson(s, out, Some(docs.schema))
     }),
+
+    // Span-level decontamination (Contamination.removeSpans): q44's
+    // surgical sibling — scrub only the probe-matching shingle spans,
+    // keep the document's uncontaminated mass. The oracle rebuilds
+    // every clean_text in DuckDB, so the positional cover arithmetic
+    // and the token-level rewrite are hash-gated end to end.
+    "q73_span_removal" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.text.Contamination.removeSpans(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleK = 5)
+    }),
   )
 
   /** q71's declared mixture: one budget list consumed by both the
@@ -1902,5 +1915,36 @@ object SparkEntry {
     // source rows exactly.
     "q72_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Positional shingle cover + token-level rewrite, replayed with
+    // DuckDB list ops (same m<5 whole-doc convention as q44's CASE).
+    "q73_span_removal" ->
+      s"""WITH toksv AS (SELECT doc_id, ${TF.sql.tokens("text")} AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS m FROM toksv),
+         |idx AS (SELECT doc_id, t, m,
+         |  unnest(range(1, greatest(m-4, 1)+1)) AS i FROM base),
+         |sh AS (SELECT doc_id, CAST(i AS INTEGER) AS i, m,
+         |  CASE WHEN m < 5 THEN array_to_string(t, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(t, CAST(i AS INTEGER), CAST(i AS INTEGER)+4), ' ')
+         |  END AS shingle FROM idx),
+         |probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT s.doc_id, s.i, s.m FROM sh s JOIN probe p
+         |  USING (shingle) WHERE s.doc_id % 97 <> 0),
+         |cov AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS p FROM hits,
+         |  unnest(range(i, least(i+5, m+1))) AS c(p)),
+         |cova AS (SELECT doc_id, count(*) AS n_removed,
+         |  list(p ORDER BY p) AS cov FROM cov GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.m AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS INTEGER) AS n_removed,
+         |  CASE WHEN a.cov IS NULL THEN array_to_string(b.t, ' ')
+         |       ELSE array_to_string(list_transform(
+         |         list_filter(range(1, b.m+1),
+         |           p -> NOT list_contains(a.cov, p)),
+         |         p -> b.t[CAST(p AS INTEGER)]), ' ')
+         |  END AS clean_text
+         |FROM base b LEFT JOIN cova a USING (doc_id)
+         |WHERE b.doc_id % 97 <> 0""".stripMargin,
   )
 }

@@ -44,4 +44,66 @@ object Contamination {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("int")
           .as("contaminated"))
   }
+
+  /** Span-level decontamination — [[flag]]'s surgical sibling: instead
+    * of dropping a contaminated document wholesale, remove only the
+    * token positions covered by a probe-matching k-shingle and keep
+    * the rest (the Dolma/RefinedWeb-style span scrub that preserves
+    * the document's uncontaminated mass). Output per corpus doc:
+    * (idCol, n_tokens, n_removed, clean_text), where clean_text is
+    * the surviving tokens joined by single spaces (reassembly is
+    * whitespace-normalizing by construction). Documents shorter than
+    * `shingleK` follow the [[flag]] convention: the whole text is one
+    * shingle, so a probe match removes the entire document (empty
+    * clean_text).
+    *
+    * Scale shape: the probe set broadcasts as in [[flag]]; positional
+    * shingles explode once per corpus token (the same mass q44/q59
+    * already pay); covered positions aggregate into a PER-DOC bounded
+    * array (≤ doc length) on the contaminated minority only, and the
+    * rewrite is a higher-order array op — no (doc, position)-grained
+    * shuffle, no anti-join of the corpus against its own positions. */
+  def removeSpans(docs: DataFrame, probes: DataFrame, idCol: String,
+                  textCol: String, shingleK: Int = 5): DataFrame = {
+    val k = shingleK
+    val probeShingles = probes
+      .select(graft.functions.exprs.word_shingle_rows(
+        TextFunctions.tokens(col(textCol)), k).as("shingle"))
+      .distinct()
+    val base = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+      .withColumn("m", size(col("t")))
+    // positional (i, shingle) rows — the set-emitting generator can't
+    // drive a rewrite, positions matter here
+    val sh = base.select(col(idCol), col("m"),
+      explode(
+        when(col("m") < k,
+          array(struct(lit(1).as("i"),
+            array_join(col("t"), " ").as("sh"))))
+        .otherwise(transform(sequence(lit(1), col("m") - (k - 1)),
+          i => struct(i.as("i"),
+            array_join(slice(col("t"), i, lit(k)), " ").as("sh"))))).as("x"))
+      .select(col(idCol), col("m"),
+        col("x.i").as("i"), col("x.sh").as("shingle"))
+    // m >= 1: an empty document's '' shingle can match an empty probe
+    // doc, but there is no position to cover — and Spark's
+    // sequence(1, 0) would helpfully count DOWN ([1, 0]) instead of
+    // being empty like DuckDB's range(1, 1)
+    val covered = sh.filter(col("m") >= 1)
+      .join(broadcast(probeShingles), Seq("shingle"))
+      .select(col(idCol),
+        explode(sequence(col("i"), least(col("i") + (k - 1), col("m"))))
+          .as("p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("p")).as("covs"))
+    base.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        col("m").as("n_tokens"),
+        coalesce(size(col("covs")), lit(0)).as("n_removed"),
+        when(col("covs").isNull, array_join(col("t"), " "))
+          .otherwise(array_join(
+            filter(col("t"), (w, i0) => !array_contains(col("covs"), i0 + 1)),
+            " "))
+          .as("clean_text"))
+  }
 }
