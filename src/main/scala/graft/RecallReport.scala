@@ -126,12 +126,12 @@ object RecallReport {
     val truth = pairSet(a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .filter(Vectors.cosine(col("v_a"), col("v_b")) >= 0.3))
     val found = pairSet(Dedup.semanticPairs(emb, "vec_id", "embedding",
-      threshold = 0.3, nClusters = 128, iters = 1, probes = 12))
+      threshold = 0.3, nClusters = 256, iters = 1, probes = 8))
     val n = emb.count()
     val mass = Dedup.semanticCandidates(emb, "vec_id", "embedding",
-      nClusters = 128, iters = 1, probes = 12).count().toDouble / (n * (n - 1) / 2)
+      nClusters = 256, iters = 1, probes = 8).count().toDouble / (n * (n - 1) / 2)
     m("q58 semanticPairs",
-      f"cos>=0.3 k-means 128 cells probe-12 lloyd=1 mass=$mass%.2f of all pairs",
+      f"cos>=0.3 k-means 256 cells probe-8 lloyd=1 mass=$mass%.2f of all pairs",
       truth, found)
   }
 
@@ -254,12 +254,16 @@ object RecallReport {
         |  multi-assignment) — recall loss is exactly the true pairs
         |  whose members share no probed cell; precision 1.0 by
         |  construction (exact-cosine verify). Defaults apply q48's
-        |  fineness lesson: at EQUAL candidate mass (~0.65 here),
-        |  128 cells x probe-12 recalls 0.994 vs 64 x probe-8's 0.973
-        |  and 96 x probe-10's 0.990; the old 64 x probe-6 default sat
-        |  at 0.92 / 0.44 mass. The params column carries the MEASURED
-        |  candidate mass as a fraction of n(n-1)/2 — the
-        |  scale-sensitive term. The test corpus only exercises the
+        |  fineness lesson at MINIMUM mass, not maximum recall: finer
+        |  cells lift recall while mass (≈ p²/k, the scale-sensitive
+        |  term) FALLS — the sweep: 256 cells x probe-8 (DEFAULT)
+        |  0.952-0.955 @ 0.21 mass; 128 x probe-8 0.945-0.947 @ 0.38;
+        |  192 x probe-8 0.93-0.95 @ 0.27; 256 x probe-6 0.90-0.92
+        |  @ 0.12; 128 x probe-12 0.994-0.996 @ 0.66 (the
+        |  recall-critical point — 3x the default's verification
+        |  work); the original 64 x probe-6 sat at 0.92 @ 0.44. The
+        |  params column carries the MEASURED candidate mass as a
+        |  fraction of n(n-1)/2. The test corpus only exercises the
         |  weak-similarity regime (no pairs above cos 0.5 exist), where
         |  density blocking is structurally at its worst; on tight
         |  duplicate balls (cos >= 0.9, SemDeDup's actual regime)

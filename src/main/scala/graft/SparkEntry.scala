@@ -991,7 +991,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", shingleK = 5)
     }),
+
+    // Supply-aware epoch mixture (Mixture.tokenBudgetEpochs): budgets
+    // above a domain's token supply upsample it — full epochs for all
+    // docs, one extra for the md5-order remainder prefix. n_epochs is
+    // the manifest-recorded repeat factor; no duplicate rows
+    // materialize.
+    "q74_epoch_mixture" -> ((s, dir) =>
+      graft.ops.Mixture.tokenBudgetEpochs(
+        documents(s, dir)
+          .withColumn("n_tokens", TF.tokenCount(col("text"))),
+        "doc_id", "source", "n_tokens", epochBudgets)),
   )
+
+  /** q74's declared budgets — src2 upsamples (~2.7 supplies), src5
+    * lands exactly where its remainder prefix ends mid-domain, src9
+    * is subset-only, src11 is a sliver; one list for query + oracle. */
+  private val epochBudgets: Map[String, Long] =
+    Map("src2" -> 3500L, "src5" -> 2500L, "src9" -> 700L, "src11" -> 150L)
 
   /** q71's declared mixture: one budget list consumed by both the
     * Spark query and its oracle, so the kept sets cannot drift. */
@@ -1946,5 +1963,28 @@ object SparkEntry {
          |  END AS clean_text
          |FROM base b LEFT JOIN cova a USING (doc_id)
          |WHERE b.doc_id % 97 <> 0""".stripMargin,
+
+    // Naive window form + per-domain supply totals; integer division
+    // keeps every epoch count exact on both engines.
+    "q74_epoch_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR)) AS u FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS supply
+         |  FROM t GROUP BY 1),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER
+         |  (PARTITION BY source ORDER BY u, doc_id) AS BIGINT) AS cum
+         |  FROM t),
+         |j AS (SELECT c.*, tot.supply,
+         |  CASE c.source ${epochBudgets.toSeq.sorted.map { case (k, v) =>
+               s"WHEN '$k' THEN $v" }.mkString(" ")} ELSE -1 END AS b
+         |  FROM c JOIN tot USING (source))
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(b // supply + CASE WHEN cum - n_tokens < b % supply
+         |    THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+         |FROM j
+         |WHERE b >= 0 AND b // supply +
+         |  CASE WHEN cum - n_tokens < b % supply THEN 1 ELSE 0 END >= 1
+         |""".stripMargin,
   )
 }

@@ -653,12 +653,18 @@ object Dedup {
   // fraction); a near-dup pair split by one cell boundary still meets
   // in a second-choice cell (the IVF nProbe idea applied to the
   // corpus side; single-assignment measured recall 0.27 at cos 0.3).
-  // Defaults follow the SAME lesson q48 measured for IVF: at equal
-  // candidate mass, quantization FINENESS beats probe count —
-  // 128 cells × probe-12 recalls 0.994 where 64 × probe-8 recalls
-  // 0.973 at the same 0.65 mass (64 × probe-6, the old default, sat
-  // at 0.92 / 0.44 mass; the sweep is in docs/RECALL.md). Scale k
-  // with corpus size, keep probes ≈ k/10. Cross-cell misses are the
+  // Defaults follow the SAME lesson q48 measured for IVF: quantization
+  // FINENESS beats probe count. Candidate mass ≈ p²/k of all pairs is
+  // THE scale-sensitive term, and the measured weak-regime sweep
+  // (docs/RECALL.md) shows finer cells buy recall at FALLING mass:
+  // 256 cells × probe-8 (DEFAULT) recalls 0.952-0.955 at 0.21 mass,
+  // where coarser 128 × probe-8 needs 0.38 mass for the same recall
+  // and 64 × probe-6 (the original default) sat at 0.92 / 0.44 mass.
+  // Recall-critical runs buy the top of the curve explicitly:
+  // 128 × probe-12 = 0.994-0.996 at 0.66 mass — 3x the verification
+  // work of the default for the last four points of weak-regime
+  // recall. Scale cells with corpus size (k ≈ n / target cell size),
+  // keep probes ≈ 8. Cross-cell misses are the
   // trade SemDeDup makes; on its actual regime — tight duplicate
   // balls (cos ≥ 0.9), not the test corpus's weak cos-0.3 pairs —
   // boundary splits are rare and recall is ~1 (planted-ball test in
@@ -674,8 +680,8 @@ object Dedup {
     * scale-sensitive term of cluster-blocked dedup — can be measured
     * directly (docs/RECALL.md quotes it as a fraction of n(n−1)/2). */
   def semanticCandidates(emb: DataFrame, idCol: String, vecCol: String,
-                         nClusters: Int = 128, iters: Int = 1,
-                         probes: Int = 12): DataFrame = {
+                         nClusters: Int = 256, iters: Int = 1,
+                         probes: Int = 8): DataFrame = {
     // the cell heap breaks ties via -cid, and cid derives from idCol
     graft.sim.Ann.requireNumericId(emb, idCol, "semanticCandidates")
     val corpus = emb.select(col(idCol).as("id"),
@@ -708,8 +714,8 @@ object Dedup {
   }
 
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nClusters: Int = 128,
-                    iters: Int = 1, probes: Int = 12): DataFrame =
+                    threshold: Double, nClusters: Int = 256,
+                    iters: Int = 1, probes: Int = 8): DataFrame =
     semanticCandidates(emb, idCol, vecCol, nClusters, iters, probes)
       .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
@@ -720,8 +726,8 @@ object Dedup {
     * [[Curation.dropNearDups]] — chain through
     * [[connectedComponents]] for transitive clusters). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double, nClusters: Int = 128,
-                    iters: Int = 1, probes: Int = 12): DataFrame = {
+                    threshold: Double, nClusters: Int = 256,
+                    iters: Int = 1, probes: Int = 8): DataFrame = {
     val losers = semanticPairs(emb, idCol, vecCol, threshold,
         nClusters, iters, probes)
       .select(col("id_b").as(idCol)).distinct()

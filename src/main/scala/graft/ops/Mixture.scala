@@ -53,4 +53,50 @@ object Mixture {
       .select(col(idCol), col(domainCol), col(weightCol),
         col("__cum").as("cum_tokens"))
   }
+
+  /** Supply-aware mixture with REPETITION: when a domain's budget
+    * exceeds its token supply, its documents repeat — floor(budget /
+    * supply) full epochs for every document, plus one extra epoch for
+    * the md5-order prefix that covers the remainder (the same
+    * crossing-doc-kept semantics as [[tokenBudget]], so the budget is
+    * met, never undershot). This is how real mixtures upsample small
+    * high-quality domains ("4 epochs of reference text") while large
+    * domains contribute a subset — with `n_epochs` as the explicit
+    * per-document repeat factor a dataset manifest records, instead
+    * of physically materializing duplicate rows. Domains without a
+    * budget, and docs outside a partial-epoch prefix when there are
+    * no full epochs, contribute nothing (n_epochs = 0 rows are
+    * dropped). Output: (idCol, domainCol, weightCol, n_epochs).
+    *
+    * Scale shape: identical to [[tokenBudget]] (two-phase prefix sum,
+    * no per-domain reducer) plus one domain-supply aggregate joined
+    * back — a |domains|-row broadcast. */
+  def tokenBudgetEpochs(df: DataFrame, idCol: String, domainCol: String,
+                        weightCol: String, budgets: Map[String, Long],
+                        nBuckets: Int = 64): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one domain")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    val withU = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__u", md5(col(idCol).cast("string")))
+      .withColumn("__un", conv(substring(col("__u"), 1, 15), 16, 10)
+        .cast("long"))
+    val budget: Column = budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
+      when(col(domainCol) === k, lit(b)).otherwise(acc)
+    }
+    val supply = df.groupBy(col(domainCol).as("__sd"))
+      .agg(sum(col(weightCol)).cast("long").as("__supply"))
+    Quantiles.segmentedPrefixSum(withU, domainCol, weightCol, "__un",
+        Seq(col("__u").asc, col(idCol).asc), nBuckets)
+      .join(broadcast(supply), col(domainCol) <=> col("__sd"))
+      .withColumn("__b", budget)
+      .withColumn("__full", expr("__b DIV __supply")) // exact integral
+      .withColumn("__rem", col("__b") % col("__supply"))
+      .withColumn("n_epochs",
+        (col("__full") +
+          when(col("__cum") - col(weightCol) < col("__rem"), 1L)
+            .otherwise(0L)).cast("long"))
+      .filter(col("__b") >= 0 && col("n_epochs") >= 1)
+      .select(col(idCol), col(domainCol), col(weightCol), col("n_epochs"))
+  }
 }

@@ -73,6 +73,51 @@ class MixtureSpec extends SparkTestBase {
     assert(re == sel.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("epoch mixture: budgets above supply repeat docs, budgets below " +
+      "take a prefix, and every budget is met") {
+    // src0 supply is ~1533 tokens at sf0.001 — budget 4000 forces
+    // 2 full epochs + a partial; src1 budget 500 is subset-only
+    val budgets = Map("src0" -> 4000L, "src1" -> 500L)
+    val got = Mixture.tokenBudgetEpochs(docs, "doc_id", "source",
+      "n_tokens", budgets, nBuckets = 4)
+    val bySrc = got.groupBy("source")
+      .agg(sum(col("n_tokens") * col("n_epochs")).as("eff"),
+        max("n_epochs").as("maxe"), min("n_epochs").as("mine"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val supply = docs.filter(col("source") === "src0")
+      .agg(sum("n_tokens")).head().getLong(0)
+    val full = 4000L / supply
+    assert(full >= 1, s"test premise: src0 supply $supply must be < 4000")
+    // src0: every doc appears (full epochs for all), some get +1
+    assert(bySrc("src0")._4 == docs.filter(col("source") === "src0").count())
+    assert(bySrc("src0")._3 == full && bySrc("src0")._2 == full + 1)
+    // effective token mass covers the budget but stops at the
+    // crossing doc
+    assert(bySrc("src0")._1 >= 4000L)
+    // src1: subset, single epoch each
+    assert(bySrc("src1")._2 == 1L && bySrc("src1")._1 >= 500L)
+    assert(bySrc.keySet == Set("src0", "src1")) // unbudgeted drop
+    // the partial-epoch prefix is the SAME md5 order tokenBudget uses:
+    // src1's epoch selection == tokenBudget's selection at that budget
+    val viaBudget = Mixture.tokenBudget(docs.filter(col("source") === "src1"),
+        "doc_id", "source", "n_tokens", Map("src1" -> 500L), nBuckets = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val viaEpochs = got.filter(col("source") === "src1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBudget == viaEpochs)
+  }
+
+  test("epoch mixture: an exact-multiple budget yields no partial epoch") {
+    val supply = docs.filter(col("source") === "src2")
+      .agg(sum("n_tokens")).head().getLong(0)
+    val got = Mixture.tokenBudgetEpochs(docs, "doc_id", "source",
+      "n_tokens", Map("src2" -> 2 * supply), nBuckets = 4)
+    val epochs = got.select("n_epochs").as[Long].collect().toSet
+    assert(epochs == Set(2L), s"expected uniform 2 epochs, got $epochs")
+  }
+
   test("the only window over the data partitions by (domain, bucket)") {
     // scale pin: like QuantilesSpec — the data-frame window must
     // include __bkt in its partition spec so no domain funnels through

@@ -66,14 +66,16 @@ class RecallSpec extends SparkTestBase {
       assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
 
-    test(s"[$tag] SemDeDup cluster-blocked pairs recall >= 0.97 (q58)") {
-      // measured 0.996/0.994 at 128 cells × probe-12 on the WEAK
-      // (cos 0.3) regime — the hardest case for density blocking; the
-      // tight-ball regime is pinned at 1.0 in DedupSpec. Fineness at
-      // equal mass, not more probes, bought the lift from the old
-      // 64 × probe-6 default's 0.92 (sweep in RECALL.md notes).
+    test(s"[$tag] SemDeDup cluster-blocked pairs recall >= 0.94 (q58)") {
+      // measured 0.952/0.955 at 256 cells × probe-8 — the mass-0.21
+      // point of the sweep (RECALL.md notes) — on the WEAK (cos 0.3)
+      // regime, density blocking's hardest case; the tight-ball
+      // regime is pinned at 1.0 in DedupSpec. Finer cells lift recall
+      // at FALLING candidate mass (128×probe-8 needs 0.38 mass for
+      // the same recall); 128 × probe-12 buys 0.994 at 0.66 mass for
+      // recall-critical runs.
       val x = RecallReport.semantic(emb)
-      assert(x.recall >= 0.97, s"recall ${x.recall} (${x.hit}/${x.truth})")
+      assert(x.recall >= 0.94, s"recall ${x.recall} (${x.hit}/${x.truth})")
       assert(x.precision == 1.0) // exact cosine verification
     }
 
