@@ -56,10 +56,12 @@ object Bench {
     val greenDir = "/root/reference/data/green_data"
     val nycRow =
       if (new java.io.File(s"$greenDir/2023-01.parquet").canRead) {
+        // delete the ~40-table medallion output afterwards — repeated
+        // bench runs must not strand hundreds of MB per run in /tmp
+        val root = java.nio.file.Files.createTempDirectory("graft_bench_nyc_")
         try {
           val cfg = graft.nyc.NycPipeline.Config(greenDir,
-            new graft.catalog.ParquetCatalog(
-              java.nio.file.Files.createTempDirectory("graft_bench_nyc_").toString),
+            new graft.catalog.ParquetCatalog(root.toString),
             zonePath = Some("/root/reference/data/taxi_zone.csv"))
           val t0 = System.nanoTime()
           graft.nyc.NycPipeline.runYear(spark, cfg)
@@ -67,6 +69,11 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] nyc_full_year_pipeline FAILED: ${e.getMessage}")
           Map("nyc_full_year_pipeline" -> -1.0)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
         }
       } else Map.empty[String, Double]
     val all = results ++ nycRow

@@ -21,6 +21,12 @@ trait TableCatalog {
   def replacePartitions(df: DataFrame, table: String,
                         partitionBy: Seq[String]): Unit =
     overwrite(df, table, partitionBy)
+
+  /** Remove `table` entirely (recursive delete / DROP TABLE); a no-op
+    * when it does not exist. Exists for small protocol tables (intent
+    * markers, staging) — dropping a data table is a caller decision
+    * this API does not second-guess. */
+  def drop(spark: SparkSession, table: String): Unit
 }
 
 /** Directory-of-parquet catalog (the offline stand-in for MinIO/JDBC;
@@ -52,6 +58,12 @@ final class ParquetCatalog(root: String) extends TableCatalog {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(table))
+  }
+
+  override def drop(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true) // returns false when absent — the no-op case
   }
 
   /** Dynamic partition overwrite: only partitions with incoming rows
@@ -184,4 +196,13 @@ final class JdbcCatalog(url: String, props: java.util.Properties) extends TableC
     df.write.mode("append").jdbc(url, table, props)
   override def overwrite(df: DataFrame, table: String, partitionBy: Seq[String]): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
+  override def drop(spark: SparkSession, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // absent: no-op
+      finally st.close()
+    } finally conn.close()
+  }
 }

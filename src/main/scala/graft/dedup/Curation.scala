@@ -138,17 +138,24 @@ object Curation {
   // off the persisted graph is seconds, so the split is load-bearing.
 
   /** Compute the exact n-gram Jaccard pair graph once and persist it.
-    * Idempotent overwrite — re-running refreshes the graph. */
+    * Idempotent overwrite — re-running refreshes the graph. The build
+    * threshold is stamped into the table (`built_at_threshold`) so
+    * consumers can verify their own cutoff is not BELOW it — a graph
+    * built at 0.8 simply does not contain the [0.5, 0.8) pairs a
+    * 0.5-curation needs, and without the stamp that under-removal
+    * would be silent. */
   def materializePairs(docs: DataFrame, idCol: String, textCol: String,
                        catalog: TableCatalog, table: String = "dup_pairs",
                        ngramN: Int = 5, threshold: Double = 0.8): Unit =
     catalog.overwrite(
       Dedup.exactNgramJaccardPairs(docs, idCol, textCol,
-        n = ngramN, threshold = threshold),
+          n = ngramN, threshold = threshold)
+        .withColumn("built_at_threshold", lit(threshold)),
       table)
 
   /** LSH twin of [[materializePairs]] for corpora where the exact join
-    * is too expensive — same table contract (id_a, id_b, jaccard). */
+    * is too expensive — same table contract (id_a, id_b, jaccard,
+    * built_at_threshold). */
   def materializePairsLsh(docs: DataFrame, idCol: String, textCol: String,
                           catalog: TableCatalog, table: String = "dup_pairs",
                           cfg: Config = Config()): Unit =
@@ -156,7 +163,8 @@ object Curation {
       Dedup.minhashPairs(docs, idCol, textCol,
           shingleK = cfg.shingleK, nHashes = cfg.nHashes, bands = cfg.bands,
           minJaccard = cfg.minJaccard)
-        .select(col("id_a"), col("id_b"), col("jaccard")),
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .withColumn("built_at_threshold", lit(cfg.minJaccard)),
       table)
 
   /** Duplicate-cluster resolution off the PERSISTED pair graph: reads
@@ -179,8 +187,12 @@ object Curation {
     * equivalence). The narrow per-row stages still re-run (cheap,
     * one scan); what the catalog saves is the expensive join — hours
     * at 100 TB, re-read here as a tiny (id_a, id_b) table. The graph
-    * must have been materialized at a threshold ≤ the one curated at;
-    * [[materializePairs]] with the same threshold is the exact twin. */
+    * must have been materialized at a threshold ≤ the one curated at
+    * ([[materializePairs]] with the same threshold is the exact twin)
+    * — VERIFIED against the table's `built_at_threshold` stamp, so a
+    * graph too coarse for this curation fails loudly instead of
+    * silently under-removing (pre-stamp tables pass unchecked —
+    * documented legacy behavior). */
   def curateExactFromCatalog(docs: DataFrame, idCol: String, textCol: String,
                              langCol: String, catalog: TableCatalog,
                              table: String = "dup_pairs",
@@ -189,7 +201,20 @@ object Curation {
       langOk(col(langCol), cfg) && qualityOk(col(textCol), cfg))
     val exact = Dedup.exactDedup(filtered, idCol, textCol)
     val ids = exact.select(col(idCol))
-    val losers = catalog.read(docs.sparkSession, table)
+    val graph = catalog.read(docs.sparkSession, table)
+    if (graph.columns.contains("built_at_threshold")) {
+      // max over an EMPTY graph is null — a corpus with no duplicate
+      // pairs at all is valid and carries no stamp to check
+      val r = graph.agg(max(col("built_at_threshold"))).head()
+      if (!r.isNullAt(0)) {
+        val bt = r.getDouble(0)
+        require(bt <= cfg.minJaccard + 1e-12,
+          s"pair graph '$table' was built at threshold $bt > curation " +
+            s"threshold ${cfg.minJaccard}: pairs in [${cfg.minJaccard}, $bt) " +
+            s"are absent from it — re-materialize at <= ${cfg.minJaccard}")
+      }
+    }
+    val losers = graph
       .filter(col("jaccard") >= cfg.minJaccard)
       // both endpoints must SURVIVE the upstream stages: a pair whose
       // lower id was filtered out must not drop the higher id

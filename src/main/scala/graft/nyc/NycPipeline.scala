@@ -71,10 +71,19 @@ object NycPipeline {
   def bronzeMonth(spark: SparkSession, cfg: Config, month: String): Unit = {
     def ingest(dir: String, table: String): Unit = {
       val raw = spark.read.parquet(s"$dir/$month.parquet")
+      // conformTypes FIRST even for NULL-typed columns: an all-null
+      // month of a conformed column must land as the conformed type,
+      // not double, or that partition's parquet type diverges from
+      // the rest of the accumulated table — the exact mismatch this
+      // function exists to prevent. Double is only the fallback for
+      // unmapped void columns (parquet cannot store NullType).
       val stabilized = raw.schema.fields.foldLeft(raw.toDF()) { (df, f) =>
-        if (f.dataType == NullType) df.withColumn(f.name, col(f.name).cast("double"))
-        else conformTypes.get(f.name).fold(df)(t =>
-          df.withColumn(f.name, col(f.name).cast(t)))
+        conformTypes.get(f.name) match {
+          case Some(t) => df.withColumn(f.name, col(f.name).cast(t))
+          case None if f.dataType == NullType =>
+            df.withColumn(f.name, col(f.name).cast("double"))
+          case None => df
+        }
       }
       cfg.catalog.replacePartitions(
         stabilized.withColumn("month_key", lit(month)),
@@ -156,9 +165,25 @@ object NycPipeline {
     * object doc): load the month's trips strictly newer than the
     * persisted max pickup timestamp, append their fact rows, advance
     * the watermark to the max pickup that actually landed (calendar-
-    * pruned rows do not advance it). */
+    * pruned rows do not advance it).
+    *
+    * The append and the watermark advance are two writes with no
+    * cross-table transaction (parquet; a lakehouse table format is
+    * what fixes this for real), so a crash between them would make a
+    * naive retry re-append the whole batch. The two-write commit is
+    * therefore fenced by an INTENT MARKER (the [[PendingTable]]
+    * protocol, same family as `ParquetCatalog.compact`'s marker):
+    * marker → append → watermark → marker drop. Any run that finds a
+    * leftover marker first runs [[recoverPendingAppend]] — a
+    * watermark-independent partition rebuild of the marked month plus
+    * a watermark re-derivation — restoring load-once-never-twice
+    * before new work. Recovery deliberately lands the month's FULL
+    * backfill semantics (late arrivals included, like [[runMonth]]):
+    * after a crash the batch/late split is unknowable, and the rebuild
+    * is the contract that needs no history. */
   def goldAppend(spark: SparkSession, cfg: Config, month: String): Unit = {
     ensureDims(spark, cfg)
+    recoverPendingAppend(spark, cfg)
     val trips = monthSilver(spark, cfg, month)
     upsertDims(spark, cfg, trips)
     val wm =
@@ -177,13 +202,51 @@ object NycPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (!factPlus.isEmpty) {
+        val sess = spark
+        import sess.implicits._
+        cfg.catalog.overwrite(Seq(month).toDF("month_key"), PendingTable)
         cfg.catalog.append(
           factPlus.drop("pickup_datetime").withColumn("month_key", lit(month)),
           "fact_nyc", partitionBy = Seq("month_key"))
         cfg.catalog.overwrite(
           factPlus.agg(max(col("pickup_datetime")).as("max_pickup")), WmTable)
+        cfg.catalog.drop(spark, PendingTable)
       }
     } finally factPlus.unpersist()
+  }
+
+  private val PendingTable = "fact_nyc_append_pending"
+
+  /** Crash recovery for [[goldAppend]]'s two-write commit: a leftover
+    * intent marker means a prior run died somewhere between declaring
+    * the append and dropping the marker — the month's partition may
+    * hold zero, one, or (after an earlier naive retry) two copies of
+    * an unknown batch. Rebuild the marked month from silver
+    * ([[goldMonth]] — idempotent, watermark-independent), then
+    * re-derive the watermark as max(previous, month's calendar-
+    * surviving pickups) so the fence never moves backwards, and drop
+    * the marker last (a crash inside recovery just reruns it). */
+  private def recoverPendingAppend(spark: SparkSession, cfg: Config): Unit = {
+    if (cfg.catalog.exists(spark, PendingTable)) {
+      val m = cfg.catalog.read(spark, PendingTable).head().getString(0)
+      goldMonth(spark, cfg, m)
+      val monthMax = Nyc.factBuild(monthSilver(spark, cfg, m),
+          cfg.catalog.read(spark, "dim_date"),
+          cfg.catalog.read(spark, "dim_type"), None,
+          keep = Seq("pickup_datetime"))
+        .agg(max(col("pickup_datetime")).as("max_pickup"))
+      val merged =
+        if (cfg.catalog.exists(spark, WmTable))
+          monthMax.unionByName(
+              cfg.catalog.read(spark, WmTable).select(col("max_pickup")))
+            .agg(max(col("max_pickup")).as("max_pickup"))
+        else monthMax
+      // merged reads WmTable lazily; materialize BEFORE overwriting it
+      // (overwrite would otherwise delete its own input mid-plan)
+      val pinned = merged.localCheckpoint(true)
+      cfg.catalog.overwrite(pinned, WmTable)
+      cfg.catalog.drop(spark, PendingTable)
+    }
   }
 
   // ----------------------------------------------------------- platinum

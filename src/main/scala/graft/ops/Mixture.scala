@@ -22,33 +22,52 @@ import org.apache.spark.sql.functions._
   * are EXACT and bit-identical to the window form.
   */
 object Mixture {
-  /** Documents selected into the mixture: for each domain with a
-    * budget, the docs whose md5-order token prefix STARTS inside the
-    * budget (so the budget-crossing doc is kept and every budget is
-    * met, not undershot). Domains absent from `budgets` contribute
-    * nothing. Output: (idCol, domainCol, weightCol, cum_tokens) where
-    * cum_tokens is the inclusive running total within the domain —
-    * the audit column a mixture manifest wants. */
-  def tokenBudget(df: DataFrame, idCol: String, domainCol: String,
-                  weightCol: String, budgets: Map[String, Long],
-                  nBuckets: Int = 64): DataFrame = {
-    require(budgets.nonEmpty, "budgets must name at least one domain")
-    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
-    // __u: the portable selection order; __un: its first 15 hex digits
-    // as a number (fits a long, 16^15 = 2^60) for the boundary sketch.
-    // Numeric order on a fixed-width prefix == lexicographic order on
-    // the full digest wherever prefixes differ, so (__u, id) refines
-    // __un as segmentedPrefixSum requires.
-    val withU = df
-      .filter(col(idCol).isNotNull)
+  /** Null-id rows dropped (no identity → no stable selection order,
+    * the [[Sampling.hashSample]] rule), plus the selection-order
+    * columns: `__u` — the portable md5 order; `__un` — its first 15
+    * hex digits as a number (fits a long, 16^15 = 2^60) for the
+    * boundary sketch. Numeric order on a fixed-width prefix ==
+    * lexicographic order on the full digest wherever prefixes differ,
+    * so (__u, id) refines __un as segmentedPrefixSum requires. ONE
+    * definition for both mixture forms — the epoch form's partial
+    * prefix must select exactly [[tokenBudget]]'s documents
+    * (spec-pinned), which duplicated preambles would let drift. */
+  private def withSelectionOrder(df: DataFrame, idCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
       .withColumn("__u", md5(col(idCol).cast("string")))
       .withColumn("__un", conv(substring(col("__u"), 1, 15), 16, 10)
         .cast("long"))
-    val budget: Column = budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
+
+  /** The per-row budget from the declared domain map; unbudgeted
+    * domains get −1, which every consumer filters out. */
+  private def budgetCol(domainCol: String, budgets: Map[String, Long]): Column = {
+    require(budgets.nonEmpty, "budgets must name at least one domain")
+    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
+    budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
       when(col(domainCol) === k, lit(b)).otherwise(acc)
     }
-    Quantiles.segmentedPrefixSum(withU, domainCol, weightCol, "__un",
-        Seq(col("__u").asc, col(idCol).asc), nBuckets)
+  }
+
+  private def prefixSummed(df: DataFrame, idCol: String, domainCol: String,
+                           weightCol: String, nBuckets: Int): DataFrame =
+    Quantiles.segmentedPrefixSum(withSelectionOrder(df, idCol), domainCol,
+      weightCol, "__un", Seq(col("__u").asc, col(idCol).asc), nBuckets)
+
+  /** Documents selected into the mixture: for each domain with a
+    * budget, the docs whose md5-order token prefix STARTS inside the
+    * budget (so the budget-crossing doc is kept and every budget is
+    * met, not undershot — when the domain's supply suffices; a domain
+    * smaller than its budget contributes everything it has, see
+    * [[tokenBudgetEpochs]] for the upsampling alternative). Domains
+    * absent from `budgets` contribute nothing. Output: (idCol,
+    * domainCol, weightCol, cum_tokens) where cum_tokens is the
+    * inclusive running total within the domain — the audit column a
+    * mixture manifest wants. */
+  def tokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                  weightCol: String, budgets: Map[String, Long],
+                  nBuckets: Int = 64): DataFrame = {
+    val budget = budgetCol(domainCol, budgets)
+    prefixSummed(df, idCol, domainCol, weightCol, nBuckets)
       .filter(col("__cum") - col(weightCol) < budget)
       .select(col(idCol), col(domainCol), col(weightCol),
         col("__cum").as("cum_tokens"))
@@ -66,7 +85,12 @@ object Mixture {
     * of physically materializing duplicate rows. Domains without a
     * budget, and docs outside a partial-epoch prefix when there are
     * no full epochs, contribute nothing (n_epochs = 0 rows are
-    * dropped). Output: (idCol, domainCol, weightCol, n_epochs).
+    * dropped). Supply is computed over the same null-id-filtered rows
+    * the prefix runs on — an unselectable row must not inflate the
+    * epoch denominator; a budgeted domain whose selectable weight sums
+    * to zero has no meaningful epoch and contributes nothing (the
+    * null result of `DIV 0` is filtered, not thrown). Output: (idCol,
+    * domainCol, weightCol, n_epochs).
     *
     * Scale shape: identical to [[tokenBudget]] (two-phase prefix sum,
     * no per-domain reducer) plus one domain-supply aggregate joined
@@ -74,20 +98,11 @@ object Mixture {
   def tokenBudgetEpochs(df: DataFrame, idCol: String, domainCol: String,
                         weightCol: String, budgets: Map[String, Long],
                         nBuckets: Int = 64): DataFrame = {
-    require(budgets.nonEmpty, "budgets must name at least one domain")
-    require(budgets.values.forall(_ > 0), s"budgets must be positive: $budgets")
-    val withU = df
-      .filter(col(idCol).isNotNull)
-      .withColumn("__u", md5(col(idCol).cast("string")))
-      .withColumn("__un", conv(substring(col("__u"), 1, 15), 16, 10)
-        .cast("long"))
-    val budget: Column = budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
-      when(col(domainCol) === k, lit(b)).otherwise(acc)
-    }
-    val supply = df.groupBy(col(domainCol).as("__sd"))
+    val budget = budgetCol(domainCol, budgets)
+    val selectable = df.filter(col(idCol).isNotNull)
+    val supply = selectable.groupBy(col(domainCol).as("__sd"))
       .agg(sum(col(weightCol)).cast("long").as("__supply"))
-    Quantiles.segmentedPrefixSum(withU, domainCol, weightCol, "__un",
-        Seq(col("__u").asc, col(idCol).asc), nBuckets)
+    prefixSummed(df, idCol, domainCol, weightCol, nBuckets)
       .join(broadcast(supply), col(domainCol) <=> col("__sd"))
       .withColumn("__b", budget)
       .withColumn("__full", expr("__b DIV __supply")) // exact integral

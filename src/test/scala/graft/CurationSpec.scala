@@ -126,6 +126,25 @@ class CurationSpec extends SparkTestBase {
       direct.select("doc_id").orderBy("doc_id").collect().toSeq)
   }
 
+  test("a pair graph too coarse for the curation threshold fails loudly") {
+    // a graph built at 0.8 does not CONTAIN the [0.5, 0.8) pairs a
+    // 0.5-curation needs — the built_at_threshold stamp turns that
+    // silent under-removal into an immediate error
+    val catalog = new graft.catalog.ParquetCatalog(
+      java.nio.file.Files.createTempDirectory("graft-pairs3").toString)
+    val docs = Tables.documents(spark, sf)
+    Curation.materializePairs(docs, "doc_id", "text", catalog,
+      ngramN = 5, threshold = 0.8)
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateExactFromCatalog(docs, "doc_id", "text", "lang",
+        catalog, "dup_pairs", Curation.Config(minJaccard = 0.5)).count()
+    }
+    assert(e.getMessage.contains("re-materialize"))
+    // equal threshold passes the stamp check
+    Curation.curateExactFromCatalog(docs, "doc_id", "text", "lang",
+      catalog, "dup_pairs", Curation.Config(minJaccard = 0.8)).count()
+  }
+
   test("curate on the documents table keeps a plausible fraction") {
     val docs = Tables.documents(spark, sf)
     val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",

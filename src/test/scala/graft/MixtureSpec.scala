@@ -109,6 +109,20 @@ class MixtureSpec extends SparkTestBase {
     assert(viaBudget == viaEpochs)
   }
 
+  test("epoch mixture: null-id rows do not inflate the epoch denominator") {
+    // an unselectable (null-id) row must not count as supply — with it
+    // in the denominator, budget == selectable supply would compute 0
+    // full epochs + a partial instead of exactly 1 full epoch
+    val rows = Seq((Some(1L), "d", 100), (Some(2L), "d", 100),
+      (Option.empty[Long], "d", 100))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Mixture.tokenBudgetEpochs(rows, "doc_id", "source",
+      "n_tokens", Map("d" -> 200L), nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L),
+      s"budget == selectable supply must be exactly one epoch, got $got")
+  }
+
   test("epoch mixture: an exact-multiple budget yields no partial epoch") {
     val supply = docs.filter(col("source") === "src2")
       .agg(sum("n_tokens")).head().getLong(0)

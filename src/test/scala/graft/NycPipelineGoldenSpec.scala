@@ -102,4 +102,49 @@ class NycPipelineGoldenSpec extends SparkTestBase {
     NycPipeline.goldAppend(spark, cfg, "2023-02")
     assert(cfg.catalog.read(spark, "fact_nyc").count() == 68208L + 64719L)
   }
+
+  test("append crash window: a leftover intent marker triggers month " +
+      "rebuild, not a double append") {
+    assume(available)
+    val cfg = freshCfg()
+    NycPipeline.bronzeMonth(spark, cfg, "2023-01")
+    NycPipeline.silverMonth(spark, cfg, "2023-01")
+    NycPipeline.goldAppend(spark, cfg, "2023-01")
+    NycPipeline.bronzeMonth(spark, cfg, "2023-02")
+    NycPipeline.silverMonth(spark, cfg, "2023-02")
+    NycPipeline.goldAppend(spark, cfg, "2023-02")
+    val wmBefore = cfg.catalog.read(spark, "fact_nyc_watermark")
+      .head().get(0).toString
+    // simulate the crash state goldAppend fences against: the batch
+    // was APPENDED but the run died before the watermark write and
+    // marker drop — fact holds February twice-appended rows, marker
+    // still present, watermark stale. (Reproduce by hand-appending a
+    // second copy of the February partition and restoring the marker.)
+    val feb = cfg.catalog.read(spark, "fact_nyc")
+      .filter(col("month_key") === "2023-02")
+    assert(feb.count() == 64719L)
+    cfg.catalog.append(feb, "fact_nyc", partitionBy = Seq("month_key"))
+    assert(cfg.catalog.read(spark, "fact_nyc")
+      .filter(col("month_key") === "2023-02").count() == 2 * 64719L)
+    val sess = spark
+    import sess.implicits._
+    cfg.catalog.overwrite(Seq("2023-02").toDF("month_key"),
+      "fact_nyc_append_pending")
+    // the next append call recovers FIRST: February rebuilds to its
+    // full backfill shape (64,808 = delta + the 89 late arrivals —
+    // recovery is watermark-independent by contract), the marker
+    // drops, the watermark never regresses, and the re-run appends
+    // nothing new
+    NycPipeline.goldAppend(spark, cfg, "2023-02")
+    val fact = cfg.catalog.read(spark, "fact_nyc")
+    assert(fact.filter(col("month_key") === "2023-02").count() == 64808L)
+    assert(fact.filter(col("month_key") === "2023-01").count() == 68208L)
+    assert(!cfg.catalog.exists(spark, "fact_nyc_append_pending"))
+    val wmAfter = cfg.catalog.read(spark, "fact_nyc_watermark")
+      .head().get(0).toString
+    assert(wmAfter >= wmBefore, s"watermark regressed: $wmBefore -> $wmAfter")
+    // and the recovered state is stable: another run is a no-op
+    NycPipeline.goldAppend(spark, cfg, "2023-02")
+    assert(cfg.catalog.read(spark, "fact_nyc").count() == 68208L + 64808L)
+  }
 }
