@@ -287,15 +287,27 @@ object Ann {
     val capped = buckets.join(bucketSizes, Seq("tbl", "bucket"))
     val a = capped.select(col("tbl"), col("bucket"), col("id").as("qid"))
     val b = capped.select(col("tbl"), col("bucket"), col("id"))
+    // UNORDERED candidates (qid < id): the graph is symmetric, so each
+    // pair pays its payload joins and cosine ONCE — the mirror edge is
+    // restored after scoring by exploding the skinny (qid, id, sim)
+    // row, when the 64-dim vectors are already dropped. cosine(a, b)
+    // and cosine(b, a) are bit-identical (elementwise multiply
+    // commutes, same summation order), so the mirrored sim is exactly
+    // what scoring the reversed pair would have produced.
     val cand = a.join(b, Seq("tbl", "bucket"))
-      .filter(col("qid") =!= col("id"))
+      .filter(col("qid") < col("id"))
       .select(col("qid"), col("id"))
       .dropDuplicates("qid", "id")
     val scored = cand
       .join(corpus.select(col("id"), col("v")), Seq("id"))
       .join(corpus.select(col("id").as("qid"), col("v").as("qv")), Seq("qid"))
       .withColumn("sim", Vectors.cosine(col("qv"), col("v")))
-    scored.groupBy(col("qid"))
+    val mirrored = scored.select(explode(array(
+        struct(col("qid").as("q"), col("id").as("i"), col("sim").as("s")),
+        struct(col("id").as("q"), col("qid").as("i"), col("sim").as("s"))))
+        .as("e"))
+      .select(col("e.q").as("qid"), col("e.i").as("id"), col("e.s").as("sim"))
+    mirrored.groupBy(col("qid"))
       .agg(graft.functions.aggs.top_k(
         struct(col("sim").as("s"), (-col("id")).as("ni")), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
