@@ -77,6 +77,20 @@ object RecallReport {
     m("q25 lshTopK", "k=5 r=4 planes x L=6 tables probe-1", truth, found)
   }
 
+  /** q76: int8-quantized brute-force top-k vs the float ranking —
+    * quantifies exactly what 4x embedding compression costs in
+    * neighbor fidelity (only boundary pairs whose cosine gap is
+    * smaller than the quantization noise can flip). */
+  def annInt8(emb: DataFrame): Metrics = {
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: DataFrame) = df.select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Ann.bruteForceTopK(emb, q, k = 5))
+    val found = pairs(graft.sim.Quantize.bruteForceTopKInt8(emb, q, k = 5))
+    m("q76 int8 bruteForceTopK", "k=5 symmetric per-vector int8",
+      truth, found)
+  }
+
   /** q42: IVF inverted-list ANN vs brute-force top-k (recall@k over
     * (query, neighbor) pairs). */
   def ivfTopK(emb: DataFrame): Metrics = {
@@ -168,8 +182,8 @@ object RecallReport {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb),
-      ivfTopK(emb), ivfKmeans(emb), semantic(emb), knnGraph(emb),
-      curationChain(docs))
+      ivfTopK(emb), ivfKmeans(emb), annInt8(emb), semantic(emb),
+      knnGraph(emb), curationChain(docs))
   }
 
   /** The scales the doc AND `RecallSpec` both measure at — one source
@@ -240,6 +254,13 @@ object RecallReport {
         |  md5-ranked spread inits all recall WORSE than lowest-id +
         |  Lloyd here (0.40-0.73 at k=16); fineness, not seed spread, is
         |  what buys IVF recall at fixed scan cost.
+        |- **q76**: int8 quantization (q75's exploded form is fully
+        |  ORACLE-gated; this row measures what the compression costs
+        |  the k-NN ranking). The scales cancel out of the approximate
+        |  cosine entirely — the score is the cosine of the integer
+        |  vectors. The corpus is near-uniform, so top-k cosine gaps
+        |  sit at the quantization noise floor: 0.975 here is the
+        |  WORST regime, clustered corpora lose less.
         |- **q65**: the self k-NN graph — every vector is a query, so
         |  there is no broadcastable probe side; candidates come from a
         |  symmetric bucket self-join over L independent tables and each

@@ -1008,6 +1008,22 @@ object SparkEntry {
         documents(s, dir)
           .withColumn("n_tokens", TF.tokenCount(col("text"))),
         "doc_id", "source", "n_tokens", epochBudgets)),
+
+    // Int8 embedding quantization (sim.Quantize): the 4x memory lever
+    // for corpus-scale embedding stores, exploded to scalar rows so
+    // the oracle hash-gates every quantized value and reconstruction
+    // error exactly.
+    "q75_quantize_int8" -> ((s, dir) =>
+      graft.sim.Quantize.int8Rows(embeddings(s, dir), "vec_id", "embedding")),
+
+    // Exact top-k over the QUANTIZED corpus: all-integer dot products
+    // rescaled per candidate — the int8 kernel arithmetic. Rows-only;
+    // recall vs the float ranking is pinned in RecallSpec/RECALL.md.
+    "q76_ann_int8" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      graft.sim.Quantize.bruteForceTopKInt8(
+        emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
   )
 
   /** q74's declared budgets — src2 upsamples (~2.7 supplies), src5
@@ -1992,5 +2008,22 @@ object SparkEntry {
          |WHERE b >= 0 AND b // supply +
          |  CASE WHEN cum - n_tokens < b % supply THEN 1 ELSE 0 END >= 1
          |""".stripMargin,
+
+    // Same per-element arithmetic: one division, one ties-away round,
+    // exact micro-unit error — hash-identical across engines.
+    "q75_quantize_int8" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    / 127.0 AS scale,
+        |  embedding FROM embeddings),
+        |e AS (SELECT vec_id, scale,
+        |  generate_subscripts(embedding, 1) - 1 AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM s),
+        |qv AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim, scale, x,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(round(x/scale) AS INTEGER) END AS qval FROM e)
+        |SELECT vec_id, dim, scale, qval,
+        |  CAST(round((x - qval * scale) * 1000000) AS BIGINT) AS err_1e6
+        |FROM qv""".stripMargin,
   )
 }
