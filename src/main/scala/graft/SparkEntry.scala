@@ -1024,7 +1024,31 @@ object SparkEntry {
       graft.sim.Quantize.bruteForceTopKInt8(
         emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
+
+    // PERSISTED IVF index (Ann.buildIvfIndex): the build-once,
+    // query-many ANN shape — centroids + list_id-partitioned inverted
+    // lists as catalog tables, corpus assignment paid once per index,
+    // not per query batch. Bit-identical to q42's inline form, so it
+    // carries the SAME oracle.
+    "q77_ann_ivf_index" -> ((s, dir) => {
+      val (cat, prefix) = ivfIndexTable(s, dir)
+      graft.sim.Ann.ivfTopKFromCatalog(
+        embeddings(s, dir).filter(col("vec_id") < 8), cat,
+        k = 5, nProbe = 4, prefix = prefix)
+    }),
   )
+
+  /** q77's per-(JVM, source-dir) persisted IVF index — built once,
+    * like the pair graph. */
+  private[graft] def ivfIndexTable(s: SparkSession,
+                                   dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val prefix = "ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!cat.exists(s, s"${prefix}_lists"))
+      graft.sim.Ann.buildIvfIndex(embeddings(s, dir), cat, prefix,
+        nCentroids = 16)
+    (cat, prefix)
+  }
 
   /** q74's declared budgets — src2 upsamples (~2.7 supplies), src5
     * lands exactly where its remainder prefix ends mid-domain, src9
@@ -1058,6 +1082,33 @@ object SparkEntry {
 
   private val discPrice = "(l_extendedprice*(1-l_discount))"
   private val charge    = "(l_extendedprice*(1-l_discount)*(1+l_tax))"
+
+  /** ONE IVF ground truth consumed by q42 (inline) and q77 (persisted
+    * index) — the two forms are bit-identical by construction. */
+  private val ivfOracleSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |ranked AS (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_dot_product(e.v, c.cv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+      |      DESC, c.cid) AS crank
+      |  FROM e, c),
+      |lists AS (SELECT vec_id, v, cid AS list_id FROM ranked WHERE crank = 1),
+      |probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id
+      |  FROM ranked WHERE vec_id < 8 AND crank <= 4),
+      |scored AS (
+      |  SELECT p.qid, l.vec_id,
+      |    list_dot_product(p.qv, l.v) /
+      |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.v, l.v)))
+      |      AS sim
+      |  FROM probes p JOIN lists l ON p.list_id = l.list_id
+      |  WHERE l.vec_id <> p.qid)
+      |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      |  FROM scored) WHERE rnk <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1745,30 +1796,11 @@ object SparkEntry {
     // single nearest list, each query probes its 4 nearest lists; exact
     // cosine top-5 within the probed lists. Same dot-product arithmetic
     // as q19, so the sim doubles hash-match.
-    "q42_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-        |ranked AS (
-        |  SELECT e.vec_id, e.v, c.cid,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_dot_product(e.v, c.cv) /
-        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-        |      DESC, c.cid) AS crank
-        |  FROM e, c),
-        |lists AS (SELECT vec_id, v, cid AS list_id FROM ranked WHERE crank = 1),
-        |probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id
-        |  FROM ranked WHERE vec_id < 8 AND crank <= 4),
-        |scored AS (
-        |  SELECT p.qid, l.vec_id,
-        |    list_dot_product(p.qv, l.v) /
-        |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.v, l.v)))
-        |      AS sim
-        |  FROM probes p JOIN lists l ON p.list_id = l.list_id
-        |  WHERE l.vec_id <> p.qid)
-        |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
-        |  SELECT qid, vec_id, sim,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
-        |  FROM scored) WHERE rnk <= 5""".stripMargin,
+    "q42_ann_ivf" -> ivfOracleSql,
+    // the persisted-index path is bit-identical to the inline IVF
+    // (arrays of doubles round-trip parquet exactly), so it shares
+    // the oracle — the gate proves persistence changed nothing
+    "q77_ann_ivf_index" -> ivfOracleSql,
 
     "q19_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

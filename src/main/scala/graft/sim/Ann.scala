@@ -130,35 +130,33 @@ object Ann {
     * docs/RECALL.md). The scan cost drops from |C| to
     * ≈ |C|·nProbe/nCentroids per query, and the list assignment is a
     * plain equi-join that partitions cleanly. */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              centroids0: Option[DataFrame] = None): DataFrame = {
-    val corpus = prep(emb, idCol, vecCol)
-    val centroids = centroids0.getOrElse(
-      corpus.orderBy(col("id")).limit(nCentroids)
-        .select(col("id").as("cid"), col("v").as("cv")))
-    def assign(df: DataFrame, outCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
-      if (keep == 1)
-        // corpus side: argmax via partial hash agg (see lloydRounds)
-        scored.groupBy(col("id"))
-          .agg(first(col("v")).as("v"),
-            max_by(col("cid"), struct(col("csim"), -col("cid"))).as(outCol))
-          .select(df.columns.map(col) :+ col(outCol): _*)
-      else {
-        // query side: top-nProbe lists, tiny frame — window is fine
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("csim").desc, col("cid").asc)
-        scored.withColumn("crank", row_number().over(w))
-          .filter(col("crank") <= keep)
-          .select(df.columns.map(col) :+ col("cid").as(outCol): _*)
-      }
+  /** Nearest-centroid assignment against a broadcast centroid set:
+    * keep=1 is the corpus-side argmax (partial hash agg, see
+    * lloydRounds); keep>1 is the query-side top-probes (tiny frame —
+    * window is fine). Shared by the inline IVF and the persisted
+    * index so assignment semantics cannot drift between them. */
+  private def assignLists(centroids: DataFrame)(df: DataFrame,
+                          outCol: String, keep: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
+    if (keep == 1)
+      scored.groupBy(col("id"))
+        .agg(first(col("v")).as("v"),
+          max_by(col("cid"), struct(col("csim"), -col("cid"))).as(outCol))
+        .select(df.columns.map(col) :+ col(outCol): _*)
+    else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(df.columns.map(col) :+ col("cid").as(outCol): _*)
     }
-    val lists = assign(corpus, "list_id", 1)
-    val probes = assign(prep(queries, idCol, vecCol), "list_id", nProbe)
-      .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+  }
+
+  /** The top-k join of probe lists against inverted lists — the query
+    * phase both IVF forms share. */
+  private def ivfQuery(lists: DataFrame, probes: DataFrame, k: Int,
+                       idCol: String): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id").asc)
     lists.join(broadcast(probes), Seq("list_id"))
@@ -167,6 +165,62 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
+  }
+
+  private def defaultCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    corpus.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids0: Option[DataFrame] = None): DataFrame = {
+    val corpus = prep(emb, idCol, vecCol)
+    val centroids = centroids0.getOrElse(defaultCentroids(corpus, nCentroids))
+    val assign = assignLists(centroids) _
+    val lists = assign(corpus, "list_id", 1)
+    val probes = assign(prep(queries, idCol, vecCol), "list_id", nProbe)
+      .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+    ivfQuery(lists, probes, k, idCol)
+  }
+
+  /** Persist the IVF index as catalog tables — the build-once,
+    * query-many shape an ANN index has at corpus scale (the inline
+    * [[ivfTopK]] re-assigns the whole corpus per query batch; at
+    * 100 TB assignment IS the expensive pass, so it is paid once
+    * here). `<prefix>_centroids` holds the coarse quantizer;
+    * `<prefix>_lists` holds the inverted lists PARTITIONED BY
+    * `list_id`, so a query batch probing p of k lists prunes the scan
+    * to p/k of the corpus at the file level — the on-disk analogue of
+    * the in-memory inverted-list lookup. */
+  def buildIvfIndex(emb: DataFrame, catalog: graft.catalog.TableCatalog,
+                    prefix: String = "ivf", nCentroids: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids0: Option[DataFrame] = None): Unit = {
+    val corpus = prep(emb, idCol, vecCol)
+    val centroids = centroids0.getOrElse(defaultCentroids(corpus, nCentroids))
+    catalog.overwrite(centroids, s"${prefix}_centroids")
+    catalog.overwrite(assignLists(centroids)(corpus, "list_id", 1),
+      s"${prefix}_lists", partitionBy = Seq("list_id"))
+  }
+
+  /** Query a [[buildIvfIndex]]-persisted index: assign the (small)
+    * query batch against the stored centroids, then join only the
+    * probed inverted-list partitions. Bit-identical to [[ivfTopK]]
+    * with the same parameters — arrays of doubles round-trip parquet
+    * exactly — so it shares q42's oracle in the correctness gate. */
+  def ivfTopKFromCatalog(queries: DataFrame,
+                         catalog: graft.catalog.TableCatalog, k: Int,
+                         nProbe: Int = 4, prefix: String = "ivf",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = catalog.read(spark, s"${prefix}_centroids")
+    val lists = catalog.read(spark, s"${prefix}_lists")
+    val probes = assignLists(centroids)(
+        prep(queries, idCol, vecCol), "list_id", nProbe)
+      .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+    ivfQuery(lists, probes, k, idCol)
   }
 
   /** ONE definition of the multi-table hash geometry shared by the

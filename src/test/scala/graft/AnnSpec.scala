@@ -52,4 +52,23 @@ class AnnSpec extends SparkTestBase {
       bf.get((a, b)).foreach(bfSim => assert(bfSim == s)) // identical math
     }
   }
+
+  test("persisted IVF index reproduces the inline form exactly") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cat = new graft.catalog.ParquetCatalog(root)
+    Ann.buildIvfIndex(e, cat, "ivf", nCentroids = 16)
+    val persisted = Ann.ivfTopKFromCatalog(q, cat, k = 5, nProbe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    val inline = Ann.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(persisted == inline)
+    assert(persisted.nonEmpty)
+    // the inverted lists are list_id-partitioned on disk: a probed
+    // query reads only its lists' directories (file-level pruning)
+    val listDirs = new java.io.File(s"$root/ivf_lists").list()
+      .filter(_.startsWith("list_id="))
+    assert(listDirs.length > 1, listDirs.mkString(","))
+  }
 }
