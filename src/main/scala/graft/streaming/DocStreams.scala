@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Curation
+import graft.text.TextFunctions
+
+/** Curation AT INGEST: the batch curation gates ([[Curation.curate]])
+  * applied to a document stream, so a corpus is clean as it lands
+  * instead of waiting for the next batch sweep. The narrow stages
+  * (language, quality, PII) are stateless row filters/maps — they run
+  * identically on a stream by construction. Exact dedup becomes
+  * `dropDuplicatesWithinWatermark` keyed on the normalized-content
+  * fingerprint: state is bounded by the lateness horizon (the batch
+  * form's "whole-corpus seen-set" is unbounded on an infinite
+  * stream — the watermark IS the retention policy, and re-ingests
+  * beyond the horizon must be caught by the batch sweep). Near-dup
+  * removal stays a batch concern: candidate generation is a corpus
+  * self-join, which no bounded-state stream operator expresses.
+  *
+  * StreamingDocSpec proves stream ≡ batch on the overlapping stages:
+  * the streamed kept-set equals [[Curation]]'s lang→quality→exact
+  * prefix when every document arrives within the watermark. */
+object DocStreams {
+  /** Language + quality + redaction + fingerprint-dedup over a
+    * document stream with event-time column `tsCol`. Emits the
+    * surviving documents with `text` redacted. Works identically on a
+    * batch frame (watermark + dropDuplicates degrade to the batch
+    * semantics), which is what the equivalence spec pins. */
+  def curateStream(docs: DataFrame, tsCol: String, watermark: String,
+                   cfg: Curation.Config = Curation.Config(),
+                   langCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    val gated = docs
+      .withWatermark(tsCol, watermark)
+      .filter(Curation.langOk(col(langCol), cfg) &&
+        Curation.qualityOk(col(textCol), cfg))
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    (if (docs.isStreaming) gated.dropDuplicatesWithinWatermark("__fp")
+     else gated.dropDuplicates("__fp"))
+      .drop("__fp")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Curation, Dedup}
+import graft.streaming.DocStreams
+import graft.text.{TextFunctions => TF}
+
+/** streaming.DocStreams: the curation gates on an ingest stream must
+  * agree with the batch chain's lang→quality→exact prefix. */
+class StreamingDocSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cfg = Curation.Config(langs = Set("en", "de", "fr", "es"),
+    minTokens = 5)
+
+  test("streamed curation equals the batch prefix when nothing is late") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = DocStreams.curateStream(stream, "ts", "1 hour", cfg)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curated_docs").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curated_docs")
+      // batch prefix: lang -> quality -> exact dedup (the corpus has
+      // no PII, so the stream's redaction is the identity here)
+      val batch = Dedup.exactDedup(
+        docs.filter(Curation.langOk(col("lang"), cfg) &&
+          Curation.qualityOk(col("text"), cfg)),
+        "doc_id", "text")
+      assert(streamed.count() == batch.count())
+      // same kept CONTENT: survivor identity differs (stream keeps
+      // first arrival, batch keeps lowest id) but the fingerprint
+      // sets must match exactly
+      def fps(df: org.apache.spark.sql.DataFrame) =
+        df.select(TF.fingerprint(col("text"))).as[String].collect().toSet
+      assert(fps(streamed) == fps(batch))
+    } finally q.stop()
+  }
+
+  test("a duplicate arriving in a later micro-batch is dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream2").toString
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 44L),
+      (2L, "an entirely different second document body here", "en", "s", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    batch1.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+    val q = DocStreams.curateStream(stream, "ts", "1 hour", cfg)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curated_docs2").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("curated_docs2").count() == 2)
+      // second micro-batch: one re-ingest (same normalized content,
+      // new id, inside the watermark) and one genuinely new doc
+      Seq(
+        (9L, "THE  QUICK   brown fox JUMPS over the lazy dog", "en", "s", 46L),
+        (10L, "a third document that is new to the corpus stream", "en", "s", 49L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("ts", lit("2024-01-01 00:10:00").cast("timestamp"))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val ids = spark.table("curated_docs2")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 10L), s"got $ids") // 9 deduped vs 1
+    } finally q.stop()
+  }
+}
