@@ -25,7 +25,8 @@ object Explain {
     "q60_sequence_pack", "q61_curation_funnel", "q64_incremental_pairs",
     "q65_knn_graph", "q67_dataset_build",
     "q70_lm_quality", "q71_token_mixture", "q72_jsonl_roundtrip",
-    "q73_span_removal", "q74_epoch_mixture")
+    "q73_span_removal", "q74_epoch_mixture", "q76_ann_int8",
+    "q77_ann_ivf_index")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")
