@@ -71,4 +71,12 @@ class AnnSpec extends SparkTestBase {
       .filter(_.startsWith("list_id="))
     assert(listDirs.length > 1, listDirs.mkString(","))
   }
+
+  test("tie-breaking operators refuse a string id column up front") {
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("vec_id", concat(lit("doc-"), col("vec_id")))
+    val err = intercept[IllegalArgumentException](Ann.knnJoin(e, k = 3))
+    assert(err.getMessage.contains("numeric id column"), err.getMessage)
+    assert(err.getMessage.contains("knnJoin"), err.getMessage)
+  }
 }

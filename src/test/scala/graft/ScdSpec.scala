@@ -98,6 +98,30 @@ class ScdSpec extends SparkTestBase {
     assert(full.count() == 2)
   }
 
+  test("guard key semi-join shuffles when broadcastGuardKeys=false, same result") {
+    // the huge-delta escape hatch: routing the late-arrival guard's
+    // key set through a shuffle instead of a broadcast must be
+    // semantics-neutral (incremental still equals the full rebuild)
+    val e = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val cut = ts("2024-01-15 00:00:00")
+    val a = e.filter($"ts" < lit(cut))
+    val b = e.filter($"ts" >= lit(cut))
+    spark.conf.set("graft.scd.broadcastGuardKeys", "false")
+    try {
+      val inc = Scd.applyChanges(
+        Scd.history(a, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id")),
+        b, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+      val full = Scd.history(e, Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+      // and the FORCED broadcast hint is gone (the planner may still
+      // auto-broadcast a small key set — the escape hatch's job is
+      // only to stop forcing it past the size estimator)
+      val analyzed = inc.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"), analyzed)
+    } finally spark.conf.set("graft.scd.broadcastGuardKeys", "true")
+  }
+
   test("one exchange feeds both window functions") {
     val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
     val plan = h.queryExecution.executedPlan.toString
