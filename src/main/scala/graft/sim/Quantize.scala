@@ -72,7 +72,9 @@ object Quantize {
   def bruteForceTopKInt8(emb: DataFrame, queries: DataFrame, k: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    Ann.requireNumericId(emb, idCol, "bruteForceTopKInt8")
+    // no numeric-id guard: ties break by plain ascending id (any
+    // orderable type), same as the float twin Ann.bruteForceTopK —
+    // only the -id-encoding operators need NumericType
     def intNorm(c: Column): Column = sqrt(aggregate(
       transform(c, a => a.cast("long") * a.cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double"))

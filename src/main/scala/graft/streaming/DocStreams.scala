@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.dedup.Curation
+import graft.dedup.{Curation, Dedup}
 import graft.text.TextFunctions
 
 /** Curation AT INGEST: the batch curation gates ([[Curation.curate]])
@@ -22,23 +22,35 @@ import graft.text.TextFunctions
   * the streamed kept-set equals [[Curation]]'s lang→quality→exact
   * prefix when every document arrives within the watermark. */
 object DocStreams {
-  /** Language + quality + redaction + fingerprint-dedup over a
+  /** Language + quality + fingerprint-dedup + redaction over a
     * document stream with event-time column `tsCol`. Emits the
-    * surviving documents with `text` redacted. Works identically on a
-    * batch frame (watermark + dropDuplicates degrade to the batch
-    * semantics), which is what the equivalence spec pins. */
+    * surviving documents with `text` redacted.
+    *
+    * The dedup fingerprint is computed on the RAW text, matching the
+    * batch chain ([[Curation.curate]] fingerprints before any
+    * redaction): two documents differing only in their PII are NOT
+    * duplicates, and redacting first would silently merge them.
+    * Redaction runs after the dedup — on the survivors only, which is
+    * also the cheaper order. On a batch frame the dedup delegates to
+    * [[Dedup.exactDedup]] (lowest-`idCol` survivor, rerun-stable); a
+    * stream keeps the first arrival per fingerprint instead — arrival
+    * order IS the deterministic order a stream has. */
   def curateStream(docs: DataFrame, tsCol: String, watermark: String,
                    cfg: Curation.Config = Curation.Config(),
                    langCol: String = "lang",
-                   textCol: String = "text"): DataFrame = {
-    val gated = docs
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val filtered = docs
       .withWatermark(tsCol, watermark)
       .filter(Curation.langOk(col(langCol), cfg) &&
         Curation.qualityOk(col(textCol), cfg))
-      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
-      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
-    (if (docs.isStreaming) gated.dropDuplicatesWithinWatermark("__fp")
-     else gated.dropDuplicates("__fp"))
-      .drop("__fp")
+    val deduped =
+      if (docs.isStreaming)
+        filtered
+          .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+          .dropDuplicatesWithinWatermark("__fp")
+          .drop("__fp")
+      else Dedup.exactDedup(filtered, idCol, textCol)
+    deduped.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
   }
 }

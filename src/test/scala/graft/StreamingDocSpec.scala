@@ -70,4 +70,44 @@ class StreamingDocSpec extends SparkTestBase {
       assert(ids == Set(1L, 2L, 10L), s"got $ids") // 9 deduped vs 1
     } finally q.stop()
   }
+
+  test("documents differing only in PII are kept apart, then redacted") {
+    // the dedup fingerprint is the RAW text (batch-chain order):
+    // redacting first would merge these two distinct documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstream3").toString
+    val docs = Seq(
+      (1L, "please contact alice@example.com about the delivery", "en", "s", 51L),
+      (2L, "please contact bob@elsewhere.org about the delivery", "en", "s", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = DocStreams.curateStream(stream, "ts", "1 hour", cfg)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curated_docs3").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("curated_docs3")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(out.keySet == Set(1L, 2L), s"got ${out.keySet}")
+      // both survivors redacted, and redaction makes them identical —
+      // exactly why the fingerprint must be computed pre-redaction
+      assert(out.values.forall(!_.contains("@")), out.values.mkString("|"))
+      assert(out(1L) == out(2L), s"${out(1L)} vs ${out(2L)}")
+    } finally q.stop()
+  }
+
+  test("batch mode keeps the lowest-id survivor (rerun-stable)") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val batch = DocStreams.curateStream(docs, "ts", "1 hour", cfg)
+    // survivor set is exactly the batch chain's: lang -> quality ->
+    // exactDedup (min doc_id per content group), then redaction
+    val expect = Dedup.exactDedup(
+      docs.filter(Curation.langOk(col("lang"), cfg) &&
+        Curation.qualityOk(col("text"), cfg)),
+      "doc_id", "text")
+    assert(batch.select("doc_id").as[Long].collect().sorted.toSeq ==
+      expect.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
 }
