@@ -1036,7 +1036,50 @@ object SparkEntry {
         embeddings(s, dir).filter(col("vec_id") < 8), cat,
         k = 5, nProbe = 4, prefix = prefix)
     }),
+
+    // Incremental index maintenance: the index is BUILT on the first
+    // slice of the corpus and the rest arrives as an appended delta —
+    // assignment is paid per-batch, never over the accumulated index.
+    // Assignment depends only on the centroids (held fixed by the
+    // base slice, which contains the first-16 seed vectors), so the
+    // appended index answers queries bit-identically to the one-shot
+    // build — it carries q42/q77's oracle unchanged.
+    "q78_ann_ivf_append" -> ((s, dir) => {
+      val (cat, prefix) = ivfAppendedIndexTable(s, dir)
+      graft.sim.Ann.ivfTopKFromCatalog(
+        embeddings(s, dir).filter(col("vec_id") < 8), cat,
+        k = 5, nProbe = 4, prefix = prefix)
+    }),
+
+    // Temperature-flattened mixture: budgets DERIVED from corpus
+    // supply (∝ √supply, integer-exact) instead of hand-declared —
+    // small domains upweighted relative to their raw share. At the
+    // sf0.01 gate scale the declared total pushes src8's derived
+    // budget past its supply (the whole domain is kept) while larger
+    // domains contribute an md5-order prefix — both consumption
+    // branches under one gate (MixtureSpec pins both on a controlled
+    // frame as well).
+    "q79_temperature_mixture" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+      graft.ops.Mixture.tokenBudgetFrom(docs, "doc_id", "source", "n_tokens",
+        graft.ops.Mixture.temperatureBudgets(docs, "source", "n_tokens",
+          totalBudget = temperatureTotalBudget))
+    }),
+
+    // Cross-document repeated-span scrub (CrossDoc.removeSharedSpans):
+    // substring-level dedup — every 5-shingle carried by ≥2 distinct
+    // docs survives only in its lowest-id carrier. q59 measures this
+    // signal; q80 acts on it.
+    "q80_crossdoc_scrub" -> ((s, dir) =>
+      graft.text.CrossDoc.removeSharedSpans(
+        documents(s, dir), "doc_id", "text", shingleK = 5)),
   )
+
+  /** q79's declared total budget — one constant consumed by both the
+    * Spark query and its oracle, so the derived budgets cannot
+    * drift. */
+  private val temperatureTotalBudget = 26000L
 
   /** q77's per-(JVM, source-dir) persisted IVF index — built once,
     * like the pair graph. */
@@ -1044,9 +1087,40 @@ object SparkEntry {
                                    dir: String): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val prefix = "ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!cat.exists(s, s"${prefix}_lists"))
+    // completeness = the lists' _SUCCESS marker, not bare directory
+    // existence: a build that died mid-write leaves the directory
+    // behind without the marker, and must rebuild rather than wedge
+    // every later call on a half-written index (q72's jsonl artifact
+    // guards the same window). Lists are written AFTER centroids, so
+    // their marker implies the whole index committed.
+    if (!new java.io.File(
+        new java.io.File(artifactRoot, s"${prefix}_lists"), "_SUCCESS").exists())
       graft.sim.Ann.buildIvfIndex(embeddings(s, dir), cat, prefix,
         nCentroids = 16)
+    (cat, prefix)
+  }
+
+  /** q78's build-then-append index. The lists' `_SUCCESS` marker
+    * cannot fence this artifact (build AND append both write it, so
+    * it appears after the build — before the index is whole); a
+    * separate READY marker is created only once the append lands.
+    * A crash anywhere before that re-enters here, and the rebuild is
+    * idempotent: `buildIvfIndex` overwrites the lists, discarding any
+    * partial append before it is replayed. */
+  private[graft] def ivfAppendedIndexTable(s: SparkSession,
+                                           dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val prefix = "ivfa_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val ready = new java.io.File(artifactRoot, s"${prefix}_READY")
+    if (!ready.exists()) {
+      val e = embeddings(s, dir)
+      // the base slice keeps vec_ids 0..15, so its default centroids
+      // equal the full corpus' first-16 seed — the oracle's quantizer
+      graft.sim.Ann.buildIvfIndex(e.filter(col("vec_id") < 100), cat,
+        prefix, nCentroids = 16)
+      graft.sim.Ann.appendToIvfIndex(e.filter(col("vec_id") >= 100), cat, prefix)
+      ready.createNewFile()
+    }
     (cat, prefix)
   }
 
@@ -1801,6 +1875,31 @@ object SparkEntry {
     // (arrays of doubles round-trip parquet exactly), so it shares
     // the oracle — the gate proves persistence changed nothing
     "q77_ann_ivf_index" -> ivfOracleSql,
+    "q78_ann_ivf_append" -> ivfOracleSql,
+
+    // Same integer math as temperatureBudgets: w = floor(sqrt(supply))
+    // (sqrt is correctly rounded IEEE — identical bits), budgets via
+    // integral division, then q71's naive window cumsum as the
+    // selection oracle.
+    "q79_temperature_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  ${TF.sql.tokenCount("text")} AS n_tokens,
+         |  md5(CAST(doc_id AS VARCHAR)) AS u FROM documents),
+         |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS supply
+         |  FROM t GROUP BY source),
+         |w AS (SELECT source,
+         |  CAST(floor(sqrt(CAST(supply AS DOUBLE))) AS BIGINT) AS w
+         |  FROM s WHERE supply > 0),
+         |b AS (SELECT source,
+         |  CAST(($temperatureTotalBudget * w) //
+         |    (SELECT CAST(sum(w) AS BIGINT) FROM w) AS BIGINT) AS budget
+         |  FROM w),
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER
+         |  (PARTITION BY source ORDER BY u, doc_id) AS BIGINT)
+         |  AS cum_tokens FROM t)
+         |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+         |FROM c JOIN b USING (source)
+         |WHERE cum_tokens - n_tokens < budget""".stripMargin,
 
     "q19_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2009,14 +2108,49 @@ object SparkEntry {
          |  list(p ORDER BY p) AS cov FROM cov GROUP BY 1)
          |SELECT b.doc_id, CAST(b.m AS INTEGER) AS n_tokens,
          |  CAST(coalesce(a.n_removed, 0) AS INTEGER) AS n_removed,
-         |  CASE WHEN a.cov IS NULL THEN array_to_string(b.t, ' ')
+         |  coalesce(CASE
+         |       WHEN a.cov IS NULL THEN array_to_string(b.t, ' ')
          |       ELSE array_to_string(list_transform(
          |         list_filter(range(1, b.m+1),
          |           p -> NOT list_contains(a.cov, p)),
          |         p -> b.t[CAST(p AS INTEGER)]), ' ')
-         |  END AS clean_text
+         |  END, '') AS clean_text
          |FROM base b LEFT JOIN cova a USING (doc_id)
          |WHERE b.doc_id % 97 <> 0""".stripMargin,
+
+    // q73's positional replay with the probe set derived from the
+    // corpus itself: shingles carried by ≥2 distinct docs, scrubbed
+    // everywhere except the min-doc_id keeper.
+    "q80_crossdoc_scrub" ->
+      s"""WITH toksv AS (SELECT doc_id, ${TF.sql.tokens("text")} AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS m FROM toksv),
+         |idx AS (SELECT doc_id, t, m,
+         |  unnest(range(1, greatest(m-4, 1)+1)) AS i FROM base),
+         |sh AS (SELECT doc_id, CAST(i AS INTEGER) AS i, m,
+         |  CASE WHEN m < 5 THEN array_to_string(t, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(t, CAST(i AS INTEGER), CAST(i AS INTEGER)+4), ' ')
+         |  END AS shingle FROM idx),
+         |car AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs,
+         |  min(doc_id) AS keeper FROM sh GROUP BY shingle),
+         |shared AS (SELECT shingle, keeper FROM car WHERE n_docs >= 2),
+         |hits AS (SELECT s.doc_id, s.i, s.m FROM sh s JOIN shared p
+         |  USING (shingle) WHERE s.doc_id <> p.keeper),
+         |cov AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS p FROM hits,
+         |  unnest(range(i, least(i+5, m+1))) AS c(p) WHERE m >= 1),
+         |cova AS (SELECT doc_id, count(*) AS n_removed,
+         |  list(p ORDER BY p) AS cov FROM cov GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.m AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(a.n_removed, 0) AS INTEGER) AS n_removed,
+         |  coalesce(CASE
+         |       WHEN a.cov IS NULL THEN array_to_string(b.t, ' ')
+         |       ELSE array_to_string(list_transform(
+         |         list_filter(range(1, b.m+1),
+         |           p -> NOT list_contains(a.cov, p)),
+         |         p -> b.t[CAST(p AS INTEGER)]), ' ')
+         |  END, '') AS clean_text
+         |FROM base b LEFT JOIN cova a USING (doc_id)""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.

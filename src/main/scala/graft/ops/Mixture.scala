@@ -114,4 +114,60 @@ object Mixture {
       .filter(col("__b") >= 0 && col("n_epochs") >= 1)
       .select(col(idCol), col(domainCol), col(weightCol), col("n_epochs"))
   }
+
+  /** Per-domain budgets DERIVED from the corpus by temperature
+    * flattening — the multilingual-training recipe where sampling
+    * probability ∝ supply^α (α = 1/2 here) upweights small domains
+    * relative to their raw share without hand-written budgets. All
+    * arithmetic is integer-exact and engine-portable: the flattened
+    * weight is `floor(sqrt(supply))` (supply < 2⁵² is exact in a
+    * double and sqrt is a correctly-rounded IEEE op — identical bits
+    * in any engine), and each budget is `totalBudget * w DIV Σw` in
+    * long integer math. A fractional α would need per-domain
+    * transcendentals (`pow`), whose last-ulp freedom breaks
+    * cross-engine reproducibility — α = 1/2 is the flattening
+    * exponent with an exact portable form. The long product bounds
+    * `totalBudget` by 2⁶³/max(w); with petascale domains
+    * (supply ~2⁵², w ~2²⁶) that caps budgets at ~10¹¹ tokens —
+    * widen the product to DECIMAL(38,0) beyond that.
+    *
+    * Output: (domainCol, budget) — one row per domain with positive
+    * supply, a driver-scale frame for [[tokenBudgetFrom]]. Derived
+    * budgets can exceed a small domain's supply (that is the point of
+    * flattening); such domains contribute everything they have under
+    * [[tokenBudgetFrom]]'s subset semantics — compose with
+    * [[tokenBudgetEpochs]] when upsampling should repeat them
+    * instead. */
+  def temperatureBudgets(df: DataFrame, domainCol: String,
+                         weightCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val w = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(sum(col(weightCol)).cast("long").as("__supply"))
+      .filter(col("__supply") > 0)
+      .withColumn("__w",
+        floor(sqrt(col("__supply").cast("double"))).cast("long"))
+    // Σw over the |domains|-row frame: a one-row aggregate broadcast
+    // back (the funnel-report shape), not a window
+    val wsum = w.agg(sum(col("__w")).as("__wsum"))
+    w.crossJoin(broadcast(wsum))
+      .select(col(domainCol),
+        expr(s"CAST(($totalBudget * __w) DIV __wsum AS BIGINT)").as("budget"))
+  }
+
+  /** [[tokenBudget]] with the budgets as a DATAFRAME (domain, budget)
+    * instead of a literal map — the form a derived-budget planner
+    * ([[temperatureBudgets]]) composes with. Budgets are one row per
+    * domain, broadcast onto the corpus; domains absent from the frame
+    * contribute nothing, and the budget-crossing document is kept,
+    * exactly as [[tokenBudget]]. */
+  def tokenBudgetFrom(df: DataFrame, idCol: String, domainCol: String,
+                      weightCol: String, budgets: DataFrame,
+                      nBuckets: Int = 64): DataFrame =
+    prefixSummed(df, idCol, domainCol, weightCol, nBuckets)
+      .join(broadcast(budgets.select(col(domainCol), col("budget"))),
+        Seq(domainCol))
+      .filter(col("__cum") - col(weightCol) < col("budget"))
+      .select(col(idCol), col(domainCol), col(weightCol),
+        col("__cum").as("cum_tokens"))
 }

@@ -204,6 +204,29 @@ object Ann {
       s"${prefix}_lists", partitionBy = Seq("list_id"))
   }
 
+  /** Incremental index maintenance: assign a NEW batch of vectors
+    * against the persisted centroids and append its inverted-list
+    * rows — the corpus-assignment pass is paid for the DELTA only,
+    * never the accumulated index (the regime that matters at 100 TB:
+    * a daily embedding delta lands in one small job while the index
+    * grows without bound). Assignment depends only on the centroids,
+    * so build(A) then append(B) is bit-identical to build(A ∪ B)
+    * under the same centroids (spec-pinned); the append lands in the
+    * existing `list_id=` partition directories, preserving file-level
+    * probe pruning. Centroid drift is deliberately out of scope —
+    * when the batch distribution has moved enough to hurt recall,
+    * refresh with [[buildIvfIndex]] (callers own that policy; the
+    * measured recall curve in docs/RECALL.md is the trigger). */
+  def appendToIvfIndex(batch: DataFrame, catalog: graft.catalog.TableCatalog,
+                       prefix: String = "ivf",
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val centroids = catalog.read(batch.sparkSession, s"${prefix}_centroids")
+    catalog.append(
+      assignLists(centroids)(prep(batch, idCol, vecCol), "list_id", 1),
+      s"${prefix}_lists", partitionBy = Seq("list_id"))
+  }
+
   /** Query a [[buildIvfIndex]]-persisted index: assign the (small)
     * query batch against the stored centroids, then join only the
     * probed inverted-list partitions. Bit-identical to [[ivfTopK]]

@@ -65,17 +65,30 @@ object Contamination {
     * shuffle, no anti-join of the corpus against its own positions. */
   def removeSpans(docs: DataFrame, probes: DataFrame, idCol: String,
                   textCol: String, shingleK: Int = 5): DataFrame = {
-    val k = shingleK
     val probeShingles = probes
       .select(graft.functions.exprs.word_shingle_rows(
-        TextFunctions.tokens(col(textCol)), k).as("shingle"))
+        TextFunctions.tokens(col(textCol)), shingleK).as("shingle"))
       .distinct()
-    val base = docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+    val base = tokenized(docs, idCol, textCol)
+    val matches = positionalShingles(base, idCol, shingleK)
+      .join(broadcast(probeShingles), Seq("shingle"))
+    scrubCovered(base, matches, idCol, shingleK)
+  }
+
+  /** Tokenized corpus frame the span-scrub family shares:
+    * (idCol, t = token array, m = token count). */
+  private[text] def tokenized(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
       .withColumn("m", size(col("t")))
-    // positional (i, shingle) rows — the set-emitting generator can't
-    // drive a rewrite, positions matter here
-    val sh = base.select(col(idCol), col("m"),
+
+  /** Positional (i, shingle) rows over a [[tokenized]] frame — the
+    * set-emitting generator can't drive a rewrite, positions matter
+    * here. Documents shorter than k emit their whole text as the
+    * single position-1 shingle (the [[flag]] convention). */
+  private[text] def positionalShingles(base: DataFrame, idCol: String,
+                                       k: Int): DataFrame =
+    base.select(col(idCol), col("m"),
       explode(
         when(col("m") < k,
           array(struct(lit(1).as("i"),
@@ -85,12 +98,17 @@ object Contamination {
             array_join(slice(col("t"), i, lit(k)), " ").as("sh"))))).as("x"))
       .select(col(idCol), col("m"),
         col("x.i").as("i"), col("x.sh").as("shingle"))
-    // m >= 1: an empty document's '' shingle can match an empty probe
-    // doc, but there is no position to cover — and Spark's
-    // sequence(1, 0) would helpfully count DOWN ([1, 0]) instead of
-    // being empty like DuckDB's range(1, 1)
-    val covered = sh.filter(col("m") >= 1)
-      .join(broadcast(probeShingles), Seq("shingle"))
+
+  /** Rewrite tail shared by the scrub family: aggregate matched
+    * positional rows `matches` (idCol, m, i, shingle) into per-doc
+    * covered-position sets and emit (idCol, n_tokens, n_removed,
+    * clean_text). The m >= 1 filter: an empty document's '' shingle
+    * can match an empty probe doc, but there is no position to
+    * cover — and Spark's sequence(1, 0) would helpfully count DOWN
+    * ([1, 0]) instead of being empty like DuckDB's range(1, 1). */
+  private[text] def scrubCovered(base: DataFrame, matches: DataFrame,
+                                 idCol: String, k: Int): DataFrame = {
+    val covered = matches.filter(col("m") >= 1)
       .select(col(idCol),
         explode(sequence(col("i"), least(col("i") + (k - 1), col("m"))))
           .as("p"))

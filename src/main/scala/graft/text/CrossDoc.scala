@@ -49,4 +49,43 @@ object CrossDoc {
       .select(col(idCol), col("n_shingles"), col("n_shared"),
         (col("n_shared") / col("n_shingles")).as("shared_fraction"))
   }
+
+  /** Cross-document repeated-span SCRUB — [[duplicateShingleStats]]'
+    * acting sibling, the substring-level dedup of Lee et al. 2021:
+    * every k-shingle carried by ≥ `minDocs` distinct documents is
+    * removed from every document EXCEPT its lowest-id carrier, which
+    * keeps its copy. Dedup, not deletion: the corpus retains each
+    * repeated span exactly once (a document can be the keeper for one
+    * shingle and scrubbed for another). Exact dedup misses this when
+    * duplication is many-to-many at the substring level; pairwise
+    * near-dup misses it when the shared mass is spread over many
+    * unrelated documents (boilerplate headers, license text,
+    * templates). Output per doc: (idCol, n_tokens, n_removed,
+    * clean_text) — [[Contamination.removeSpans]]'s contract, scrub
+    * driven by the corpus itself instead of a benchmark probe set.
+    *
+    * Scale shape: positional shingles are the q73 corpus scan; the
+    * carrier aggregate runs on DISTINCT (shingle, doc) pairs —
+    * map-side combinable after the distinct — and the shared-shingle
+    * frame joins back by plain shingle equi-join. Unlike the
+    * benchmark probe set, this frame is CORPUS-derived and must not
+    * be blindly broadcast (at 100 TB the shared-shingle set is
+    * itself huge); the hint-free join lets AQE downgrade to broadcast
+    * only when it measures small. At petabyte scale carry
+    * `xxhash64(shingle)` instead of the string (collision-tolerant
+    * for a scrub; the string keeps the DuckDB oracle exact). */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would scrub unshared text: $minDocs")
+    val base = Contamination.tokenized(docs, idCol, textCol)
+    val sh = Contamination.positionalShingles(base, idCol, shingleK)
+    val carriers = sh.select(col("shingle"), col(idCol)).distinct()
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__n_docs"), min(col(idCol)).as("__keeper"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("shingle"), col("__keeper"))
+    val matches = sh.join(carriers, Seq("shingle"))
+      .filter(col(idCol) =!= col("__keeper"))
+    Contamination.scrubCovered(base, matches, idCol, shingleK)
+  }
 }

@@ -72,6 +72,24 @@ class AnnSpec extends SparkTestBase {
     assert(listDirs.length > 1, listDirs.mkString(","))
   }
 
+  test("build-then-append IVF index answers identically to one-shot") {
+    // assignment depends only on the centroids, so maintaining the
+    // index incrementally must not move a single result bit
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfa").toString
+    val cat = new graft.catalog.ParquetCatalog(root)
+    // base slice keeps vec_ids 0..15 -> same default centroids as full
+    Ann.buildIvfIndex(e.filter(col("vec_id") < 32), cat, "ivfa", nCentroids = 16)
+    Ann.appendToIvfIndex(e.filter(col("vec_id") >= 32), cat, "ivfa")
+    val appended = Ann.ivfTopKFromCatalog(q, cat, k = 5, nProbe = 4, prefix = "ivfa")
+      .orderBy("qid", "rank").collect().toSeq
+    val inline = Ann.ivfTopK(e, q, k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(appended == inline)
+    assert(appended.nonEmpty)
+  }
+
   test("tie-breaking operators refuse a string id column up front") {
     val e = Tables.embeddings(spark, sf)
       .withColumn("vec_id", concat(lit("doc-"), col("vec_id")))

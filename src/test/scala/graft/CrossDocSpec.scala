@@ -43,4 +43,51 @@ class CrossDocSpec extends SparkTestBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
+
+  test("removeSharedSpans keeps one copy: the lowest-id carrier") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon tail one"),   // keeper of the shared 5-gram
+      (2L, "alpha beta gamma delta epsilon tail two"),   // scrubbed: positions 1..6
+      (3L, "totally unrelated words live in here today") // untouched
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedSpans(docs, "doc_id", "text", shingleK = 5)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((7, 0, "alpha beta gamma delta epsilon tail one")))
+    // doc 2 shares shingles at i=1 ("alpha..epsilon") and i=2
+    // ("beta..tail") -> covered positions 1..6, "two" survives
+    assert(out(2L) == ((7, 6, "two")))
+    assert(out(3L) == ((7, 0, "totally unrelated words live in here today")))
+  }
+
+  test("removeSharedSpans: a doc can keep one span and lose another") {
+    val docs = Seq(
+      (1L, "shared one two three four ending alpha"),
+      (2L, "shared one two three four ending beta prefix five six seven eight nine"),
+      (3L, "other prefix five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedSpans(docs, "doc_id", "text", shingleK = 5)
+      .select("doc_id", "n_removed").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0)           // keeper of "shared one two three four"+
+    assert(out(2L) > 0)            // loses the first span (doc 1 keeps it)
+    assert(out(3L) > 0)            // loses "prefix five six seven.." to doc 2
+  }
+
+  test("removeSharedSpans: identical short docs survive only once") {
+    val docs = Seq(
+      (7L, "tiny doc"), (8L, "tiny doc"), (9L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedSpans(docs, "doc_id", "text", shingleK = 5)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(7L) == "tiny doc")       // min-id keeper
+    assert(out(8L) == "" && out(9L) == "")
+  }
+
+  test("removeSharedSpans refuses minDocs < 2") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      CrossDoc.removeSharedSpans(docs, "doc_id", "text", 5, minDocs = 1).count())
+    assert(e.getMessage.contains("unshared"), e.getMessage)
+  }
 }

@@ -132,6 +132,56 @@ class MixtureSpec extends SparkTestBase {
     assert(epochs == Set(2L), s"expected uniform 2 epochs, got $epochs")
   }
 
+  test("temperature budgets: integer-exact √supply flattening, both " +
+      "consumption branches") {
+    val b = Mixture.temperatureBudgets(docs, "source", "n_tokens", 26000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val supply = docs.groupBy("source").agg(sum("n_tokens").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the math in plain Scala: w = floor(sqrt(supply)),
+    // budget = total * w / Σw in long arithmetic
+    val w = supply.view.mapValues(s => math.sqrt(s.toDouble).toLong).toMap
+    val wsum = w.values.sum
+    assert(b == w.view.mapValues(v => 26000L * v / wsum).toMap)
+    // flattening must upweight SMALL domains: budget share > raw share
+    val (smallest, minSupply) = supply.minBy(_._2)
+    val total = supply.values.sum
+    assert(b(smallest).toDouble / b.values.sum >
+      minSupply.toDouble / total)
+    // and the composed selection honors ordinary budget semantics
+    val sel = Mixture.tokenBudgetFrom(docs, "doc_id", "source", "n_tokens",
+      Mixture.temperatureBudgets(docs, "source", "n_tokens", 26000L),
+      nBuckets = 4)
+    val perDomain = sel.groupBy("source")
+      .agg(max("cum_tokens").cast("long").as("consumed"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perDomain.foreach { case (k, consumed) =>
+      assert(consumed >= math.min(b(k), supply(k)), s"$k undershot")
+      assert(consumed <= supply(k))
+    }
+  }
+
+  test("temperature budgets: a small domain crosses its supply and is " +
+      "kept whole; a large one subsets") {
+    // controlled supplies: big 100×1-token docs, small 4×1-token docs.
+    // w = (10, 2), Σw = 12; total 60 → budgets (50, 10): the small
+    // domain's 10 > its supply 4 (flattening upweighted it past its
+    // own mass — kept whole), the big domain subsets 50 of 100.
+    val rows = ((1L to 100L).map(i => (i, "big", "x")) ++
+      (201L to 204L).map(i => (i, "small", "x")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_tokens", lit(1L))
+    val b = Mixture.temperatureBudgets(rows, "source", "n_tokens", 60L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(b == Map("big" -> 50L, "small" -> 10L), b.toString)
+    val sel = Mixture.tokenBudgetFrom(rows, "doc_id", "source", "n_tokens",
+      Mixture.temperatureBudgets(rows, "source", "n_tokens", 60L),
+      nBuckets = 2)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sel == Map("big" -> 50L, "small" -> 4L), sel.toString)
+  }
+
   test("the only window over the data partitions by (domain, bucket)") {
     // scale pin: like QuantilesSpec — the data-frame window must
     // include __bkt in its partition spec so no domain funnels through
