@@ -1074,7 +1074,45 @@ object SparkEntry {
     "q80_crossdoc_scrub" -> ((s, dir) =>
       graft.text.CrossDoc.removeSharedSpans(
         documents(s, dir), "doc_id", "text", shingleK = 5)),
+
+    // Leakage-safe train/val/test split: the whole near-dup COMPONENT
+    // takes one md5 coin flip, so duplicate families never straddle
+    // the eval cut (the split that keeps eval honest). Components come
+    // off the persisted pair graph — no similarity join in this plan.
+    "q81_leakage_split" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val comp = graft.dedup.Curation.componentsFromCatalog(s, cat, table)
+      graft.ops.Splits.leakageSafeSplit(documents(s, dir), "doc_id",
+          comp, "id", "component", splitFractions)
+        .select(col("doc_id"), col("grp"), col("split"))
+    }),
+
+    // Cross-source duplication matrix — which feeds re-crawl each
+    // other — read off the same persisted pair graph: id-only pairs
+    // pick up their two source labels and aggregate to ≤|sources|²
+    // rows.
+    "q82_source_overlap" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      graft.dedup.Curation.sourceOverlapFromCatalog(
+        documents(s, dir), "doc_id", "source", cat, table)
+    }),
+
+    // Metadata-filtered exact ANN: candidates restricted to English
+    // documents BEFORE any similarity arithmetic (pre-filter — exact
+    // by construction and s·|corpus| cheaper; post-filtering a global
+    // top-k under-returns). Queries stay unfiltered probes.
+    "q83_filtered_ann" -> ((s, dir) =>
+      graft.sim.Ann.filteredBruteForceTopK(
+        embeddings(s, dir),
+        documents(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        embeddings(s, dir).filter(col("vec_id") < 8), k = 5)),
   )
+
+  /** q81's split declaration — one constant consumed by both the
+    * Spark query and its oracle so the cut literals cannot drift. */
+  private val splitFractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** q79's declared total budget — one constant consumed by both the
     * Spark query and its oracle, so the derived budgets cannot
@@ -1183,6 +1221,42 @@ object SparkEntry {
       |  SELECT qid, vec_id, sim,
       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
       |  FROM scored) WHERE rnk <= 5""".stripMargin
+
+  /** Shared oracle fragment: the exact 5-char-ngram near-dup pair
+    * CTEs over `documents` at `threshold` — the DuckDB twin of the
+    * materialized pair graph ([[pairGraphTable]]). Ends with `pairs
+    * (id_a, id_b)`; `norm` keeps `source` for the q82 labeling.
+    * ONE definition consumed by q47/q81/q82 so pair semantics cannot
+    * drift between oracles. */
+  private def charPairsCte(threshold: Double): String =
+    s"""norm AS (SELECT doc_id, source,
+       |  regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
+       |idx AS (SELECT doc_id, t,
+       |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+       |g AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN length(t) <= 5 THEN t
+       |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+       |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+       |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b FROM inter
+       |  JOIN counts ca ON ca.doc_id = id_a
+       |  JOIN counts cb ON cb.doc_id = id_b
+       |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= $threshold)""".stripMargin
+
+  /** [[charPairsCte]] extended with the recursive transitive closure;
+    * ends with `comp (id, component)` — q47's semantics, shared with
+    * the q81 split oracle. Callers open with `WITH RECURSIVE`. */
+  private def componentsCte(threshold: Double): String =
+    s"""${charPairsCte(threshold)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1591,29 +1665,9 @@ object SparkEntry {
     // The q24 pair CTE + recursive reachability closure: component =
     // min id reachable through the near-dup graph.
     "q47_dup_components" ->
-      """WITH RECURSIVE
-        |norm AS (SELECT doc_id,
-        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
-        |idx AS (SELECT doc_id, t,
-        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
-        |g AS (SELECT DISTINCT doc_id,
-        |  CASE WHEN length(t) <= 5 THEN t
-        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
-        |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
-        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT id_a, id_b FROM inter
-        |  JOIN counts ca ON ca.doc_id = id_a
-        |  JOIN counts cb ON cb.doc_id = id_b
-        |  WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)}
+         |SELECT id, component FROM comp""".stripMargin,
 
     "q46_repetition" ->
       s"""WITH t AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
@@ -2151,6 +2205,49 @@ object SparkEntry {
          |         p -> b.t[CAST(p AS INTEGER)]), ' ')
          |  END, '') AS clean_text
          |FROM base b LEFT JOIN cova a USING (doc_id)""".stripMargin,
+
+    // q47's closure + the md5-cut CASE from the SAME declaration the
+    // Spark operator renders (Splits.hexCut — literals cannot drift).
+    "q81_leakage_split" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)},
+         |grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, grp,
+         |  ${graft.ops.Splits.sql.splitCase("grp", splitFractions)} AS split
+         |FROM grp""".stripMargin,
+
+    // The pair CTE labeled with each endpoint's source, unordered
+    // pair normalized by least/greatest — the same matrix the Spark
+    // side reads off the persisted graph.
+    "q82_source_overlap" ->
+      s"""WITH ${charPairsCte(0.4)},
+         |ps AS (SELECT least(sa.source, sb.source) AS src_a,
+         |    greatest(sa.source, sb.source) AS src_b
+         |  FROM pairs
+         |  JOIN norm sa ON sa.doc_id = id_a
+         |  JOIN norm sb ON sb.doc_id = id_b)
+         |SELECT src_a, src_b, count(*) AS n_dup_pairs
+         |FROM ps GROUP BY 1, 2""".stripMargin,
+
+    // q19's arithmetic with the corpus pre-filtered to English docs;
+    // probes stay the unfiltered vec_id < 8 set.
+    "q83_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS sim
+        |  FROM q, e WHERE e.vec_id <> q.qid)
+        |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.

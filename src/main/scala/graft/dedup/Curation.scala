@@ -236,6 +236,39 @@ object Curation {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-SOURCE duplication matrix off the persisted pair graph:
+    * for every unordered source pair, how many near-dup document
+    * pairs at `minJaccard` straddle it (src_a ≤ src_b; the diagonal
+    * counts within-source duplication). The curation question this
+    * answers — "which feeds are re-crawling each other?" — drives
+    * source-level dedup priority and crawl dedup budgets.
+    *
+    * Scale shape: the pair graph is KBs-per-million-docs (id pairs
+    * only), so BOTH metadata joins broadcast the pair side onto the
+    * id-keyed document scan — no document-by-document shuffle — and
+    * the final aggregate is |sources|² rows at most. Reads the
+    * persisted graph ([[materializePairs]]); never re-derives the
+    * similarity join. */
+  def sourceOverlapFromCatalog(docs: DataFrame, idCol: String,
+                               srcCol: String, catalog: TableCatalog,
+                               table: String = "dup_pairs",
+                               minJaccard: Double = 0.0): DataFrame = {
+    val meta = docs.select(col(idCol), col(srcCol))
+    val pairs = catalog.read(docs.sparkSession, table)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val withSrc = pairs
+      .join(meta.select(col(idCol).as("id_a"), col(srcCol).as("__sa")),
+        Seq("id_a"))
+      .join(meta.select(col(idCol).as("id_b"), col(srcCol).as("__sb")),
+        Seq("id_b"))
+    withSrc
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   /** Full chain; returns the kept rows plus a one-row accounting frame
     * (input / after each stage) so drops are observable.
     *

@@ -51,6 +51,29 @@ object Ann {
       .select(col("qid"), col("id").as(idCol), col("sim"), col("rank"))
   }
 
+  /** FILTERED exact top-k: restrict the candidate corpus to the ids
+    * in `allowed` BEFORE any similarity arithmetic (pre-filter, not
+    * post-filter). The metadata-constrained search every retrieval
+    * stack needs ("nearest English docs", "same tenant only") has two
+    * shapes: post-filtering an unfiltered top-k under-returns
+    * whenever fewer than k of the global neighbors satisfy the
+    * predicate (and needs speculative k-inflation to patch), while
+    * pre-filtering is exact by construction and CHEAPER — at
+    * predicate selectivity s the scoring scan is s·|corpus|. The
+    * semi-join keeps the plan id-only on the filter side (payload
+    * columns never travel), pushes down to the corpus scan as a
+    * runtime filter when the allowed set is broadcastable, and
+    * `allowed` may carry duplicate ids freely (left-semi never
+    * multiplies rows). Queries are NOT filtered — a probe need not
+    * satisfy its own predicate. */
+  def filteredBruteForceTopK(emb: DataFrame, allowed: DataFrame,
+                             queries: DataFrame, k: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(
+      emb.join(allowed.select(col(idCol)), Seq(idCol), "left_semi"),
+      queries, k, idCol, vecCol)
+
   /** Deterministic distributed k-means (Lloyd) for IVF coarse
     * quantization: init = the `k` lowest-id corpus vectors, then
     * `iters` rounds of nearest-centroid assignment (broadcast argmax —

@@ -26,6 +26,24 @@ class AnnSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("vec_id") != 0L)) // self excluded
   }
 
+  test("filteredBruteForceTopK = brute force over the allowed corpus only") {
+    val e = Tables.embeddings(spark, sf)
+    val allowed = e.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val q = e.filter(col("vec_id") === 1) // probe outside the filter
+    val got = Ann.filteredBruteForceTopK(e, allowed, q, k = 4)
+    // exactly the unfiltered operator run on the pre-filtered corpus
+    val want = Ann.bruteForceTopK(
+      e.filter(col("vec_id") % 3 === 0), q, k = 4)
+    assert(got.orderBy("qid", "rank").collect().toSeq ==
+      want.orderBy("qid", "rank").collect().toSeq)
+    // no filtered-out candidate ever surfaces; probe still answered
+    val ids = got.select("vec_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.forall(_ % 3 == 0))
+    // duplicate ids in the allowed frame must not multiply candidates
+    val dup = Ann.filteredBruteForceTopK(e, allowed.union(allowed), q, k = 4)
+    assert(dup.count() == got.count())
+  }
+
   test("kmeansCentroids is deterministic, keeps k centroids of full dim") {
     val e = Tables.embeddings(spark, sf)
     val c1 = Ann.kmeansCentroids(e, k = 8, iters = 3)

@@ -145,6 +145,30 @@ class CurationSpec extends SparkTestBase {
       catalog, "dup_pairs", Curation.Config(minJaccard = 0.8)).count()
   }
 
+  test("sourceOverlapFromCatalog counts each unordered source pair once") {
+    val rootDir = java.nio.file.Files.createTempDirectory("graft-ovl").toString
+    val catalog = new graft.catalog.ParquetCatalog(rootDir)
+    // controlled graph: pairs (1,2) (3,4) (5,6) with known sources
+    Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.7))
+      .toDF("id_a", "id_b", "jaccard")
+      .write.parquet(rootDir + "/dup_pairs")
+    val docs = Seq(
+      (1L, "sA"), (2L, "sB"), // cross-source, A<B by doc order
+      (3L, "sB"), (4L, "sA"), // cross-source, REVERSED label order
+      (5L, "sA"), (6L, "sA")  // within-source (diagonal)
+    ).toDF("doc_id", "source")
+    val got = Curation.sourceOverlapFromCatalog(docs, "doc_id", "source",
+        catalog).orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect().toSeq
+    // both A-B pairs normalize to (sA, sB) whatever the doc_id order
+    assert(got == Seq(("sA", "sA", 1L), ("sA", "sB", 2L)))
+    // threshold filter trims the matrix
+    val strict = Curation.sourceOverlapFromCatalog(docs, "doc_id", "source",
+        catalog, minJaccard = 0.85)
+      .as[(String, String, Long)].collect().toSeq
+    assert(strict == Seq(("sA", "sB", 1L)))
+  }
+
   test("curate on the documents table keeps a plausible fraction") {
     val docs = Tables.documents(spark, sf)
     val (kept, report) = Curation.curate(docs, "doc_id", "text", "lang",
