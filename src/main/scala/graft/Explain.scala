@@ -27,7 +27,8 @@ object Explain {
     "q70_lm_quality", "q71_token_mixture", "q72_jsonl_roundtrip",
     "q73_span_removal", "q74_epoch_mixture", "q76_ann_int8",
     "q77_ann_ivf_index", "q78_ann_ivf_append", "q79_temperature_mixture",
-    "q80_crossdoc_scrub")
+    "q80_crossdoc_scrub", "q81_leakage_split", "q82_source_overlap",
+    "q83_filtered_ann", "q84_bloom_gate")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1107,7 +1107,42 @@ object SparkEntry {
         documents(s, dir).filter(col("lang") === "en")
           .select(col("doc_id").as("vec_id")),
         embeddings(s, dir).filter(col("vec_id") < 8), k = 5)),
+
+    // Bloom-gated incremental ingest: which batch rows are NEW against
+    // the corpus, by content fingerprint — the bloom (Spark's own
+    // BloomFilterAggregate/MightContain runtime-filter expressions,
+    // persisted once per corpus version like the pair graph) narrows
+    // the probe set; an exact confirm join makes the OUTPUT exact, so
+    // the whole gate carries a plain anti-join oracle. Zero corpus
+    // shuffles: the corpus is scanned (bloom build, amortized) and
+    // scanned (broadcast semi-join) — never exchanged.
+    "q84_bloom_gate" -> ((s, dir) => {
+      val (cat, table) = bloomIndexTable(s, dir)
+      val corpus = documents(s, dir)
+        .withColumn("fp", TF.fingerprint(col("text")))
+      val batch = documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .unionByName(documents(s, dir).filter(col("doc_id") >= 400)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" fresh")).as("text")))
+        .withColumn("fp", TF.fingerprint(col("text")))
+      graft.ops.BloomGate.newRowsFromCatalog(batch, corpus, "fp", cat, table)
+        .select(col("doc_id"), col("fp"))
+    }),
   )
+
+  /** q84's per-(JVM, source-dir) persisted corpus bloom — built once,
+    * like the pair graph and the IVF index. */
+  private[graft] def bloomIndexTable(s: SparkSession,
+                                     dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val table = "bloom_fp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!cat.exists(s, table))
+      graft.ops.BloomGate.buildBloomIndex(
+        documents(s, dir).withColumn("fp", TF.fingerprint(col("text"))),
+        "fp", cat, table, expectedItems = 65536L)
+    (cat, table)
+  }
 
   /** q81's split declaration — one constant consumed by both the
     * Spark query and its oracle so the cut literals cannot drift. */
@@ -2248,6 +2283,20 @@ object SparkEntry {
         |  SELECT qid, vec_id, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // The bloom is a performance device only — the gate's OUTPUT is
+    // the plain fingerprint anti-join, which is exactly this.
+    "q84_bloom_gate" ->
+      s"""WITH corpus AS (SELECT ${TF.sql.fingerprint("text")} AS fp
+         |  FROM documents),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' fresh' FROM documents
+         |  WHERE doc_id >= 400),
+         |b AS (SELECT doc_id, ${TF.sql.fingerprint("text")} AS fp FROM batch)
+         |SELECT doc_id, fp FROM b
+         |WHERE fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.

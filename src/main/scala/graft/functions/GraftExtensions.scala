@@ -42,6 +42,16 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** SQL integer literals parse as INT; BloomFilterAggregate demands
+    * BIGINT — re-literal either width as long. */
+  private def longArg(e: Expression, what: String): Expression = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      org.apache.spark.sql.catalyst.expressions.Literal(v.toLong)
+    case l @ org.apache.spark.sql.catalyst.expressions.Literal(_: Long, _) => l
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private type Reg =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -77,5 +87,24 @@ object GraftExtensions {
           case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
           case other => throw new IllegalArgumentException(
             s"asc must be a boolean literal, got $other")
-        })))
+        })),
+    // Spark's OWN runtime-filter bloom expressions, surfaced to SQL
+    // (upstream registers them internal-only): the ingest-gate
+    // primitives graft.ops.BloomGate drives from the DataFrame side.
+    // The key is xxhash64'd here so callers pass raw keys, exactly as
+    // the optimizer's InjectRuntimeFilter composes the pair.
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(key, items, bits) - serialized bloom filter over xxhash64(key)"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+          longArg(args(1), "items"), longArg(args(2), "bits"))),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, key) - membership probe; bloom must be a constant or scalar subquery"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))))
 }

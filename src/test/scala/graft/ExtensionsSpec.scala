@@ -41,4 +41,17 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows(0).getSeq[Long](2).toSeq == Seq(1L))
     assert(rows(1).getSeq[Long](1).toSeq == Seq(9L))
   }
+
+  test("bloom gate expressible in pure SQL (scalar-subquery bloom)") {
+    import spark.implicits._
+    Seq("k1", "k2", "k3").toDF("k").createOrReplaceTempView("ext_corpus")
+    Seq("k2", "k9").toDF("k").createOrReplaceTempView("ext_batch")
+    val rows = sqlSpark.sql(
+      """WITH bf AS (SELECT bloom_agg(k, 100, 1000) AS b FROM ext_corpus)
+        |SELECT k, bloom_might_contain((SELECT b FROM bf), k) AS hit
+        |FROM ext_batch ORDER BY k""".stripMargin).collect()
+    // k2 is a true member (no false negatives); k9 is almost surely out
+    assert(rows(0).getString(0) == "k2" && rows(0).getBoolean(1))
+    assert(rows(1).getString(0) == "k9" && !rows(1).getBoolean(1))
+  }
 }
