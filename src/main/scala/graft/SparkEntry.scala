@@ -1129,6 +1129,21 @@ object SparkEntry {
       graft.ops.BloomGate.newRowsFromCatalog(batch, corpus, "fp", cat, table)
         .select(col("doc_id"), col("fp"))
     }),
+
+    // Heavy-hitter tokens — vocabulary-head / stopword discovery, and
+    // the diagnosis step that feeds q41's salted aggregation. The
+    // Misra-Gries summary bounds the exchange to partitions×cap rows
+    // whatever the token cardinality; the exact confirm pass makes
+    // the output a plain GROUP BY ... HAVING, which is the oracle.
+    // Threshold = 0.2% of the token stream, floor-divided identically
+    // on both engines.
+    "q85_heavy_hitters" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.HeavyHitters.frequentItemsRelative(
+        toks, col("tok"), "tok", denom = 500L)
+    }),
   )
 
   /** q84's per-(JVM, source-dir) persisted corpus bloom — built once,
@@ -2297,6 +2312,17 @@ object SparkEntry {
          |b AS (SELECT doc_id, ${TF.sql.fingerprint("text")} AS fp FROM batch)
          |SELECT doc_id, fp FROM b
          |WHERE fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
+
+    // The summary is a narrowing device only — the gate's OUTPUT is
+    // the plain frequency HAVING, which is exactly this.
+    "q85_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT tok FROM t WHERE tok <> '')
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk
+        |GROUP BY tok
+        |HAVING count(*) >= greatest(1, (SELECT count(*) FROM tk) // 500)"""
+        .stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.
