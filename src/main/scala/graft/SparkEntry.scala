@@ -1144,6 +1144,24 @@ object SparkEntry {
       graft.ops.HeavyHitters.frequentItemsRelative(
         toks, col("tok"), "tok", denom = 500L)
     }),
+
+    // Differential hot/cold join — q41's sibling for joins: the
+    // MG-detected hot key (10% of orders pooled onto k=0, declared
+    // identically in both engines) joins through a broadcast of its
+    // dim slice and never enters an exchange; cold keys shuffle
+    // without their straggler. The split is semantics-neutral, so the
+    // oracle is the plain join.
+    "q86_hotcold_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = orders(s, dir).select(
+        when(col("o_custkey") % 10 === 0, lit(0L))
+          .otherwise(col("o_custkey")).as("k"),
+        col("o_orderkey"), col("o_totalprice"))
+      val dim = customer(s, dir).filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_name"))
+        .unionByName(Seq((0L, "pooled")).toDF("k", "c_name"))
+      graft.ops.Skew.hotColdJoin(big, dim, "k", "inner", hotDenom = 50L)
+    }),
   )
 
   /** q84's per-(JVM, source-dir) persisted corpus bloom — built once,
@@ -2323,6 +2341,18 @@ object SparkEntry {
         |GROUP BY tok
         |HAVING count(*) >= greatest(1, (SELECT count(*) FROM tk) // 500)"""
         .stripMargin,
+
+    // Hot/cold routing is semantics-neutral — the output is the plain
+    // join over the same declared key pooling.
+    "q86_hotcold_join" ->
+      """WITH big AS (SELECT
+        |  CASE WHEN o_custkey % 10 = 0 THEN 0 ELSE o_custkey END AS k,
+        |  o_orderkey, o_totalprice FROM orders),
+        |dim AS (SELECT c_custkey AS k, c_name FROM customer
+        |  WHERE c_custkey % 10 <> 0
+        |  UNION ALL SELECT 0, 'pooled')
+        |SELECT k, o_orderkey, o_totalprice, c_name
+        |FROM big JOIN dim USING (k)""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.

@@ -42,6 +42,49 @@ object Skew {
   private def monotonicallyDistinct(df: DataFrame): Column =
     xxhash64(df.columns.map(col): _*)
 
+  /** Differential (hot/cold) skew join: keys the Misra-Gries summary
+    * flags as heavy are joined through a BROADCAST of the small side's
+    * matching rows — the hot keys never enter an exchange at all —
+    * while every other key takes the ordinary shuffled path, now free
+    * of its stragglers. Complements [[saltedJoin]]: salting spreads a
+    * hot reducer at the cost of replicating the whole small side
+    * ×buckets; here the replicated slice is only the hot keys' rows,
+    * and the cold shuffle sheds the skew instead of dividing it.
+    *
+    * The split is semantics-neutral — hot and cold key sets are
+    * disjoint and their unioned joins reconstruct `big ⋈ small`
+    * exactly for every big-side-anchored join type — so detection
+    * quality affects performance only, never the output (a missed
+    * hot key rides the cold shuffle; a false positive costs broadcast
+    * bytes). Null-keyed big rows ride the cold path, preserving
+    * left-outer semantics. Hot keys number at most `hotDenom` (each
+    * holds ≥ n/hotDenom rows), so the driver-side key list and the
+    * broadcast slice are bounded by construction.
+    *
+    * Cost: one bounded-exchange detection pass over the big side's
+    * key column plus one scan per branch — worth it exactly when the
+    * hot reducer, not total throughput, gates the job. */
+  def hotColdJoin(big: DataFrame, small: DataFrame, key: String,
+                  joinType: String = "inner",
+                  hotDenom: Long = 1000L, cap: Int = 4096): DataFrame = {
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"hotColdJoin supports inner/left-anchored joins only, got $joinType")
+    val hotKeys = HeavyHitters
+      .frequentItemsRelative(big.select(col(key)), col(key), key,
+        denom = hotDenom, cap = cap)
+      .select(col(key)).collect().map(_.get(0)).toSeq
+    if (hotKeys.isEmpty) big.join(small, Seq(key), joinType)
+    else {
+      // null keys are never hot: coalesce routes them cold, where the
+      // join itself gives them their correct (un)matched treatment
+      val isHot = coalesce(col(key).isInCollection(hotKeys), lit(false))
+      val smallHot = small.where(isHot)
+      big.where(isHot).join(broadcast(smallHot), Seq(key), joinType)
+        .unionByName(big.where(!isHot).join(small, Seq(key), joinType))
+    }
+  }
+
   /** Salted groupBy: two-phase aggregation for skewed grouping keys —
     * partial aggregate on (key, salt), then final on key. `partials`
     * must be re-aggregable (sum/count/min/max). */
