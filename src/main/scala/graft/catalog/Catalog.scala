@@ -33,7 +33,7 @@ trait TableCatalog {
   * an `s3a://` root works unchanged given hadoop-aws credentials).
   * Partitioned writes give downstream partition pruning for free.
   */
-final class ParquetCatalog(root: String) extends TableCatalog {
+final class ParquetCatalog(val root: String) extends TableCatalog {
   private def path(table: String) = s"$root/$table"
 
   override def read(spark: SparkSession, table: String): DataFrame =
