@@ -1162,6 +1162,39 @@ object SparkEntry {
         .unionByName(Seq((0L, "pooled")).toDF("k", "c_name"))
       graft.ops.Skew.hotColdJoin(big, dim, "k", "inner", hotDenom = 50L)
     }),
+
+    // Deterministic corpus shuffle — the training-order permutation
+    // and round-robin shard deal, as an exact global rank. The oracle
+    // runs the single-window form this operator exists to avoid; the
+    // Spark plan ranks nBuckets hash ranges in parallel and never
+    // funnels the corpus through one task (GlobalOrderSpec pins the
+    // absence of a SinglePartition exchange).
+    "q87_corpus_shuffle" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"))
+      graft.ops.GlobalOrder
+        .deterministicShuffle(d, "doc_id", seed = "shuf42", nBuckets = 16)
+        .select(col("doc_id"), col("pos"),
+          pmod(col("pos"), lit(8L)).as("shard"))
+    }),
+
+    // The standard training layout end-to-end: shuffle (q87's seeded
+    // permutation) → round-robin shard deal → per-shard sequence
+    // packing, composed so concatChunk's id IS the shuffled position
+    // (its internal id%nShards becomes the deal, its within-shard
+    // order the shuffled order). The doc_id traceback join is
+    // elective — drop it and the plan is shuffle+pack only.
+    "q88_shuffled_pack" -> ((s, dir) => {
+      val shuffled = graft.ops.GlobalOrder.deterministicShuffle(
+        documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", seed = "pack7", nBuckets = 16)
+      val packed = graft.ops.Packing.concatChunk(
+        shuffled, "pos", TF.tokenCount(col("text")),
+        seqLen = 512, nShards = 4)
+      shuffled.select(col("doc_id"), col("pos").as("p"))
+        .join(packed, col("p") === col("pos")).drop("p")
+        .select(col("doc_id"), col("pos"), col("shard"), col("n_tokens"),
+          col("start"), col("seq_id"), col("offset_in_seq"))
+    }),
   )
 
   /** q84's per-(JVM, source-dir) persisted corpus bloom — built once,
@@ -2353,6 +2386,35 @@ object SparkEntry {
         |  UNION ALL SELECT 0, 'pooled')
         |SELECT k, o_orderkey, o_totalprice, c_name
         |FROM big JOIN dim USING (k)""".stripMargin,
+
+    // The naive single-window rank IS the semantics; the Spark side
+    // computes it bucketed. Same md5 text, same tiebreak.
+    "q87_corpus_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  - 1 AS pos FROM documents)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(pos % 8 AS BIGINT) AS shard FROM r""".stripMargin,
+
+    // q87's permutation feeding q60's packing arithmetic — one window
+    // chain, all-integer.
+    "q88_shuffled_pack" ->
+      s"""WITH r AS (SELECT doc_id, text,
+         |  row_number() OVER (
+         |    ORDER BY md5('pack7:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |  - 1 AS pos FROM documents),
+         |t AS (SELECT doc_id, pos, pos % 4 AS shard,
+         |  ${TF.sql.tokenCount("text")} AS n FROM r)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(shard AS BIGINT) AS shard, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS start,
+         |  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) // 512 AS seq_id,
+         |  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) % 512
+         |    AS offset_in_seq
+         |FROM t WINDOW w AS (PARTITION BY shard ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+        .stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.
