@@ -52,6 +52,25 @@ object SparkEntry {
     (cat, table)
   }
 
+  /** q89's standing assignment: components of the corpus-only
+    * (doc_id % 10 != 0) char-5-gram pair graph at 0.4 — the state a
+    * daily-ingest pipeline carries between batches, materialized once
+    * per (JVM, source dir) like the pair graph itself. */
+  private[graft] def baseComponentsTable(s: SparkSession,
+                                         dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val table = "base_components_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_t400"
+    if (!cat.exists(s, table)) {
+      val corpus = documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+      val pairs = Dedup.exactSimilarityPairs(corpus, "doc_id", threshold = 0.4)
+      cat.overwrite(
+        Dedup.connectedComponents(pairs.select("id_a", "id_b")), table)
+    }
+    (cat, table)
+  }
+
   /** The q68 pivot's explicit value set — ONE list consumed by both
     * the Spark query and its oracle builder, so the two column sets
     * cannot drift. */
@@ -1194,6 +1213,25 @@ object SparkEntry {
         .join(packed, col("p") === col("pos")).drop("p")
         .select(col("doc_id"), col("pos"), col("shard"), col("n_tokens"),
           col("start"), col("seq_id"), col("offset_in_seq"))
+    }),
+
+    // Incremental component maintenance — the daily-ingest closer:
+    // the standing assignment (a persisted artifact like q47's pair
+    // graph) is folded together with the batch's delta pairs (q64's
+    // operator) by contracting endpoints to their current component
+    // and running CC on that delta-scale graph only. The standing
+    // frame is scanned, never shuffled. Shares q47's recursive-CTE
+    // oracle over the union corpus: incremental ≡ from-scratch.
+    "q89_incremental_components" -> ((s, dir) => {
+      val (cat, table) = baseComponentsTable(s, dir)
+      val sets = documents(s, dir)
+        .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+      val delta = Dedup.incrementalSimilarityPairs(
+        sets.filter(col("doc_id") % 10 =!= 0),
+        sets.filter(col("doc_id") % 10 === 0),
+        "doc_id", threshold = 0.4)
+      Dedup.incrementalComponents(
+        cat.read(s, table), delta.select("id_a", "id_b"))
     }),
   )
 
@@ -2415,6 +2453,15 @@ object SparkEntry {
          |FROM t WINDOW w AS (PARTITION BY shard ORDER BY pos
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
         .stripMargin,
+
+    // EXACTLY q47's oracle: corpus-only components + batch delta
+    // pairs folded incrementally must equal the from-scratch closure
+    // over the whole corpus (the q77/q52 shared-oracle pattern —
+    // different computation, bit-identical result).
+    "q89_incremental_components" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)}
+         |SELECT id, component FROM comp""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.

@@ -608,6 +608,75 @@ object Dedup {
     labels
   }
 
+  /** Merge a batch's new similarity pairs into an EXISTING component
+    * assignment without re-running [[connectedComponents]] over the
+    * whole pair graph — the per-ingest closer of the incremental
+    * family: [[incrementalSimilarityPairs]] finds the batch-touching
+    * edges, this folds them into the standing clusters.
+    *
+    * Shape: contract every delta edge endpoint to its current
+    * component (new ids stand for themselves), run the full pointer-
+    * jumping CC on that CONTRACTED graph — delta-scale: its nodes are
+    * touched components + new docs, never the corpus — then remap.
+    * Contraction is sound because a path in the union graph exists
+    * iff one exists through contracted nodes, and component ids are
+    * min-doc-id canonical, so the merged root (min over contracted
+    * ids) is the true min doc id of the merged family — labels stay
+    * stable under further increments.
+    *
+    * The corpus-scale `components` frame is only ever SCANNED, the
+    * [[graft.ops.BloomGate]] discipline: once with a broadcast
+    * semi-probe to look up the delta endpoints' assignments, once
+    * with the broadcast root remap joined map-side. Zero shuffles of
+    * the standing assignment, whatever its size.
+    *
+    * `components` is (id, component) as [[connectedComponents]]
+    * emits (singletons absent); `deltaPairs` is (id_a, id_b); ids
+    * unique across corpus and batch. Output: the updated
+    * (id, component) covering old nodes ∪ delta-pair nodes —
+    * spec-proven equal to a from-scratch CC over the union graph. */
+  def incrementalComponents(components: DataFrame,
+                            deltaPairs: DataFrame): DataFrame = {
+    val compOf = components.select(col("id"), col("component"))
+    val deltaNodes = deltaPairs.select(col("id_a").as("id"))
+      .unionByName(deltaPairs.select(col("id_b").as("id"))).distinct()
+    // delta-scale assignment lookup: components is scanned, not
+    // shuffled (broadcast semi-probe), and the survivors are tiny
+    val touched = compOf
+      .join(broadcast(deltaNodes), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val lookup = broadcast(touched)
+    val contracted = deltaPairs
+      .join(lookup.select(col("id").as("id_a"), col("component").as("ca")),
+        Seq("id_a"), "left")
+      .join(lookup.select(col("id").as("id_b"), col("component").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("u"),
+        coalesce(col("cb"), col("id_b")).as("v"))
+      // an edge internal to one standing component contracts away
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("id_a"),
+        greatest(col("u"), col("v")).as("id_b"))
+      .distinct()
+    // full CC, but on the contracted delta graph only
+    val merged = connectedComponents(contracted)
+    val remap = broadcast(
+      merged.select(col("id").as("component"), col("component").as("newc")))
+    // map-side remap: only rows of a touched component change label
+    val updatedOld = components.join(remap, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    // delta endpoints unseen by the standing assignment (new docs,
+    // or corpus docs first entering a pair): their contracted node is
+    // themselves, so the merge result IS their label
+    val newNodes = deltaNodes
+      .join(broadcast(touched.select(col("id"))), Seq("id"), "left_anti")
+      .join(remap.select(col("component").as("id"), col("newc")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
+    updatedOld.unionByName(newNodes)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
     * BANDED random-hyperplane LSH (OR-amplification, the same b×r
     * scheme [[bandedSignatures]] uses for minhash): `bands` independent
