@@ -71,6 +71,21 @@ object SparkEntry {
     (cat, table)
   }
 
+  /** q90's persisted prefix index over the corpus side of the q64
+    * split, built once per (JVM, source dir). */
+  private[graft] def prefixIndexTable(s: SparkSession,
+                                      dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val table = "prefix_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_t400"
+    if (!cat.exists(s, table))
+      Dedup.buildPrefixIndex(
+        documents(s, dir).filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set")),
+        "doc_id", threshold = 0.4, cat, table)
+    (cat, table)
+  }
+
   /** The q68 pivot's explicit value set — ONE list consumed by both
     * the Spark query and its oracle builder, so the two column sets
     * cannot drift. */
@@ -1233,6 +1248,22 @@ object SparkEntry {
       Dedup.incrementalComponents(
         cat.read(s, table), delta.select("id_a", "id_b"))
     }),
+
+    // The persisted prefix index delivering the promise q64's scaladoc
+    // makes: per-batch pair discovery reads the corpus's prefix rows
+    // and frozen token order from the catalog — the batch pays its own
+    // prefix mass, never a corpus re-tokenize/re-rank — and the output
+    // is exactly q64's (shared oracle). The corpus frame here supplies
+    // only verification sets.
+    "q90_indexed_pairs" -> ((s, dir) => {
+      val (cat, table) = prefixIndexTable(s, dir)
+      val sets = documents(s, dir)
+        .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+      Dedup.incrementalPairsFromCatalog(
+        sets.filter(col("doc_id") % 10 =!= 0),
+        sets.filter(col("doc_id") % 10 === 0),
+        "doc_id", cat, table)
+    }),
   )
 
   /** q84's per-(JVM, source-dir) persisted corpus bloom — built once,
@@ -1396,6 +1427,30 @@ object SparkEntry {
        |  UNION
        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** q24's all-pairs CTE restricted to pairs touching the batch —
+    * shared verbatim by q64 (rebuild-every-time incremental join) and
+    * q90 (the same join off the persisted prefix index): different
+    * machinery, bit-identical contract. */
+  private val incrementalPairsOracleSql =
+    """WITH norm AS (SELECT doc_id,
+      |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+      |idx AS (SELECT doc_id, t,
+      |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+      |g AS (SELECT DISTINCT doc_id,
+      |  CASE WHEN length(t) <= 5 THEN t
+      |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+      |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
+      |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) AS jaccard
+      |FROM inter
+      |JOIN counts ca ON ca.doc_id = id_a
+      |JOIN counts cb ON cb.doc_id = id_b
+      |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4
+      |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1702,26 +1757,11 @@ object SparkEntry {
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
 
-    // q24's all-pairs CTE restricted to pairs touching the batch.
-    "q64_incremental_pairs" ->
-      """WITH norm AS (SELECT doc_id,
-        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
-        |idx AS (SELECT doc_id, t,
-        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
-        |g AS (SELECT DISTINCT doc_id,
-        |  CASE WHEN length(t) <= 5 THEN t
-        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
-        |counts AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ovl
-        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) AS jaccard
-        |FROM inter
-        |JOIN counts ca ON ca.doc_id = id_a
-        |JOIN counts cb ON cb.doc_id = id_b
-        |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4
-        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin,
+    "q64_incremental_pairs" -> incrementalPairsOracleSql,
+
+    // The persisted-index path must reproduce q64 exactly — the
+    // q77/q89 shared-oracle pattern.
+    "q90_indexed_pairs" -> incrementalPairsOracleSql,
 
     "q49_pii_redaction" ->
       s"""SELECT doc_id, ${TF.sql.redactPii("text")} AS clean_text,

@@ -347,12 +347,7 @@ object Dedup {
   private def prefixIndexPlan(prepped: DataFrame, threshold: Double): DataFrame = {
     val toks = prepped.select(col("id"), col("sz"), explode(col("set")).as("tok"))
     val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
-    toks.join(dfT, Seq("tok"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"), col("sz"), col("rn"))
+    prefixSelect(toks.join(dfT, Seq("tok")), threshold)
   }
 
   /** Candidate (id_a, id_b) pairs from a prefix join of `probe` × `index`
@@ -508,6 +503,148 @@ object Dedup {
       out
     } else verified
   }
+
+  // ---------------------------------------- persisted prefix index
+  //
+  // The production split incrementalSimilarityPairs' scaladoc
+  // promises: the corpus prefix index is a medallion artifact — built
+  // once, appended per batch — so per-ingest cost is the batch's
+  // prefix mass, not a corpus rebuild.
+  //
+  // Soundness of freezing: the AllPairs prefix theorem needs only
+  // that every compared set selects its prefix under ONE consistent
+  // total token order. Rarest-first is a candidate-mass heuristic,
+  // not a correctness requirement, so the order may be frozen at
+  // build time: known tokens keep their build-time (df, tok) rank;
+  // tokens first seen in a later batch order as (0, tok) — before
+  // every known token (df ≥ 1), identically in every future batch,
+  // and their position cannot disturb the stored corpus rows, which
+  // contain no such tokens. Candidate MASS drifts as true document
+  // frequencies move away from the frozen snapshot; output pairs
+  // never do (PrefixIndexSpec pins ≡ the rebuild-every-time form,
+  // including batches full of never-seen tokens). Rebuild policy —
+  // when drift makes candidates expensive — belongs to the caller,
+  // like [[graft.ops.BloomGate]]'s expectedItems resizing.
+
+  /** Materialize the prefix index of `base` (an (idCol, set) frame)
+    * at `threshold` into `table`, plus the frozen token-frequency
+    * snapshot (`table__vocab`) and the threshold (`table__meta`) the
+    * append/query paths need. */
+  def buildPrefixIndex(base: DataFrame, idCol: String, threshold: Double,
+                       catalog: graft.catalog.TableCatalog,
+                       table: String): Unit = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val prepped = base.select(col(idCol).as("id"), col("set"))
+      .withColumn("sz", size(col("set")))
+    val toks = prepped
+      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    catalog.overwrite(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_df")),
+      s"${table}__vocab")
+    // read the snapshot back so index rows rank under EXACTLY the
+    // persisted frequencies (one compute, no cache lifetime)
+    val vocab = catalog.read(spark, s"${table}__vocab")
+    catalog.overwrite(
+      prefixSelect(toks.join(vocab, Seq("tok")), threshold), table)
+    catalog.overwrite(Seq(threshold).toDF("threshold"), s"${table}__meta")
+  }
+
+  /** Append a batch's prefix rows to the persisted index under the
+    * FROZEN vocabulary, so the next batch's probe sees this one.
+    * Delta-scale: the vocab is scanned with a broadcast probe of the
+    * batch's distinct tokens, never shuffled. */
+  def appendToPrefixIndex(batchBase: DataFrame, idCol: String,
+                          catalog: graft.catalog.TableCatalog,
+                          table: String): Unit = {
+    val spark = batchBase.sparkSession
+    val threshold = catalog.read(spark, s"${table}__meta")
+      .head().getAs[Double]("threshold")
+    catalog.append(
+      frozenVocabPrefixes(batchBase, idCol, catalog, table, threshold),
+      table)
+  }
+
+  /** [[incrementalSimilarityPairs]] off the PERSISTED index: all
+    * batch-touching pairs at the index's threshold, exactly equal to
+    * the rebuild-every-time form. `corpusBase` supplies only the
+    * verification sets (candidates carry ids); the candidate stage
+    * reads the index, whose broadcast decision comes free from its
+    * on-disk byte size. Ids must be unique across corpus and batch. */
+  def incrementalPairsFromCatalog(corpusBase: DataFrame, batchBase: DataFrame,
+                                  idCol: String,
+                                  catalog: graft.catalog.TableCatalog,
+                                  table: String): DataFrame = {
+    val spark = batchBase.sparkSession
+    val threshold = catalog.read(spark, s"${table}__meta")
+      .head().getAs[Double]("threshold")
+    val batchPrefixes =
+      frozenVocabPrefixes(batchBase, idCol, catalog, table, threshold)
+        .localCheckpoint(true) // probe AND index-union both read it
+    val index = catalog.read(spark, table).unionByName(batchPrefixes)
+    // != not <: a batch doc also pairs with lower corpus ids; both
+    // orders arrive and collapse in the canonical select below
+    val cand = ppjoinCandidates(batchPrefixes, index, threshold,
+      broadcastPersistedIndex(spark, catalog, table),
+      pairFilter = col("id_a") =!= col("id_b"))
+    val prepped = corpusBase.select(col(idCol).as("id"), col("set"))
+      .unionByName(batchBase.select(col(idCol).as("id"), col("set")))
+    verifyJaccard(cand, prepped, threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Batch prefix rows under the frozen vocabulary: the vocab table
+    * is corpus-scale, so look up only the batch's distinct tokens
+    * (scan + broadcast semi-probe — the [[graft.ops.BloomGate]]
+    * discipline) and give never-seen tokens rank (0, tok). */
+  private def frozenVocabPrefixes(batchBase: DataFrame, idCol: String,
+                                  catalog: graft.catalog.TableCatalog,
+                                  table: String,
+                                  threshold: Double): DataFrame = {
+    val spark = batchBase.sparkSession
+    val prepped = batchBase.select(col(idCol).as("id"), col("set"))
+      .withColumn("sz", size(col("set")))
+    val toks = prepped
+      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    val touched = catalog.read(spark, s"${table}__vocab")
+      .join(broadcast(toks.select(col("tok")).distinct()),
+        Seq("tok"), "left_semi")
+      .localCheckpoint(true)
+    val withDf = toks.join(broadcast(touched), Seq("tok"), "left")
+      .withColumn("tok_df", coalesce(col("tok_df"), lit(0L)))
+    prefixSelect(withDf, threshold)
+  }
+
+  /** Rarest-first prefix cut shared by the build and batch paths. */
+  private def prefixSelect(withDf: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
+    withDf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("tok"), col("id"), col("sz"), col("rn"))
+  }
+
+  /** Broadcast the persisted index iff its on-disk footprint says so —
+    * a FREE decision (filesystem metadata, no job), available because
+    * the index is a real table. Conservative 4× expansion allowance
+    * against the same cap the sampled probe uses. */
+  private def broadcastPersistedIndex(spark: org.apache.spark.sql.SparkSession,
+                                      catalog: graft.catalog.TableCatalog,
+                                      table: String): Boolean =
+    catalog match {
+      case p: graft.catalog.ParquetCatalog =>
+        val cap = spark.conf
+          .get("graft.exact.broadcastIndexMaxBytes",
+            (256L * 1024 * 1024).toString).toLong
+        val path = new org.apache.hadoop.fs.Path(s"${p.root}/$table")
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(path).getLength * 4 < cap
+      case _ => false
+    }
 
   /** Exact character-n-gram Jaccard pairs (oracle-checkable twin of the
     * approximate [[ngramJaccardPairs]] — same sets, zero recall loss). */

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.catalog.ParquetCatalog
+import graft.dedup.Dedup
+
+/** dedup.Dedup persisted prefix index: build once, append per batch,
+  * query ≡ the rebuild-every-time incremental join. */
+class PrefixIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sets(df: DataFrame) =
+    df.select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
+
+  private def docs = Tables.documents(spark, sf)
+  private def corpus = sets(docs.filter(col("doc_id") % 10 =!= 0))
+  private def batch = sets(docs.filter(col("doc_id") % 10 === 0))
+
+  private def asSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+  private def freshCatalog =
+    new ParquetCatalog(
+      java.nio.file.Files.createTempDirectory("graft-pfx").toString)
+
+  test("catalog query equals the rebuild-every-time incremental join") {
+    val cat = freshCatalog
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    val got = asSet(
+      Dedup.incrementalPairsFromCatalog(corpus, batch, "doc_id", cat, "pfx"))
+    val want = asSet(
+      Dedup.incrementalSimilarityPairs(corpus, batch, "doc_id", 0.4))
+    assert(got == want && got.nonEmpty)
+  }
+
+  /** batch1 carries tokens the frozen vocab never saw; after its
+    * append, batch2 must still find pairs against corpus AND batch1 —
+    * the frozen (0, tok) rank for new tokens at work. */
+  test("append keeps the index exact across batches with unseen tokens") {
+    val cat = freshCatalog
+    val b1 = sets(Seq(
+      (10001L, "zzqy wvxk pprr mmnn zzqy wvxk pprr"),
+      (10002L, "totally fresh shingle stream qqqq")).toDF("doc_id", "text"))
+    val b2 = sets(Seq(
+      (20001L, "zzqy wvxk pprr mmnn zzqy wvxk pprr"), // dups b1's 10001
+      (20002L, docs.filter(col("doc_id") === 7L)
+        .select("text").as[String].head())) // dups a corpus doc
+      .toDF("doc_id", "text"))
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    Dedup.appendToPrefixIndex(b1, "doc_id", cat, "pfx")
+    val got = asSet(Dedup.incrementalPairsFromCatalog(
+      corpus.unionByName(b1), b2, "doc_id", cat, "pfx"))
+    val want = asSet(Dedup.incrementalSimilarityPairs(
+      corpus.unionByName(b1), b2, "doc_id", 0.4))
+    assert(got == want)
+    assert(got.exists(p => p._1 == 10001L && p._2 == 20001L),
+      s"batch1-batch2 pair through the appended index: $got")
+    assert(got.exists(p => p._1 == 7L && p._2 == 20002L),
+      s"corpus-batch2 pair through the built index: $got")
+  }
+
+  test("a batch of only never-seen tokens still pairs within itself") {
+    val cat = freshCatalog
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    val b = sets(Seq(
+      (30001L, "xqjz kvwp bhtm rrss xqjz kvwp"),
+      (30002L, "xqjz kvwp bhtm rrss xqjz kvwp"),
+      (30003L, "unrelated brand new content here")).toDF("doc_id", "text"))
+    val got = asSet(
+      Dedup.incrementalPairsFromCatalog(corpus, b, "doc_id", cat, "pfx"))
+    val want = asSet(
+      Dedup.incrementalSimilarityPairs(corpus, b, "doc_id", 0.4))
+    assert(got == want)
+    assert(got.contains(got.find(p => p._1 == 30001L && p._2 == 30002L).get))
+  }
+
+  test("the catalog query recomputes no prefixes: a window-free plan") {
+    val cat = freshCatalog
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    val plan = Dedup.incrementalPairsFromCatalog(
+        corpus, batch, "doc_id", cat, "pfx")
+      .queryExecution.executedPlan.toString
+    // corpus prefixes arrive from the persisted table (a file scan of
+    // the index path), batch prefixes from the checkpointed delta —
+    // the ranking window was paid at build time, not per query
+    assert(plan.contains("pfx"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
