@@ -30,7 +30,8 @@ object Explain {
     "q80_crossdoc_scrub", "q81_leakage_split", "q82_source_overlap",
     "q83_filtered_ann", "q84_bloom_gate", "q85_heavy_hitters",
     "q86_hotcold_join", "q87_corpus_shuffle", "q88_shuffled_pack",
-    "q89_incremental_components", "q90_indexed_pairs")
+    "q89_incremental_components", "q90_indexed_pairs",
+    "q91_canonical_docs")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

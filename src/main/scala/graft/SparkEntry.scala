@@ -1232,21 +1232,24 @@ object SparkEntry {
 
     // Incremental component maintenance — the daily-ingest closer:
     // the standing assignment (a persisted artifact like q47's pair
-    // graph) is folded together with the batch's delta pairs (q64's
-    // operator) by contracting endpoints to their current component
+    // graph) is folded together with the batch's delta pairs — found
+    // off the PERSISTED prefix index (q90's path), the way production
+    // runs it — by contracting endpoints to their current component
     // and running CC on that delta-scale graph only. The standing
-    // frame is scanned, never shuffled. Shares q47's recursive-CTE
-    // oracle over the union corpus: incremental ≡ from-scratch.
+    // frame is scanned, never shuffled; q64 keeps the self-contained
+    // rebuild declaration. Shares q47's recursive-CTE oracle over the
+    // union corpus: incremental ≡ from-scratch.
     "q89_incremental_components" -> ((s, dir) => {
-      val (cat, table) = baseComponentsTable(s, dir)
+      val (ccat, ctable) = baseComponentsTable(s, dir)
+      val (pcat, ptable) = prefixIndexTable(s, dir)
       val sets = documents(s, dir)
         .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
-      val delta = Dedup.incrementalSimilarityPairs(
+      val delta = Dedup.incrementalPairsFromCatalog(
         sets.filter(col("doc_id") % 10 =!= 0),
         sets.filter(col("doc_id") % 10 === 0),
-        "doc_id", threshold = 0.4)
+        "doc_id", pcat, ptable)
       Dedup.incrementalComponents(
-        cat.read(s, table), delta.select("id_a", "id_b"))
+        ccat.read(s, ctable), delta.select("id_a", "id_b"))
     }),
 
     // The persisted prefix index delivering the promise q64's scaladoc
@@ -1263,6 +1266,30 @@ object SparkEntry {
         sets.filter(col("doc_id") % 10 =!= 0),
         sets.filter(col("doc_id") % 10 === 0),
         "doc_id", cat, table)
+    }),
+
+    // Canonical-survivor selection: per dup family keep the BEST copy
+    // (most tokens, min-id tie), not the min-id one — the curation
+    // policy knob. Components come from the persisted pair graph; the
+    // per-family argmax is the bounded-heap top_k (map-side pruned to
+    // one row per family per partition), never a window over members.
+    // Negated-id struct field turns the heap's single descending
+    // order into (n_tokens DESC, id ASC).
+    "q91_canonical_docs" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val comps = graft.dedup.Curation.componentsFromCatalog(s, cat, table)
+      comps.join(
+          documents(s, dir).select(col("doc_id").as("id"),
+            TF.tokenCount(col("text")).as("n_tokens")),
+          Seq("id"))
+        .groupBy(col("component"))
+        .agg(graft.functions.aggs.top_k(
+            struct(col("n_tokens"), (-col("id")).as("nid")), 1).as("top"),
+          count(lit(1)).as("n_members"))
+        .select(col("component"),
+          (-col("top")(0)("nid")).as("canonical_id"),
+          col("top")(0)("n_tokens").as("n_tokens"),
+          col("n_members"))
     }),
   )
 
@@ -2502,6 +2529,23 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |${componentsCte(0.4)}
          |SELECT id, component FROM comp""".stripMargin,
+
+    // The window form of the bounded-heap argmax: same family closure,
+    // same (n_tokens DESC, id ASC) survivor order.
+    "q91_canonical_docs" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)},
+         |t AS (SELECT c.component, c.id, ${TF.sql.tokenCount("text")}
+         |    AS n_tokens
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |r AS (SELECT component, id, n_tokens,
+         |  row_number() OVER (PARTITION BY component
+         |    ORDER BY n_tokens DESC, id ASC) AS rnk,
+         |  count(*) OVER (PARTITION BY component) AS n_members
+         |  FROM t)
+         |SELECT component, id AS canonical_id, n_tokens,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rnk = 1""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.

@@ -580,9 +580,8 @@ object Dedup {
     val spark = batchBase.sparkSession
     val threshold = catalog.read(spark, s"${table}__meta")
       .head().getAs[Double]("threshold")
-    val batchPrefixes =
-      frozenVocabPrefixes(batchBase, idCol, catalog, table, threshold)
-        .localCheckpoint(true) // probe AND index-union both read it
+    val batchPrefixes = probePrefixes(batchBase, idCol, catalog, table,
+      threshold) // probe AND index-union both read the checkpoint
     val index = catalog.read(spark, table).unionByName(batchPrefixes)
     // != not <: a batch doc also pairs with lower corpus ids; both
     // orders arrive and collapse in the canonical select below
@@ -595,6 +594,27 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The materialized candidate probe: batch prefix rows with their
+    * parallelism PINNED before the checkpoint. The batch prefix
+    * frame is small, so AQE coalesces the ranking window's exchange
+    * to one partition — correct for its OUTPUT size, fatal for the
+    * candidate join downstream, where every probe row expands ~100×
+    * against the index (measured at sf0.1: the join ran as ONE task,
+    * 15 s where 8 tasks take 2.5 — the AQE blind spot every
+    * small-probe × big-expansion join shares). An explicit
+    * numPartitions is exempt from AQE coalescing; re-exchanging the
+    * delta-scale frame is noise. PrefixIndexSpec pins the partition
+    * count. */
+  private[graft] def probePrefixes(batchBase: DataFrame, idCol: String,
+                                   catalog: graft.catalog.TableCatalog,
+                                   table: String,
+                                   threshold: Double): DataFrame = {
+    val sc = batchBase.sparkSession.sparkContext
+    frozenVocabPrefixes(batchBase, idCol, catalog, table, threshold)
+      .repartition(sc.defaultParallelism, col("id"))
+      .localCheckpoint(true)
   }
 
   /** Batch prefix rows under the frozen vocabulary: the vocab table
@@ -630,8 +650,14 @@ object Dedup {
 
   /** Broadcast the persisted index iff its on-disk footprint says so —
     * a FREE decision (filesystem metadata, no job), available because
-    * the index is a real table. Conservative 4× expansion allowance
-    * against the same cap the sampled probe uses. */
+    * the index is a real table. The expansion allowance is 16×, not
+    * the sampled probe's 3×: parquet DICTIONARY-encodes the highly
+    * repetitive token column, so on-disk bytes understate the
+    * deserialized relation by an order of magnitude (measured: a
+    * ~25 MB index expanded past the 256 MB cap and the driver-side
+    * broadcast build dominated the whole query — 6× the partitioned
+    * join's total). Under-broadcasting costs one shuffle of the
+    * probe; over-broadcasting stalls the driver. */
   private def broadcastPersistedIndex(spark: org.apache.spark.sql.SparkSession,
                                       catalog: graft.catalog.TableCatalog,
                                       table: String): Boolean =
@@ -642,7 +668,7 @@ object Dedup {
             (256L * 1024 * 1024).toString).toLong
         val path = new org.apache.hadoop.fs.Path(s"${p.root}/$table")
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(path).getLength * 4 < cap
+        fs.getContentSummary(path).getLength * 16 < cap
       case _ => false
     }
 

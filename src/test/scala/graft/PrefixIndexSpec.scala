@@ -88,4 +88,16 @@ class PrefixIndexSpec extends SparkTestBase {
     assert(plan.contains("pfx"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("the probe's parallelism survives AQE (no one-task candidate join)") {
+    // the delta frame is small enough that AQE coalesces its window
+    // exchange to one partition; the candidate join's ~100× per-row
+    // expansion then runs single-threaded (measured 6× the query).
+    // probePrefixes pins the partition count before the checkpoint.
+    val cat = freshCatalog
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    val probe = Dedup.probePrefixes(batch, "doc_id", cat, "pfx", 0.4)
+    assert(probe.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism, probe.rdd.getNumPartitions)
+  }
 }
