@@ -23,7 +23,8 @@ object QBench {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"[qbench] $name run1=${once()}%.2f run2=${once()}%.2f run3=${once()}%.2f")
+    val runs = Seq.fill(5)(once())
+    println(f"[qbench] $name ${runs.map(r => f"$r%.2f").mkString(" ")} min=${runs.min}%.2f")
     spark.stop()
   }
 }

@@ -380,10 +380,19 @@ object Ann {
     // table emits no edges and is absent from the graph; recall
     // accounting in RECALL.md covers this, and consumers needing a row
     // per vector left-join the corpus back
-    val bucketSizes = buckets.groupBy(col("tbl"), col("bucket"))
+    // surviving keys broadcast (two ints per non-flooded bucket): the
+    // probe skips its exchange and the self-join's two identical
+    // exchanges collapse to one — same knob and rationale as
+    // Dedup.bucketPairs, kept textually parallel
+    val bucketSizesRaw = buckets.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select(col("tbl"), col("bucket"))
+    val bucketSizes =
+      if (emb.sparkSession.conf
+            .get("graft.lsh.broadcastSurvivingBuckets", "true").toBoolean)
+        broadcast(bucketSizesRaw)
+      else bucketSizesRaw
     val capped = buckets.join(bucketSizes, Seq("tbl", "bucket"))
     val a = capped.select(col("tbl"), col("bucket"), col("id").as("qid"))
     val b = capped.select(col("tbl"), col("bucket"), col("id"))

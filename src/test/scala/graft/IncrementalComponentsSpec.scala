@@ -34,6 +34,20 @@ class IncrementalComponentsSpec extends SparkTestBase {
     assert(got(100L) == 80L)
   }
 
+  test("distributed resolver (cap 0) ≡ driver union-find ≡ scratch CC") {
+    // the same root-lowering/merging delta as above, but with the
+    // driver union-find fast path disabled so the pointer-jumping CC
+    // resolves the contracted graph — both paths must produce the
+    // identical assignment
+    val delta = pairs((20L, 40L), (80L, 90L), (5L, 60L), (45L, 70L))
+    val comps = Dedup.connectedComponents(base)
+    val want = asMap(Dedup.connectedComponents(base.unionByName(delta)))
+    assert(asMap(Dedup.incrementalComponents(comps, delta)) == want)
+    spark.conf.set("graft.cc.driverUnionFindMaxEdges", "0")
+    try assert(asMap(Dedup.incrementalComponents(comps, delta)) == want)
+    finally spark.conf.unset("graft.cc.driverUnionFindMaxEdges")
+  }
+
   test("empty delta is an exact no-op") {
     val comps = Dedup.connectedComponents(base)
     val got = asMap(Dedup.incrementalComponents(comps, pairs()))
