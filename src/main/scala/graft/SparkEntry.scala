@@ -352,6 +352,12 @@ object SparkEntry {
       Dedup.minhashPairs(documents(s, dir), "doc_id", "text",
           shingleK = 3, nHashes = 16, bands = 4, minJaccard = 0.3)
         .select(col("id_a"), col("id_b"), col("jaccard"))),
+    // SimHash near-dups, FULLY oracle-gated since r7: the chunk
+    // pigeonhole is EXACT for Hamming <= maxHamming whenever no chunk
+    // bucket floods (none can at gate scale), and the per-token hash
+    // is deliberately SQL-replayable (FNV-1a-64 over codepoints +
+    // murmur3 fmix64 — see SimHash64), so the DuckDB side recomputes
+    // every 64-bit signature bit-for-bit and brute-forces the pair set.
     "q21_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)),
     // (not rows-only since r5: the stub codec is a pure function of the
@@ -531,12 +537,21 @@ object SparkEntry {
           col("t.o_totalprice").as("o_totalprice"))
     }),
 
-    // Self k-NN JOIN (Ann.knnJoin): every vector's k approximate
-    // nearest neighbors — the k-NN graph. Symmetric LSH bucket
+    // Self k-NN graph, EXACT form (Ann.exactKnnGraph): every vector's
+    // k true nearest neighbors — recall 1.0 by construction, full
+    // DuckDB oracle (all-pairs cosine + rank). The corpus broadcasts
+    // against itself, which is the right plan precisely when exact
+    // ground truth is computable at all; the LSH-bucketed twin q92 is
+    // the 100 TB path (same schema/ties, recall measured in RECALL.md).
+    "q65_knn_graph" -> ((s, dir) =>
+      graft.sim.Ann.exactKnnGraph(embeddings(s, dir), k = 5)),
+
+    // Self k-NN JOIN, LSH form (Ann.knnJoin): symmetric bucket
     // self-join (no broadcastable query side exists when every vector
     // is a query) + the k-bounded heap aggregate for per-vector top-k.
-    // Rows-only; graph recall ≥0.95 measured in RECALL.md.
-    "q65_knn_graph" -> ((s, dir) =>
+    // Rows-only; graph recall ≥0.95 vs q65's exact form measured in
+    // RECALL.md and floored in RecallSpec.
+    "q92_knn_graph_lsh" -> ((s, dir) =>
       graft.sim.Ann.knnJoin(embeddings(s, dir), k = 5)),
 
     // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means
@@ -1479,6 +1494,58 @@ object SparkEntry {
       |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4
       |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
 
+  /** DuckDB twin of [[graft.functions.SimHash64]]'s token hash and
+    * signature: FNV-1a-64 over unicode codepoints + murmur3 fmix64,
+    * with unsigned 64-bit arithmetic emulated in HUGEINT mod 2^64.
+    * The multiply splits its left operand at 2^32 so the 128-bit
+    * intermediate never overflows HUGEINT; each xor touches only low
+    * bits (both xor operands are < the split width at every site —
+    * codepoints < 2^21, the fmix shift term < 2^31), so it runs in
+    * BIGINT exactly. The 64 signature bits reconstruct by sign of the
+    * per-bit vote sums, exactly as the Spark expression does. */
+  private val simhashPairsOracleSql: String = {
+    val m64 = "18446744073709551616::HUGEINT" // 2^64
+    def mulmod(a: String, b: String): String =
+      s"((($a) % 4294967296) * $b + ((($a) // 4294967296) * $b % 4294967296) * 4294967296) % $m64"
+    def xorLow(h: String, s2: String, width: String): String =
+      s"((($h) // $width) * $width + xor(CAST(($h) % $width AS BIGINT), CAST(($s2) AS BIGINT)))"
+    def shr33(h: String): String = s"(($h) // 8589934592)"
+    def fmix(h: String): String = {
+      val a = xorLow(h, shr33(h), "2147483648")
+      val b = mulmod(a, "18397679294719823053::HUGEINT") // 0xff51afd7ed558ccd
+      val c = xorLow(b, shr33(b), "2147483648")
+      val d = mulmod(c, "14181476777654086739::HUGEINT") // 0xc4ceb9fe1a85ec53
+      xorLow(d, shr33(d), "2147483648")
+    }
+    // fold: h' = (h xor codepoint) * FNV_PRIME, basis-seeded via prepend
+    val fold = mulmod(xorLow("h", "cp", "2097152"), "1099511628211")
+    val tokHash = fmix(
+      "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS HUGEINT))), " +
+        s"(h, cp) -> $fold)")
+    val bits = (0 until 64).map { j =>
+      val p = BigInt(1) << j
+      s"CASE WHEN sum(CASE WHEN (th // $p) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN $p::HUGEINT ELSE 0::HUGEINT END"
+    }.mkString(" + ")
+    // zero-token docs still carry signature 0 (the Spark side's empty
+    // vote vector), hence the left join + coalesce
+    s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS (SELECT doc_id, $tokHash AS th FROM toks),
+       |sh AS (SELECT doc_id, $bits AS sim_u FROM th GROUP BY doc_id),
+       |s AS (SELECT d.doc_id,
+       |  CAST(CASE WHEN coalesce(sim_u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+       |       THEN coalesce(sim_u, 0::HUGEINT) - $m64
+       |       ELSE coalesce(sim_u, 0::HUGEINT) END AS BIGINT) AS sim
+       |  FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+       |  WHERE d.text IS NOT NULL)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -1783,6 +1850,11 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    // Chunk pigeonholing is exact below the flood cap, and the token
+    // hash is SQL-replayable by design — the oracle brute-forces every
+    // signature and pair (see simhashPairsOracleSql).
+    "q21_simhash_pairs" -> simhashPairsOracleSql,
 
     "q64_incremental_pairs" -> incrementalPairsOracleSql,
 
@@ -2170,6 +2242,22 @@ object SparkEntry {
         |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))
         |      AS sim
         |  FROM q, e WHERE e.vec_id <> q.qid)
+        |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // q19's all-pairs shape with every vector as a query — the exact
+    // self k-NN graph; same double-cast dot-product parity, same
+    // (sim DESC, id ASC) tie rule as the bounded heap's -id field.
+    "q65_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    list_dot_product(q.v, e.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS sim
+        |  FROM e q, e WHERE e.vec_id <> q.vec_id)
         |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
         |  SELECT qid, vec_id, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk

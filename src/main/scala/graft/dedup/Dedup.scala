@@ -440,18 +440,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Whether to broadcast the prefix-index side of the candidate join.
-    * Sized WITHOUT materializing the index: counting the persisted
-    * prefixes forced the tokenize→df-join→window chain to run SERIALLY
-    * before the candidate join could start (measured +2.5 s at sf0.1 —
-    * work that otherwise overlaps the join's own cache fill). A SAMPLED
-    * agg over the flat doc sets bounds the index instead (the sample
-    * pushes below the set projection, so only sampled rows pay the set
-    * expression): prefix rows per doc = sz - ceil(t·sz) + 1; token
-    * bytes ≈ prefix rows × sample-mean token length × 3 (slack for rare
-    * prefix tokens skewing longer than the mean, and for sampling error
-    * — the cap guards a 256 MiB-scale decision, not a 10 MB one).
-    * UnsafeRow fixed cost: 8B null bits + 3×8B fields ≈ 40B/row. */
   /** Per-JVM memo of broadcast decisions keyed by (canonical plan hash
     * of `prepped`, threshold bits, cap). The sampling probe is one
     * extra job per invocation — ~0.5 s that every repeated call over
@@ -464,32 +452,74 @@ object Dedup {
   private val broadcastDecisionCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long, Long), java.lang.Boolean]()
 
+  /** ONE sizing model for the prefix index, shared by the two call
+    * sites that must agree on the same corpus: the pre-materialization
+    * SAMPLED estimate (no index on disk yet — exactSimilarityPairs /
+    * incrementalSimilarityPairs) and the post-materialization ON-DISK
+    * estimate (incrementalPairsFromCatalog). Both express the same
+    * quantity — deserialized relation bytes — through different
+    * evidence, and both gate on the same cap, so a corpus cannot get
+    * different physical plans depending on which path built its index
+    * (DedupSpec pins the two estimates against each other on the same
+    * corpus). */
+  private[graft] object IndexSizing {
+    /** UnsafeRow fixed cost: 8B null bits + 3×8B fields. */
+    val RowOverheadBytes = 40L
+    /** Sampled-estimate slack: rare prefix tokens skew longer than the
+      * sample mean, and the 5% sample carries error — the cap guards a
+      * 256 MiB-scale decision, not a 10 MB one. */
+    val SampleSlack = 3.0
+    /** On-disk → deserialized expansion: parquet DICTIONARY-encodes
+      * the highly repetitive token column, so file bytes understate
+      * the relation by an order of magnitude (measured: a ~25 MB
+      * index expanded past the 256 MB cap and the driver-side
+      * broadcast build dominated the whole query — 6× the partitioned
+      * join's total). */
+    val DiskExpansion = 16L
+
+    def cap(spark: org.apache.spark.sql.SparkSession): Long = spark.conf
+      .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
+      .toLong
+
+    /** Estimate WITHOUT materializing the index: counting the persisted
+      * prefixes would force the tokenize→df-join→window chain to run
+      * SERIALLY before the candidate join could start (measured +2.5 s
+      * at sf0.1 — work that otherwise overlaps the join's cache fill).
+      * A sampled agg over the flat doc sets bounds it instead (the
+      * sample pushes below the set projection, so only sampled rows pay
+      * the set expression): prefix rows per doc = sz − ceil(t·sz) + 1;
+      * token bytes ≈ prefix rows × sample-mean token length × slack. */
+    def estimateFromSample(prepped: DataFrame, threshold: Double): Long = {
+      val fraction = 0.05
+      val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
+        .agg(
+          sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
+          sum(length(array_join(col("set"), ""))).cast("long"),
+          sum(col("sz")).cast("long")).head()
+      // an empty sample (tiny corpus) estimates 0 → broadcast, correct
+      val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
+      val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
+      prefixRows * RowOverheadBytes + (prefixRows * avgLen * SampleSlack).toLong
+    }
+
+    /** Estimate from the materialized table's on-disk footprint — a
+      * FREE decision (filesystem metadata, no job). */
+    def estimateFromDisk(onDiskBytes: Long): Long = onDiskBytes * DiskExpansion
+  }
+
   private def decideBroadcast(prepped: DataFrame, threshold: Double,
                               broadcastIndex: Option[Boolean],
                               eager: Boolean): Boolean =
     broadcastIndex.getOrElse {
       if (!eager) true // no job allowed in the lazy path; Some(false) overrides
       else {
-        val cap = prepped.sparkSession.conf
-          .get("graft.exact.broadcastIndexMaxBytes", (256L * 1024 * 1024).toString)
-          .toLong
+        val cap = IndexSizing.cap(prepped.sparkSession)
         val key = (prepped.queryExecution.analyzed.semanticHash(),
           java.lang.Double.doubleToLongBits(threshold), cap)
-        broadcastDecisionCache.computeIfAbsent(key, _ => {
-          val fraction = 0.05
-          val r = prepped.sample(withReplacement = false, fraction, seed = 7L)
-            .agg(
-              sum(col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("long"),
-              sum(length(array_join(col("set"), ""))).cast("long"),
-              sum(col("sz")).cast("long")).head()
-          // an empty sample (tiny corpus) estimates 0 → broadcast, correct
-          val prefixRows = ((if (r.isNullAt(0)) 0L else r.getLong(0)) / fraction).toLong
-          val tokChars = if (r.isNullAt(1)) 0L else r.getLong(1)
-          val nToks = if (r.isNullAt(2)) 0L else r.getLong(2)
-          val avgLen = if (nToks == 0) 0.0 else tokChars.toDouble / nToks
-          val estBytes = prefixRows * 40L + (prefixRows * avgLen * 3).toLong
-          estBytes <= cap
-        })
+        broadcastDecisionCache.computeIfAbsent(key,
+          _ => IndexSizing.estimateFromSample(prepped, threshold) <= cap)
       }
     }
 
@@ -667,7 +697,8 @@ object Dedup {
   private def frozenVocabPrefixes(batchBase: DataFrame, idCol: String,
                                   catalog: graft.catalog.TableCatalog,
                                   table: String,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double,
+                                  keepDf: Boolean = false): DataFrame = {
     val spark = batchBase.sparkSession
     val prepped = batchBase.select(col(idCol).as("id"), col("set"))
       .withColumn("sz", size(col("set")))
@@ -679,39 +710,65 @@ object Dedup {
       .localCheckpoint(true)
     val withDf = toks.join(broadcast(touched), Seq("tok"), "left")
       .withColumn("tok_df", coalesce(col("tok_df"), lit(0L)))
-    prefixSelect(withDf, threshold)
+    prefixSelect(withDf, threshold, keepDf)
   }
 
-  /** Rarest-first prefix cut shared by the build and batch paths. */
-  private def prefixSelect(withDf: DataFrame, threshold: Double): DataFrame = {
+  /** Rarest-first prefix cut shared by the build and batch paths.
+    * `keepDf` additionally emits the (frozen) token df — consumed only
+    * by the drift probe, never persisted into the index table. */
+  private def prefixSelect(withDf: DataFrame, threshold: Double,
+                           keepDf: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("tok_df").asc, col("tok").asc)
-    withDf.withColumn("rn", row_number().over(w))
+    val cut = withDf.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("tok"), col("id"), col("sz"), col("rn"))
+    if (keepDf)
+      cut.select(col("tok"), col("id"), col("sz"), col("rn"), col("tok_df"))
+    else cut.select(col("tok"), col("id"), col("sz"), col("rn"))
+  }
+
+  /** Vocabulary-drift probe for a persisted prefix index: the share of
+    * the batch's PREFIX rows whose token the frozen vocabulary has
+    * never seen (frozen df 0). The frozen order keeps output pairs
+    * exact forever (see the section note above), but candidate MASS
+    * degrades as the real token frequencies drift from the snapshot —
+    * and never-seen tokens are the leading edge of that drift: they
+    * always rank (0, tok), so they always land in prefixes and always
+    * join at their TRUE (unknown) frequency. A batch whose prefix mass
+    * is dominated by them is telling the caller the rarest-first
+    * guarantee has eroded and the index has earned a rebuild
+    * ([[graft.streaming.IngestLoop]] consumes this against its
+    * `maxUnseenPrefixShare` threshold). One batch-scale aggregate; the
+    * vocab is scanned with the usual broadcast semi-probe. */
+  def prefixIndexDrift(batchBase: DataFrame, idCol: String,
+                       catalog: graft.catalog.TableCatalog,
+                       table: String): Double = {
+    val spark = batchBase.sparkSession
+    val threshold = catalog.read(spark, s"${table}__meta")
+      .head().getAs[Double]("threshold")
+    val r = frozenVocabPrefixes(batchBase, idCol, catalog, table, threshold,
+        keepDf = true)
+      .agg(count(lit(1)).cast("long"),
+        sum(when(col("tok_df") === 0, 1L).otherwise(0L)).cast("long"))
+      .head()
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val unseen = if (r.isNullAt(1)) 0L else r.getLong(1)
+    if (total == 0L) 0.0 else unseen.toDouble / total
   }
 
   /** Broadcast the persisted index iff its on-disk footprint says so —
-    * a FREE decision (filesystem metadata, no job), available because
-    * the index is a real table. The expansion allowance is 16×, not
-    * the sampled probe's 3×: parquet DICTIONARY-encodes the highly
-    * repetitive token column, so on-disk bytes understate the
-    * deserialized relation by an order of magnitude (measured: a
-    * ~25 MB index expanded past the 256 MB cap and the driver-side
-    * broadcast build dominated the whole query — 6× the partitioned
-    * join's total). Under-broadcasting costs one shuffle of the
-    * probe; over-broadcasting stalls the driver. */
+    * the [[IndexSizing]] disk model against the shared cap (see there
+    * for the expansion rationale). Under-broadcasting costs one
+    * shuffle of the probe; over-broadcasting stalls the driver. */
   private def broadcastPersistedIndex(spark: org.apache.spark.sql.SparkSession,
                                       catalog: graft.catalog.TableCatalog,
                                       table: String): Boolean =
     catalog match {
       case p: graft.catalog.ParquetCatalog =>
-        val cap = spark.conf
-          .get("graft.exact.broadcastIndexMaxBytes",
-            (256L * 1024 * 1024).toString).toLong
         val path = new org.apache.hadoop.fs.Path(s"${p.root}/$table")
         val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(path).getLength * 16 < cap
+        IndexSizing.estimateFromDisk(fs.getContentSummary(path).getLength) <
+          IndexSizing.cap(spark)
       case _ => false
     }
 

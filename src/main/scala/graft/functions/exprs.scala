@@ -50,8 +50,39 @@ case class MinHashSignature(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash of an array<string>: per-element xxhash64, ±1 bit
-  * votes, sign-of-sum reconstruction. */
+/** 64-bit SimHash of an array<string>: per-element 64-bit token hash,
+  * ±1 bit votes, sign-of-sum reconstruction.
+  *
+  * The token hash is FNV-1a-64 over UNICODE CODEPOINTS finished with
+  * the murmur3 fmix64 avalanche — not xxhash64 — because this exact
+  * sequence is replayable in ANSI-ish SQL (128-bit integer arithmetic
+  * mod 2^64 + a per-character fold), which is what lets q21 carry a
+  * full DuckDB oracle instead of a rows-only check. Hash quality for
+  * SimHash's per-bit independence comes from the fmix64 finalizer
+  * (the same mixer murmur3 relies on); cost class is unchanged — a
+  * few integer ops per character, single pass, no allocation beyond
+  * the codepoint walk. */
+object SimHash64 {
+  private final val FnvBasis = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a over codepoints + fmix64 — the oracle-replayable token
+    * hash ([[graft.SparkEntry]] emits its SQL twin for q21). */
+  def tokenHash(s: String): Long = {
+    var h = FnvBasis
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h ^ cp) * FnvPrime
+      i += Character.charCount(cp)
+    }
+    // murmur3 fmix64
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
@@ -66,7 +97,7 @@ case class SimHash64(child: Expression)
     while (i < m) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = XxHash64Function.hash(s, StringType, 42L)
+        val h = SimHash64.tokenHash(s.toString)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

@@ -367,6 +367,34 @@ object Ann {
     * dedup family's candidate generators.
     * `idCol` must be NUMERIC (nonnegative): ties inside the bounded
     * heap break by descending id encoded as `-id`. */
+  /** EXACT self k-NN graph — the brute-force baseline [[knnJoin]]
+    * approximates: every (query, candidate) pair is scored, so recall
+    * is 1.0 by construction and the result carries a full SQL oracle
+    * (driver query q65). The corpus broadcasts against itself — the
+    * right plan exactly when exact ground truth is computable at all
+    * (the id+vector frame must fit an executor broadcast); past that
+    * regime [[knnJoin]] is the scale path and this stays the recall
+    * oracle over samples (RecallReport). Output schema, tie rule
+    * (ascending id via the negated-id struct field) and per-query
+    * top-k mechanism (k-bounded heap, map-side pruned — partials are
+    * O(k) where a rank window's partition is O(n)) are identical to
+    * [[knnJoin]], so the two are drop-in twins. */
+  def exactKnnGraph(emb: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(emb, idCol, "exactKnnGraph")
+    val corpus = prep(emb, idCol, vecCol)
+    val q = corpus.select(col("id").as("qid"), col("v").as("qv"))
+    val scored = q.join(broadcast(corpus), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        Vectors.cosine(col("qv"), col("v")).as("sim"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.aggs.top_k(
+        struct(col("sim").as("s"), (-col("id")).as("ni")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("qid"), (-col("t.ni")).as(idCol),
+        col("t.s").as("sim"), (col("r") + 1).cast("int").as("rank"))
+  }
+
   def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 3, nTables: Int = 16,
               dim: Int = 64, maxBucket: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

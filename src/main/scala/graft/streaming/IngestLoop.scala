@@ -21,31 +21,57 @@ import graft.text.TextFunctions
   *      prefix index (batch-scale probe, frozen token order).
   *   3. COMPONENT FOLD — [[Dedup.incrementalComponents]] merges those
   *      pairs into the standing cluster assignment (delta-contracted
-  *      CC, broadcast remap; the assignment is scanned, not shuffled).
+  *      resolution, broadcast remap; the assignment is scanned, not
+  *      shuffled).
   *   4. STATE APPEND — survivors enter the corpus table, their prefix
-  *      rows the index, their fingerprints the bloom (lossless bit-OR)
-  *      — so tick t+1 sees tick t.
+  *      rows the index (or, when [[Dedup.prefixIndexDrift]] crosses
+  *      `State.maxUnseenPrefixShare`, the index is REBUILT under a
+  *      fresh vocabulary snapshot), their fingerprints the bloom
+  *      (lossless bit-OR) — so tick t+1 sees tick t.
   *
   * Every stage is O(batch) except the unavoidable corpus SCANS (gate
-  * confirm, pair verification) — nothing corpus-scale is ever
-  * exchanged. IngestLoopSpec proves the loop ≡ batch: after any
-  * sequence of ticks the corpus table equals one exact-dedup over the
-  * arrivals, and the components table equals a from-scratch
-  * [[Dedup.connectedComponents]] over the final corpus's pair graph.
+  * confirm, pair verification, drift-triggered rebuilds) — nothing
+  * corpus-scale is ever exchanged. IngestLoopSpec proves the loop ≡
+  * batch: after any sequence of ticks the corpus table equals one
+  * exact-dedup over the arrivals, and the components table equals a
+  * from-scratch [[Dedup.connectedComponents]] over the final corpus's
+  * pair graph.
   *
-  * Crash posture: stages append/overwrite left-to-right; re-running a
-  * tick whose append partially landed would double-append — drive the
-  * loop from a replayable source and fence ticks with the marker
-  * protocol [[graft.nyc.Nyc]] uses for gold appends (marker → append
-  * → advance watermark → drop marker) when exactly-once matters. */
+  * CRASH POSTURE — a tick is fenced by an intent-marker protocol (the
+  * same family as [[graft.nyc.NycPipeline]]'s gold append and
+  * `ParquetCatalog.compact`): all reads and similarity work happen
+  * first, then the tick's roll-forward artifacts (the survivors and
+  * the folded assignment) are STAGED to side tables, then a tiny
+  * marker commits the intent, then the four state writes land, then
+  * the marker drops. A crash before the marker mutates nothing a
+  * re-run would double-count (staging tables are inert without the
+  * marker); a crash after it is ROLLED FORWARD by
+  * [[recoverPendingTick]] from the staged artifacts with per-artifact
+  * idempotence guards — components re-overwrites (same staged data),
+  * corpus and prefix appends anti-join out ids that already landed
+  * (each id's rows commit atomically: both appends route every id
+  * through one task file), and the bloom re-ORs the same fingerprints
+  * (a bit-identical no-op). Re-running the crashed batch afterwards is
+  * a pure re-ingest tick: the gate sees the recovered corpus and
+  * passes nothing. */
 object IngestLoop {
   /** Standing-state table names; `build` creates them all from a seed
-    * corpus. */
+    * corpus. `maxUnseenPrefixShare` is the [[Dedup.prefixIndexDrift]]
+    * threshold above which a tick rebuilds the prefix index instead of
+    * appending to it — pairs are identical either way (the frozen
+    * order is sound); what a rebuild restores is the rarest-first
+    * candidate-MASS guarantee the frozen snapshot erodes under
+    * vocabulary drift. */
   final case class State(corpus: String, bloom: String, prefixIndex: String,
                          components: String, idCol: String = "doc_id",
                          textCol: String = "text",
                          threshold: Double = 0.4, ngramN: Int = 5,
-                         bloomItems: Long = (1L << 22))
+                         bloomItems: Long = (1L << 22),
+                         maxUnseenPrefixShare: Double = 0.5)
+
+  private def stagedSurvivors(st: State) = s"${st.corpus}__tick_survivors"
+  private def stagedComponents(st: State) = s"${st.corpus}__tick_components"
+  private def tickMarker(st: State) = s"${st.corpus}__tick_pending"
 
   private def withFp(df: DataFrame, st: State): DataFrame =
     df.withColumn("__fp", TextFunctions.fingerprint(col(st.textCol)))
@@ -79,27 +105,140 @@ object IngestLoop {
     * over all arrivals keeps the minimum id — identical whenever ids
     * are assigned monotonically with arrival, the normal ingest
     * regime (and [[DocStreams.curateStream]]'s stream/batch contract). */
-  def ingest(batch: DataFrame, catalog: TableCatalog, st: State): DataFrame = {
+  def ingest(batch: DataFrame, catalog: TableCatalog, st: State): DataFrame =
+    ingestImpl(batch, catalog, st, _ => ())
+
+  /** [[ingest]] with a fault-injection seam: `failpoint` is invoked
+    * with a stage name immediately BEFORE each state mutation
+    * ("stage", "marker", "components", "prefix", "bloom", "corpus",
+    * "unmark"); a test that throws from it simulates a crash at that
+    * boundary (IngestLoopSpec kills ticks at several and proves
+    * recovery keeps loop ≡ batch). */
+  private[graft] def ingestImpl(batch: DataFrame, catalog: TableCatalog,
+                                st: State,
+                                failpoint: String => Unit): DataFrame = {
     val spark = batch.sparkSession
+    recoverPendingTick(spark, catalog, st, failpoint)
     val corpus = catalog.read(spark, st.corpus)
     // batch-internal exact dups collapse first (the corpus gate can
     // only see the corpus), then the bloom gate drops re-ingests
     val survivors = BloomGate.newRowsFromCatalog(
         withFp(Dedup.exactDedup(batch, st.idCol, st.textCol), st),
         withFp(corpus, st), "__fp", catalog, st.bloom)
-      .localCheckpoint(true) // gate once; five consumers below
+      .localCheckpoint(true) // gate once; every stage below consumes
+    // a tick of pure re-ingests mutates NOTHING — no staging, no
+    // marker, no corpus-scale components rewrite
+    if (survivors.isEmpty) return survivors.drop("__fp")
     val newSets = setsOf(survivors, st)
     val deltaPairs = Dedup.incrementalPairsFromCatalog(
       setsOf(corpus, st), newSets, st.idCol, catalog, st.prefixIndex)
     val folded = Dedup.incrementalComponents(
-        catalog.read(spark, st.components),
-        deltaPairs.select("id_a", "id_b"))
-      .localCheckpoint(true) // read and overwrite the same table
-    catalog.overwrite(folded, st.components)
-    Dedup.appendToPrefixIndex(newSets, st.idCol, catalog, st.prefixIndex)
-    BloomGate.appendToBloomIndex(survivors, "__fp", catalog, st.bloom)
-    val out = survivors.drop("__fp")
-    catalog.append(out, st.corpus)
-    out
+      catalog.read(spark, st.components),
+      deltaPairs.select("id_a", "id_b"))
+    // the rebuild-vs-append decision is made HERE, against the
+    // pre-tick vocabulary, and pinned into the marker: re-measuring
+    // during recovery would read whatever vocabulary a mid-rebuild
+    // crash left behind and could bolt new-vocab batch rows onto an
+    // old-vocab index — the one mixed state the frozen-order proof
+    // does not cover
+    val rebuild = Dedup.prefixIndexDrift(newSets, st.idCol, catalog,
+      st.prefixIndex) > st.maxUnseenPrefixShare
+    // ---- staged two-phase commit: artifacts first, marker last ----
+    failpoint("stage")
+    catalog.overwrite(survivors, stagedSurvivors(st))
+    catalog.overwrite(folded, stagedComponents(st))
+    failpoint("marker")
+    locally {
+      import spark.implicits._
+      catalog.overwrite(Seq((st.corpus, rebuild)).toDF("tick", "rebuild"),
+        tickMarker(st))
+    }
+    applyStagedTick(spark, catalog, st, rebuild, guarded = false, failpoint)
+    failpoint("unmark")
+    catalog.drop(spark, tickMarker(st))
+    survivors.drop("__fp")
   }
+
+  /** Land the staged tick's four state writes. `guarded = true` (the
+    * recovery path) makes each write idempotent against a partial
+    * prior landing; the normal path skips the guards because recovery
+    * ran first, so nothing of THIS tick can have landed yet. */
+  private def applyStagedTick(spark: SparkSession, catalog: TableCatalog,
+                              st: State, rebuild: Boolean, guarded: Boolean,
+                              failpoint: String => Unit): Unit = {
+    val survivors = catalog.read(spark, stagedSurvivors(st))
+      .localCheckpoint(true)
+    val newSets = setsOf(survivors, st)
+    failpoint("components")
+    // idempotent: the staged assignment overwrites whatever state the
+    // components table crashed in
+    catalog.overwrite(
+      catalog.read(spark, stagedComponents(st)).localCheckpoint(true),
+      st.components)
+    failpoint("prefix")
+    if (rebuild) {
+      // fresh vocabulary snapshot over corpus ∪ survivors — overwrite-
+      // based and keyed by the marker-pinned decision, so any number
+      // of recovery re-runs land the identical index (the id-dedup
+      // also absorbs a corpus append that already landed)
+      val union = setsOf(catalog.read(spark, st.corpus), st)
+        .unionByName(newSets)
+        .dropDuplicates(st.idCol)
+      Dedup.buildPrefixIndex(union, st.idCol, st.threshold, catalog,
+        st.prefixIndex)
+    } else {
+      val toAppend =
+        if (!guarded) newSets
+        else {
+          // ids whose prefix rows already landed: each id's rows are
+          // written by ONE task (the ranking window partitions by id),
+          // so a file-level partial commit is id-atomic and the
+          // anti-join is an exact guard
+          val batchIds = survivors.select(col(st.idCol).as("__bid"))
+            .distinct()
+          val present = catalog.read(spark, st.prefixIndex)
+            .join(broadcast(batchIds), col("id") === col("__bid"),
+              "left_semi")
+            .select(col("id").as(st.idCol)).distinct()
+          newSets.join(broadcast(present), Seq(st.idCol), "left_anti")
+        }
+      if (!toAppend.isEmpty)
+        Dedup.appendToPrefixIndex(toAppend, st.idCol, catalog,
+          st.prefixIndex)
+    }
+    failpoint("bloom")
+    // idempotent by construction: OR-ing the same fingerprints into
+    // the bloom a second time is bit-identical
+    BloomGate.appendToBloomIndex(survivors, "__fp", catalog, st.bloom)
+    failpoint("corpus")
+    val out = survivors.drop("__fp")
+    val corpusRows =
+      if (!guarded) out
+      else {
+        // semi-probe FIRST (broadcast of the batch ids), distinct on
+        // the tiny survivor subset — never a corpus-wide distinct
+        val present = catalog.read(spark, st.corpus)
+          .join(broadcast(survivors.select(col(st.idCol))),
+            Seq(st.idCol), "left_semi")
+          .select(col(st.idCol)).distinct()
+        out.join(broadcast(present), Seq(st.idCol), "left_anti")
+      }
+    if (!corpusRows.isEmpty) catalog.append(corpusRows, st.corpus)
+  }
+
+  /** Roll forward a tick whose marker survived a crash: the staged
+    * artifacts are complete by the marker's contract, so re-apply the
+    * four writes with idempotence guards and drop the marker. A crash
+    * DURING recovery leaves the marker in place — recovery simply
+    * reruns. Called automatically at the head of every tick; safe (and
+    * cheap — one existence probe) when there is nothing to recover. */
+  def recoverPendingTick(spark: SparkSession, catalog: TableCatalog,
+                         st: State,
+                         failpoint: String => Unit = _ => ()): Unit =
+    if (catalog.exists(spark, tickMarker(st))) {
+      val rebuild = catalog.read(spark, tickMarker(st))
+        .head().getAs[Boolean]("rebuild")
+      applyStagedTick(spark, catalog, st, rebuild, guarded = true, failpoint)
+      catalog.drop(spark, tickMarker(st))
+    }
 }

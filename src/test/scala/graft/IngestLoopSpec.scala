@@ -76,6 +76,92 @@ class IngestLoopSpec extends SparkTestBase {
       BloomGate.readBloom(spark, cat, "bloom_oneshot")))
   }
 
+  /** Shared convergence oracle: corpus ≡ one exact dedup over all
+    * arrivals, components ≡ from-scratch CC over the final corpus. */
+  private def assertConverged(cat: ParquetCatalog, arrivals: DataFrame,
+                              clue: String): Unit = {
+    val corpusGot = cat.read(spark, st.corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val corpusWant = Dedup.exactDedup(arrivals, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpusGot == corpusWant, clue)
+    val finalCorpus = cat.read(spark, st.corpus)
+    val scratch = Dedup.connectedComponents(
+      Dedup.exactSimilarityPairs(sets(finalCorpus), "doc_id", st.threshold)
+        .select("id_a", "id_b"))
+    assert(cat.read(spark, st.components).as[(Long, Long)].collect().toMap ==
+      scratch.as[(Long, Long)].collect().toMap, clue)
+  }
+
+  test("a tick killed at each state-write boundary rolls forward to loop ≡ batch") {
+    // one catalog per kill site: the tick dies immediately before the
+    // named write, the retry's head-of-tick recovery rolls the staged
+    // tick forward from the marker, and the retried batch then gates
+    // out as pure re-ingests — every artifact must converge to the
+    // batch oracle regardless of which boundary the crash hit
+    for (stage <- Seq("components", "prefix", "bloom", "corpus", "unmark")) {
+      val cat = freshCatalog
+      val seed = docs.filter(col("doc_id") < 300)
+      IngestLoop.build(seed, cat, st)
+      val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .unionByName(reDup(seed.filter(col("doc_id") < 10), 10000L))
+      val boom = intercept[RuntimeException] {
+        IngestLoop.ingestImpl(b1, cat, st,
+          s => if (s == stage) throw new RuntimeException(s"kill@$s"))
+      }
+      assert(boom.getMessage == s"kill@$stage")
+      val retry = IngestLoop.ingest(b1, cat, st)
+      assert(retry.isEmpty,
+        s"$stage: the recovered tick already landed; retry must gate out")
+      assertConverged(cat, seed.unionByName(b1), s"killed at $stage")
+    }
+  }
+
+  test("a crash before the marker mutates nothing; the retry lands first") {
+    val cat = freshCatalog
+    val seed = docs.filter(col("doc_id") < 300)
+    IngestLoop.build(seed, cat, st)
+    val before = cat.read(spark, st.corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    intercept[RuntimeException] {
+      IngestLoop.ingestImpl(b1, cat, st,
+        s => if (s == "marker") throw new RuntimeException("kill@marker"))
+    }
+    // no marker was written, so nothing may have changed and nothing
+    // is pending recovery
+    assert(cat.read(spark, st.corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq == before)
+    val s1 = IngestLoop.ingest(b1, cat, st)
+    assert(s1.select("doc_id").as[Long].collect().toSet ==
+      (300L until 400L).toSet)
+    assertConverged(cat, seed.unionByName(b1), "killed at marker")
+  }
+
+  test("vocabulary drift trips an index rebuild and pairs stay exact") {
+    val cat = freshCatalog
+    val seed = docs.filter(col("doc_id") < 300)
+    IngestLoop.build(seed, cat, st)
+    val vocabBefore = cat.read(spark, s"${st.prefixIndex}__vocab").count()
+    // an alien-alphabet batch: near-total unseen-prefix share, plus an
+    // internal near-dup pair so the fold has work to do
+    val alien = Seq(
+      (50001L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ"),
+      (50002L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ αβ"),
+      (50003L, "πολύ διαφορετικό κείμενο εδώ καθόλου όμοιο"))
+      .toDF("doc_id", "text")
+    val s1 = IngestLoop.ingest(alien, cat, st)
+    assert(s1.count() == 3)
+    // the rebuild re-snapshotted the vocabulary: the alien tokens now
+    // carry REAL frequencies (an append would have left vocab as-was)
+    val vocabAfter = cat.read(spark, s"${st.prefixIndex}__vocab")
+    assert(vocabAfter.count() > vocabBefore)
+    assert(vocabAfter.filter(col("tok") === "ωψφξδ").count() == 1,
+      "rebuilt vocab must hold the (lowercased) alien 5-grams")
+    // and the loop invariant held through the rebuild
+    assertConverged(cat, seed.unionByName(alien), "drift rebuild")
+  }
+
   test("a tick of pure re-ingests is a no-op on every artifact") {
     val cat = freshCatalog
     val seed = docs.filter(col("doc_id") < 200)

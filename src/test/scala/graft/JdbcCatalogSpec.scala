@@ -50,4 +50,41 @@ class JdbcCatalogSpec extends SparkTestBase {
       .filter(org.apache.spark.sql.functions.col("id") === 2L)
     assert(filtered.collect().map(_.getAs[String]("name")).toSeq == Seq("beta"))
   }
+
+  /** The reference's REAL sinks are MySQL (gold.py:46-54) and SQL
+    * Server (platinum.py:31-39). Neither engine — nor an in-process
+    * stand-in like H2's MySQL compatibility mode — is resolvable in
+    * this offline sandbox (Derby is the only embedded database on the
+    * classpath), so the dialect-SENSITIVE surface is pinned one layer
+    * down instead: Spark selects the dialect from the JDBC URL alone,
+    * and the dialect owns the DDL type mapping `DataFrameWriter.jdbc`
+    * will emit. These pins fail loudly if a Spark upgrade remaps a
+    * type our gold/platinum schemas rely on — the first thing a
+    * production user of either sink would hit. */
+  test("MySQL and SQL Server dialect DDL type mappings are pinned") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val mysql = JdbcDialects.get("jdbc:mysql://host/db")
+    val sqlserver = JdbcDialects.get("jdbc:sqlserver://host;database=db")
+    def ddl(d: org.apache.spark.sql.jdbc.JdbcDialect, t: DataType): String =
+      d.getJDBCType(t).map(_.databaseTypeDefinition)
+        .getOrElse(org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+          .getCommonJDBCType(t).get.databaseTypeDefinition)
+    // the fact/report schemas' column classes
+    assert(ddl(mysql, StringType) == "LONGTEXT")
+    assert(ddl(mysql, TimestampType) == "TIMESTAMP")
+    assert(ddl(mysql, DoubleType) == "DOUBLE PRECISION")
+    assert(ddl(mysql, LongType) == "BIGINT")
+    assert(ddl(mysql, BooleanType) == "BIT(1)")
+    assert(ddl(sqlserver, StringType) == "NVARCHAR(MAX)")
+    assert(ddl(sqlserver, TimestampType) == "DATETIME")
+    assert(ddl(sqlserver, DoubleType) == "DOUBLE PRECISION")
+    assert(ddl(sqlserver, LongType) == "BIGINT")
+    assert(ddl(sqlserver, BooleanType) == "BIT")
+    // both dialects are URL-selected — the exact swap JdbcCatalog
+    // documents (same writer path, URL + driver change only)
+    assert(mysql.getClass.getSimpleName.toLowerCase.contains("mysql"))
+    assert(sqlserver.getClass.getSimpleName.toLowerCase.contains("sqlserver") ||
+      sqlserver.getClass.getSimpleName.toLowerCase.contains("mssql"))
+  }
 }

@@ -25,6 +25,50 @@ class PrefixIndexSpec extends SparkTestBase {
     new ParquetCatalog(
       java.nio.file.Files.createTempDirectory("graft-pfx").toString)
 
+  test("drift probe: same-vocabulary batches read ~0, alien ones ~1") {
+    val cat = freshCatalog
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    // the held-out tenth of the same corpus shares its character
+    // 5-gram vocabulary almost entirely
+    val same = Dedup.prefixIndexDrift(batch, "doc_id", cat, "pfx")
+    assert(same < 0.3, s"same-vocab drift should be low, got $same")
+    // a batch from a different writing system shares nothing
+    val alien = sets(Seq(
+      (90001L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ"),
+      (90002L, "ΔΘΛΠΣΓΩΨΦΞ ΣΣΓΓΩΩΨΨ ΦΦΞΞΔΔ")).toDF("doc_id", "text"))
+    val far = Dedup.prefixIndexDrift(alien, "doc_id", cat, "pfx")
+    assert(far > 0.9, s"alien-vocab drift should be ~1, got $far")
+    // drift never changes OUTPUT pairs — only candidate mass: the
+    // frozen-order query still equals the rebuild-every-time form
+    // even for the fully-drifted batch
+    val got = asSet(Dedup.incrementalPairsFromCatalog(
+      corpus, alien, "doc_id", cat, "pfx"))
+    val want = asSet(Dedup.incrementalSimilarityPairs(
+      corpus, alien, "doc_id", 0.4))
+    assert(got == want)
+  }
+
+  test("the sampled and on-disk index size models agree on the same corpus") {
+    val cat = freshCatalog
+    Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
+    val prepped = corpus.select(col("doc_id").as("id"), col("set"))
+      .withColumn("sz", size(col("set")))
+    val sampled = Dedup.IndexSizing.estimateFromSample(prepped, 0.4)
+    val path = new org.apache.hadoop.fs.Path(s"${cat.root}/pfx")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val disk = Dedup.IndexSizing.estimateFromDisk(
+      fs.getContentSummary(path).getLength)
+    val cap = Dedup.IndexSizing.cap(spark)
+    // same decision at the shared default cap...
+    assert((sampled <= cap) == (disk < cap), s"sampled=$sampled disk=$disk")
+    // ...and the two estimates of the same deserialized relation stay
+    // within an order of magnitude of each other — if either model's
+    // constant drifts from reality this is the canary
+    val ratio = sampled.max(1L).toDouble / disk.max(1L)
+    assert(ratio > 0.1 && ratio < 10.0,
+      s"estimates diverged: sampled=$sampled disk=$disk ratio=$ratio")
+  }
+
   test("catalog query equals the rebuild-every-time incremental join") {
     val cat = freshCatalog
     Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")

@@ -67,7 +67,7 @@ class RecallSpec extends SparkTestBase {
       assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
 
-    test(s"[$tag] self k-NN graph recall >= 0.95 (q65)") {
+    test(s"[$tag] self k-NN graph recall >= 0.95 (q92 vs exact q65)") {
       // measured 0.980/0.986 at the r=3 × L=16 default over ALL
       // (vector, neighbor) edges — every vector is a query. The
       // default buys recall (the graph is built once, consumed many
