@@ -76,7 +76,30 @@ object SimHash64 {
       h = (h ^ cp) * FnvPrime
       i += Character.charCount(cp)
     }
-    // murmur3 fmix64
+    fmix64(h)
+  }
+
+  /** Allocation-free path for the expression hot loop: ASCII tokens
+    * (the overwhelming case — whitespace-split corpus words) hash
+    * straight off the UTF8 bytes, where byte == codepoint; the first
+    * high byte falls back to the codepoint walk. Bit-identical to
+    * [[tokenHash]] on every input. */
+  private[functions] def tokenHashUtf8(
+      u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = u.numBytes()
+    var h = FnvBasis
+    var i = 0
+    while (i < n) {
+      val b = u.getByte(i)
+      if (b < 0) return tokenHash(u.toString) // non-ASCII: decode properly
+      h = (h ^ b) * FnvPrime
+      i += 1
+    }
+    fmix64(h)
+  }
+
+  private def fmix64(x: Long): Long = {
+    var h = x
     h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
     h ^ (h >>> 33)
@@ -97,7 +120,7 @@ case class SimHash64(child: Expression)
     while (i < m) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = SimHash64.tokenHash(s.toString)
+        val h = SimHash64.tokenHashUtf8(s)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
