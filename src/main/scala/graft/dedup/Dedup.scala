@@ -236,13 +236,26 @@ object Dedup {
 
   /** Near-dup pairs within `maxHamming` bits, via chunk pigeonhole:
     * split 64 bits into maxHamming+1 chunks; any qualifying pair agrees
-    * exactly on ≥1 chunk, so candidates come from chunk buckets. */
+    * exactly on ≥1 chunk, so candidates come from chunk buckets.
+    *
+    * Eager by default, like [[minhashPairs]]' chain: the (id, sim)
+    * frame feeds BOTH sides of the flood-cap aggregate + expansion, so
+    * it is persisted for the call and released after the (small)
+    * verified result materializes — unpersisted, the corpus is
+    * re-tokenized and re-hashed once per branch (the r7 bench showed
+    * that double scan as the whole q21 gap vs r5's single-exchange
+    * window form). `eager = false` returns the pure unpersisted plan
+    * (PlanSpec pins its shape; no jobs, no driver state). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000,
+                   eager: Boolean = true): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
-    val sh = withSimhash(docs.select(col(idCol), col(textCol)), textCol, "sim")
+    val shPlan = withSimhash(docs.select(col(idCol), col(textCol)), textCol, "sim")
       .select(col(idCol), col("sim"))
+    val sh =
+      if (eager) shPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shPlan
     val chunks = array((0 until nChunks).map { ci =>
       struct(lit(ci).as("no"),
         shiftright(col("sim"), ci * chunkBits)
@@ -259,11 +272,17 @@ object Dedup {
     // and chunk-collision duplicates collapse AFTER the (one long per
     // side, in-row) hamming verification, so the dedup exchange sees
     // only true pairs
-    bucketPairs(banded, idCol, maxBucket, dedup = false, carry = Seq("sim"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+    val verified =
+      bucketPairs(banded, idCol, maxBucket, dedup = false, carry = Seq("sim"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("id_a", "id_b")
+    if (eager) {
+      val out = verified.localCheckpoint(true)
+      sh.unpersist(false)
+      out
+    } else verified
   }
 
   // ----------------------------------------------------- ngram jaccard

@@ -114,7 +114,7 @@ class PlanSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf)
     val emb = Tables.embeddings(spark, sf)
     for ((name, df) <- Seq(
-        "simhash" -> graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text"),
+        "simhash" -> graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text", eager = false),
         "embedding" -> graft.dedup.Dedup.embeddingPairs(emb, "vec_id", "embedding"))) {
       val s = planString(df)
       assert(!s.contains("Window"),
