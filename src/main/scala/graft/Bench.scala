@@ -100,6 +100,19 @@ object Bench {
         val cat = new graft.catalog.ParquetCatalog(root.toString)
         val st = graft.streaming.IngestLoop.State(
           "corpus", "bloom", "pfx", "comps")
+        // the loop's code paths run exactly once below — JIT them on
+        // the tiny sf first (the query sweep's warmup doesn't touch
+        // the ingest/gate/fence code)
+        locally {
+          val wcat = new graft.catalog.ParquetCatalog(
+            root.resolve("warm").toString)
+          val wdocs = Tables.documents(spark, "/root/testdata/sf0.001")
+            .select("doc_id", "text")
+          graft.streaming.IngestLoop.build(
+            wdocs.filter(col("doc_id") % 10 =!= 0), wcat, st)
+          graft.streaming.IngestLoop.ingest(
+            wdocs.filter(col("doc_id") % 10 === 0), wcat, st)
+        }
         val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
         graft.streaming.IngestLoop.build(
           docs.filter(col("doc_id") % 10 =!= 0), cat, st)

@@ -11,23 +11,82 @@ import org.apache.spark.sql.types._
   * higher-order functions evaluate interpretively (ArrayAggregate /
   * ArrayTransform have no codegen and re-enter the expression
   * interpreter per element — measured 3-25s per LSH query at sf0.1).
-  * Each expression here is one `eval` call per ROW with a tight Scala
-  * loop inside, using Spark's own XxHash64 kernel; semantics stay those
-  * of the declarative forms they replace.
+  * Each expression here is one call per ROW into a tight static kernel
+  * ([[ExprOps]]); semantics stay those of the declarative forms they
+  * replace.
+  *
+  * Every scalar expression implements `doGenCode` as a single static
+  * call into the SAME kernel its interpreted `eval` uses — one
+  * implementation, two entry points — so projections over these no
+  * longer drop out of WholeStageCodegen the way CodegenFallback did
+  * (the fallback re-boxes an InternalRow per value and splits the
+  * codegen span right where the similarity pipelines are hottest).
   *
   * Registered as Columns via [[graft.functions.exprs]] helpers.
   */
 
-/** n-element MinHash signature of an array<string> in one pass:
-  * sig[i] = min over elements of xxhash64(element, seed=i). */
-case class MinHashSignature(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
+/** Static (Java-callable from generated code) kernels shared by the
+  * interpreted and codegen paths of the expressions below. */
+object ExprOps {
+  def dotD(x: ArrayData, y: ArrayData): Double = {
+    val m = x.numElements()
+    // fail loudly: a silent min-length truncation would mask dimension
+    // mismatches (e.g. 128-dim embeddings against 64-dim hyperplanes)
+    require(m == y.numElements(),
+      s"dot product dimension mismatch: $m vs ${y.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc = acc + x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def jaccard(x: ArrayData, y: ArrayData): Double = {
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i < x.numElements()) { seen.add(x.getUTF8String(i)); i += 1 }
+    val nx = seen.size
+    var inter = 0
+    var ny = 0
+    val seenY = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i)
+      if (seenY.add(s)) { ny += 1; if (seen.contains(s)) inter += 1 }
+      i += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = SimHash64.tokenHashUtf8(s)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def minhash(arr: ArrayData, n: Int): ArrayData = {
     val out = Array.fill(n)(Long.MaxValue)
     var i = 0
     val m = arr.numElements()
@@ -45,6 +104,56 @@ case class MinHashSignature(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
+
+  def charNgrams(input: org.apache.spark.unsafe.types.UTF8String,
+                 n: Int): ArrayData = {
+    val s = input.toString
+    val out = new java.util.LinkedHashSet[String]()
+    if (s.length <= n) out.add(s)
+    else {
+      var i = 0
+      val m = s.length - n
+      while (i <= m) { out.add(s.substring(i, i + n)); i += 1 }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  def wordShingles(input: ArrayData, k: Int): ArrayData = {
+    val out = ShingleBuilder.distinctShingles(input, k)
+    val res = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) {
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+}
+
+/** n-element MinHash signature of an array<string> in one pass:
+  * sig[i] = min over elements of xxhash64(element, seed=i). */
+case class MinHashSignature(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.minhash(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.minhash($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -107,36 +216,19 @@ object SimHash64 {
 }
 
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    var i = 0
-    val m = arr.numElements()
-    while (i < m) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h = SimHash64.tokenHashUtf8(s)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) out |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprOps.simhash64(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -148,28 +240,21 @@ case class SimHash64(child: Expression)
   * list_dot_product, so results are bit-identical to both (oracle
   * parity depends on this). */
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val m = x.numElements()
-    // fail loudly: a silent min-length truncation would mask dimension
-    // mismatches (e.g. 128-dim embeddings against 64-dim hyperplanes)
-    require(m == y.numElements(),
-      s"dot product dimension mismatch: $m vs ${y.numElements()}")
-    var acc = 0.0
-    var i = 0
-    while (i < m) {
-      acc = acc + x.getDouble(i) * y.getDouble(i)
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      ExprOps.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprOps.dotD($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -181,29 +266,20 @@ case class DotProductD(left: Expression, right: Expression)
   * 15s per 5000 docs at sf0.1; this is one eval per row. Strings
   * shorter than `n` yield the whole string as the single gram. */
 case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val out = new java.util.LinkedHashSet[String]()
-    if (s.length <= n) out.add(s)
-    else {
-      var i = 0
-      val m = s.length - n
-      while (i <= m) { out.add(s.substring(i, i + n)); i += 1 }
-    }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var i = 0
-    while (it.hasNext) {
-      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
-      i += 1
-    }
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.charNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.charNgrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -213,22 +289,19 @@ case class CharNgrams(child: Expression, n: Int)
   * joined), in input order; fewer than k tokens yield one shingle of
   * all tokens. */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val out = ShingleBuilder.distinctShingles(input.asInstanceOf[ArrayData], k)
-    val res = new Array[Any](out.size)
-    val it = out.iterator()
-    var i = 0
-    while (it.hasNext) {
-      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
-      i += 1
-    }
-    new GenericArrayData(res)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.wordShingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.wordShingles($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -332,31 +405,21 @@ case class Cents(child: Expression)
   * the built-in array_intersect + array_union pair walks both arrays
   * twice with intermediate allocations). */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    var i = 0
-    while (i < x.numElements()) { seen.add(x.getUTF8String(i)); i += 1 }
-    val nx = seen.size
-    var inter = 0
-    var ny = 0
-    val seenY = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    i = 0
-    while (i < y.numElements()) {
-      val s = y.getUTF8String(i)
-      if (seenY.add(s)) { ny += 1; if (seen.contains(s)) inter += 1 }
-      i += 1
-    }
-    val union = nx + ny - inter
-    java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      ExprOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprOps.jaccard($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
