@@ -982,6 +982,37 @@ object Dedup {
   def incrementalComponents(components: DataFrame,
                             deltaPairs: DataFrame): DataFrame = {
     val compOf = components.select(col("id"), col("component"))
+    incrementalComponentsDelta(components, deltaPairs) match {
+      case None => compOf
+      case Some((remapDf, newNodes)) =>
+        val remap = broadcast(remapDf)
+        // map-side remap: only rows of a touched component change label
+        val updatedOld = compOf.join(remap, Seq("component"), "left")
+          .select(col("id"),
+            coalesce(col("newc"), col("component")).as("component"))
+        updatedOld.unionByName(newNodes)
+    }
+  }
+
+  /** The DELTA form of [[incrementalComponents]] — everything except
+    * the corpus-scale apply. Returns None when the delta dissolves
+    * entirely into the standing assignment (the quiet tick), else
+    * `Some((remap, newNodes))`:
+    *  - `remap` (component, newc): OLD root → merged root, delta-scale,
+    *    broadcast-sized by construction, and IDEMPOTENT — merged roots
+    *    are fixed points (the CC emits the identity row for each
+    *    root), so applying it to an already-remapped assignment is a
+    *    no-op;
+    *  - `newNodes` (id, component): delta endpoints the standing
+    *    assignment has never seen, already labeled with their merged
+    *    root.
+    * A caller that stores the assignment partitioned (e.g.
+    * [[graft.streaming.IngestLoop]] by id-hash) applies the remap to
+    * the touched partitions only instead of rewriting the corpus. */
+  def incrementalComponentsDelta(components: DataFrame,
+                                 deltaPairs: DataFrame)
+      : Option[(DataFrame, DataFrame)] = {
+    val compOf = components.select(col("id"), col("component"))
     // materialize the delta ONCE: the pair frame usually arrives as a
     // LAZY similarity chain (incrementalPairsFromCatalog), and this
     // method references it from four branches (both deltaNode unions,
@@ -1019,7 +1050,7 @@ object Dedup {
     // the CC machinery and the corpus-side remap scan entirely (the
     // steady-state "nothing new today" tick)
     val nEdges = contracted.count()
-    if (nEdges == 0) return compOf
+    if (nEdges == 0) return None
     // Full CC, but on the contracted delta graph only. The merged
     // labels feed a BROADCAST remap below, so the contracted graph is
     // driver-broadcast-sized by the method's own contract — below the
@@ -1035,21 +1066,22 @@ object Dedup {
     val merged =
       if (nEdges <= ufCap) unionFindComponents(contracted)
       else connectedComponents(contracted)
-    val remap = broadcast(
-      merged.select(col("id").as("component"), col("component").as("newc")))
-    // map-side remap: only rows of a touched component change label
-    val updatedOld = components.join(remap, Seq("component"), "left")
-      .select(col("id"),
-        coalesce(col("newc"), col("component")).as("component"))
+    // merged includes the identity row for every root, so the remap is
+    // idempotent (fixed points stay fixed) — load-bearing for the
+    // partition-scoped apply's crash recovery
+    val remapDf = merged
+      .select(col("id").as("component"), col("component").as("newc"))
+      .localCheckpoint(true)
     // delta endpoints unseen by the standing assignment (new docs,
     // or corpus docs first entering a pair): their contracted node is
     // themselves, so the merge result IS their label
     val newNodes = deltaNodes
       .join(broadcast(touched.select(col("id"))), Seq("id"), "left_anti")
-      .join(remap.select(col("component").as("id"), col("newc")),
+      .join(broadcast(remapDf.select(col("component").as("id"), col("newc"))),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
-    updatedOld.unionByName(newNodes)
+      .localCheckpoint(true)
+    Some((remapDf, newNodes))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, bucketed by

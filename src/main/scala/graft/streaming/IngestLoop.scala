@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.catalog.TableCatalog
 import graft.dedup.Dedup
@@ -19,41 +19,46 @@ import graft.text.TextFunctions
   *   2. PAIR DISCOVERY — [[Dedup.incrementalPairsFromCatalog]] finds
   *      every near-dup pair touching the survivors off the persisted
   *      prefix index (batch-scale probe, frozen token order).
-  *   3. COMPONENT FOLD — [[Dedup.incrementalComponents]] merges those
-  *      pairs into the standing cluster assignment (delta-contracted
-  *      resolution, broadcast remap; the assignment is scanned, not
-  *      shuffled).
+  *   3. COMPONENT FOLD — [[Dedup.incrementalComponentsDelta]] reduces
+  *      those pairs to a delta-scale (remap, newNodes) pair against
+  *      the standing cluster assignment; the assignment itself is
+  *      stored PARTITIONED BY ID-HASH (`State.componentParts`), so the
+  *      apply rewrites only the partitions holding touched rows —
+  *      never the corpus (id-hash, not component-hash: a row's id
+  *      never changes, so no row ever migrates between partitions and
+  *      no replaced partition can empty out).
   *   4. STATE APPEND — survivors enter the corpus table, their prefix
   *      rows the index (or, when [[Dedup.prefixIndexDrift]] crosses
   *      `State.maxUnseenPrefixShare`, the index is REBUILT under a
   *      fresh vocabulary snapshot), their fingerprints the bloom
   *      (lossless bit-OR) — so tick t+1 sees tick t.
   *
-  * Every stage is O(batch) except the unavoidable corpus SCANS (gate
-  * confirm, pair verification, drift-triggered rebuilds) — nothing
-  * corpus-scale is ever exchanged. IngestLoopSpec proves the loop ≡
-  * batch: after any sequence of ticks the corpus table equals one
-  * exact-dedup over the arrivals, and the components table equals a
-  * from-scratch [[Dedup.connectedComponents]] over the final corpus's
-  * pair graph.
+  * Every stage is O(batch ∪ touched-partitions) except the
+  * unavoidable corpus SCANS (gate confirm, pair verification,
+  * drift-triggered rebuilds) — nothing corpus-scale is ever exchanged
+  * OR rewritten. IngestLoopSpec proves the loop ≡ batch: after any
+  * sequence of ticks the corpus table equals one exact-dedup over the
+  * arrivals, and the components table equals a from-scratch
+  * [[Dedup.connectedComponents]] over the final corpus's pair graph.
   *
   * CRASH POSTURE — a tick is fenced by an intent-marker protocol (the
   * same family as [[graft.nyc.NycPipeline]]'s gold append and
   * `ParquetCatalog.compact`): all reads and similarity work happen
-  * first, then the tick's roll-forward artifacts (the survivors and
-  * the folded assignment) are STAGED to side tables, then a tiny
-  * marker commits the intent, then the four state writes land, then
-  * the marker drops. A crash before the marker mutates nothing a
-  * re-run would double-count (staging tables are inert without the
-  * marker); a crash after it is ROLLED FORWARD by
-  * [[recoverPendingTick]] from the staged artifacts with per-artifact
-  * idempotence guards — components re-overwrites (same staged data),
-  * corpus and prefix appends anti-join out ids that already landed
-  * (each id's rows commit atomically: both appends route every id
-  * through one task file), and the bloom re-ORs the same fingerprints
-  * (a bit-identical no-op). Re-running the crashed batch afterwards is
-  * a pure re-ingest tick: the gate sees the recovered corpus and
-  * passes nothing. */
+  * first, then the tick's roll-forward artifacts (the survivors, the
+  * component remap, and the new-node labels — all delta-scale) are
+  * STAGED to side tables, then a tiny marker commits the intent, then
+  * the four state writes land, then the marker drops. A crash before
+  * the marker mutates nothing a re-run would double-count (staging
+  * tables are inert without the marker); a crash after it is ROLLED
+  * FORWARD by [[recoverPendingTick]] from the staged artifacts with
+  * per-artifact idempotence guards — the component remap is idempotent
+  * by construction (merged roots are fixed points) and the partition
+  * rewrite dedups by id, corpus and prefix appends anti-join out ids
+  * that already landed (each id's rows commit atomically: both appends
+  * route every id through one task file), and the bloom re-ORs the
+  * same fingerprints (a bit-identical no-op). Re-running the crashed
+  * batch afterwards is a pure re-ingest tick: the gate sees the
+  * recovered corpus and passes nothing. */
 object IngestLoop {
   /** Standing-state table names; `build` creates them all from a seed
     * corpus. `maxUnseenPrefixShare` is the [[Dedup.prefixIndexDrift]]
@@ -61,16 +66,21 @@ object IngestLoop {
     * appending to it — pairs are identical either way (the frozen
     * order is sound); what a rebuild restores is the rarest-first
     * candidate-MASS guarantee the frozen snapshot erodes under
-    * vocabulary drift. */
+    * vocabulary drift. `componentParts` is the assignment table's
+    * id-hash partition count — size it so one partition's rows fit a
+    * task comfortably (thousands at corpus scale; the per-tick rewrite
+    * touches only partitions holding remapped or new rows). */
   final case class State(corpus: String, bloom: String, prefixIndex: String,
                          components: String, idCol: String = "doc_id",
                          textCol: String = "text",
                          threshold: Double = 0.4, ngramN: Int = 5,
                          bloomItems: Long = (1L << 22),
-                         maxUnseenPrefixShare: Double = 0.5)
+                         maxUnseenPrefixShare: Double = 0.5,
+                         componentParts: Int = 64)
 
   private def stagedSurvivors(st: State) = s"${st.corpus}__tick_survivors"
-  private def stagedComponents(st: State) = s"${st.corpus}__tick_components"
+  private def stagedRemap(st: State) = s"${st.corpus}__tick_remap"
+  private def stagedNewNodes(st: State) = s"${st.corpus}__tick_newnodes"
   private def tickMarker(st: State) = s"${st.corpus}__tick_pending"
 
   private def withFp(df: DataFrame, st: State): DataFrame =
@@ -79,6 +89,9 @@ object IngestLoop {
   private def setsOf(df: DataFrame, st: State): DataFrame =
     df.select(col(st.idCol),
       Dedup.charNgrams(col(st.textCol), st.ngramN).as("set"))
+
+  private def partOf(st: State, id: Column): Column =
+    pmod(xxhash64(id), lit(st.componentParts))
 
   /** Initialize every artifact from the seed corpus (exact-deduped
     * first — the corpus table's invariant is fingerprint-unique). */
@@ -93,9 +106,15 @@ object IngestLoop {
     val pairs = Dedup.exactSimilarityPairs(
       setsOf(unique, st), st.idCol, st.threshold)
     catalog.overwrite(
-      Dedup.connectedComponents(pairs.select("id_a", "id_b")),
-      st.components)
+      Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        .withColumn("__part", partOf(st, col("id"))),
+      st.components, partitionBy = Seq("__part"))
   }
+
+  /** The standing assignment as its logical (id, component) self. */
+  def readComponents(spark: SparkSession, catalog: TableCatalog,
+                     st: State): DataFrame =
+    catalog.read(spark, st.components).select(col("id"), col("component"))
 
   /** One tick. Returns the batch's SURVIVORS (the rows that entered
     * the corpus) so a `foreachBatch` caller can fan them onward.
@@ -127,13 +146,17 @@ object IngestLoop {
         withFp(corpus, st), "__fp", catalog, st.bloom)
       .localCheckpoint(true) // gate once; every stage below consumes
     // a tick of pure re-ingests mutates NOTHING — no staging, no
-    // marker, no corpus-scale components rewrite
+    // marker, no partition rewrites
     if (survivors.isEmpty) return survivors.drop("__fp")
     val newSets = setsOf(survivors, st)
     val deltaPairs = Dedup.incrementalPairsFromCatalog(
       setsOf(corpus, st), newSets, st.idCol, catalog, st.prefixIndex)
-    val folded = Dedup.incrementalComponents(
-      catalog.read(spark, st.components),
+    // delta-scale component fold: (old-root → merged-root) remap plus
+    // labeled new nodes; None when every delta edge dissolved into the
+    // standing clusters — but new SINGLETON docs still need no row
+    // (singletons are absent from the assignment, as in the batch form)
+    val fold = Dedup.incrementalComponentsDelta(
+      readComponents(spark, catalog, st),
       deltaPairs.select("id_a", "id_b"))
     // the rebuild-vs-append decision is made HERE, against the
     // pre-tick vocabulary, and pinned into the marker: re-measuring
@@ -146,7 +169,13 @@ object IngestLoop {
     // ---- staged two-phase commit: artifacts first, marker last ----
     failpoint("stage")
     catalog.overwrite(survivors, stagedSurvivors(st))
-    catalog.overwrite(folded, stagedComponents(st))
+    val (remap, newNodes) = fold.getOrElse((
+      spark.emptyDataFrame.select(lit(0L).as("component"), lit(0L).as("newc"))
+        .limit(0),
+      spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("component"))
+        .limit(0)))
+    catalog.overwrite(remap, stagedRemap(st))
+    catalog.overwrite(newNodes, stagedNewNodes(st))
     failpoint("marker")
     locally {
       import spark.implicits._
@@ -160,9 +189,9 @@ object IngestLoop {
   }
 
   /** Land the staged tick's four state writes. `guarded = true` (the
-    * recovery path) makes each write idempotent against a partial
-    * prior landing; the normal path skips the guards because recovery
-    * ran first, so nothing of THIS tick can have landed yet. */
+    * recovery path) makes the append-shaped writes idempotent against
+    * a partial prior landing; the component partition rewrite and the
+    * bloom OR are idempotent in both modes by construction. */
   private def applyStagedTick(spark: SparkSession, catalog: TableCatalog,
                               st: State, rebuild: Boolean, guarded: Boolean,
                               failpoint: String => Unit): Unit = {
@@ -170,11 +199,7 @@ object IngestLoop {
       .localCheckpoint(true)
     val newSets = setsOf(survivors, st)
     failpoint("components")
-    // idempotent: the staged assignment overwrites whatever state the
-    // components table crashed in
-    catalog.overwrite(
-      catalog.read(spark, stagedComponents(st)).localCheckpoint(true),
-      st.components)
+    applyComponentDelta(spark, catalog, st)
     failpoint("prefix")
     if (rebuild) {
       // fresh vocabulary snapshot over corpus ∪ survivors — overwrite-
@@ -224,6 +249,53 @@ object IngestLoop {
         out.join(broadcast(present), Seq(st.idCol), "left_anti")
       }
     if (!corpusRows.isEmpty) catalog.append(corpusRows, st.corpus)
+  }
+
+  /** Partition-scoped apply of the staged component delta: replace
+    * ONLY the id-hash partitions that hold a remapped row or a new
+    * node. Safe to re-run in any partially-landed state:
+    *  - the remap is idempotent (merged roots are fixed points), so a
+    *    partition already rewritten re-remaps to itself;
+    *  - touched partitions are recomputed from the CURRENT table —
+    *    ones already rewritten have no old-root rows left and simply
+    *    drop out of the touched set (new-node partitions stay in it
+    *    and regenerate identically, deduped by id);
+    *  - partitions never empty out (content keys on id-hash, and ids
+    *    never change), so "replace partitions present in the data"
+    *    covers every partition that could hold stale rows. */
+  private def applyComponentDelta(spark: SparkSession, catalog: TableCatalog,
+                                  st: State): Unit = {
+    val remap = broadcast(catalog.read(spark, stagedRemap(st))
+      .localCheckpoint(true))
+    val newNodes = catalog.read(spark, stagedNewNodes(st))
+      .localCheckpoint(true)
+    if (remap.isEmpty && newNodes.isEmpty) return
+    val standing = catalog.read(spark, st.components)
+    // partitions holding a row whose component is an OLD root (scan
+    // with the broadcast remap map-side — the BloomGate discipline),
+    // plus the partitions every new node hashes into
+    val touchedParts = standing
+      .join(remap.select(col("component")), Seq("component"), "left_semi")
+      .select(col("__part"))
+      .unionByName(newNodes.select(partOf(st, col("id")).as("__part")))
+      .distinct()
+      .localCheckpoint(true)
+    if (touchedParts.isEmpty) return
+    val content = standing
+      .join(broadcast(touchedParts), Seq("__part"), "left_semi")
+      .join(remap, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component"),
+        col("__part"))
+      .unionByName(newNodes
+        .select(col("id"), col("component"),
+          partOf(st, col("id")).as("__part")))
+      // recovery may find already-landed new nodes in the standing
+      // rows — one row per id, deterministically (both copies carry
+      // the same merged label)
+      .dropDuplicates("id")
+    catalog.replacePartitions(content, st.components,
+      partitionBy = Seq("__part"))
   }
 
   /** Roll forward a tick whose marker survived a crash: the staged

@@ -61,7 +61,7 @@ class IngestLoopSpec extends SparkTestBase {
     val scratch = Dedup.connectedComponents(
       Dedup.exactSimilarityPairs(sets(finalCorpus), "doc_id", st.threshold)
         .select("id_a", "id_b"))
-    val compGot = cat.read(spark, st.components)
+    val compGot = IngestLoop.readComponents(spark, cat, st)
       .as[(Long, Long)].collect().toMap
     assert(compGot == scratch.as[(Long, Long)].collect().toMap)
     assert(compGot.nonEmpty)
@@ -89,7 +89,8 @@ class IngestLoopSpec extends SparkTestBase {
     val scratch = Dedup.connectedComponents(
       Dedup.exactSimilarityPairs(sets(finalCorpus), "doc_id", st.threshold)
         .select("id_a", "id_b"))
-    assert(cat.read(spark, st.components).as[(Long, Long)].collect().toMap ==
+    assert(IngestLoop.readComponents(spark, cat, st)
+      .as[(Long, Long)].collect().toMap ==
       scratch.as[(Long, Long)].collect().toMap, clue)
   }
 
@@ -168,13 +169,13 @@ class IngestLoopSpec extends SparkTestBase {
     IngestLoop.build(seed, cat, st)
     val before = cat.read(spark, st.corpus)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    val compBefore = cat.read(spark, st.components)
+    val compBefore = IngestLoop.readComponents(spark, cat, st)
       .as[(Long, Long)].collect().toMap
     val s = IngestLoop.ingest(reDup(seed, 50000L), cat, st)
     assert(s.isEmpty)
     assert(cat.read(spark, st.corpus)
       .select("doc_id").as[Long].collect().sorted.toSeq == before)
-    assert(cat.read(spark, st.components)
+    assert(IngestLoop.readComponents(spark, cat, st)
       .as[(Long, Long)].collect().toMap == compBefore)
   }
 }
