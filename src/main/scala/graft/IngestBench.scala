@@ -35,7 +35,14 @@ object IngestBench {
           docs.filter(col("doc_id") % 10 =!= 0), cat, st)
       }
       val batch = docs.filter(col("doc_id") % 10 === 0).localCheckpoint(true)
-      timed("tick")(graft.streaming.IngestLoop.ingest(batch, cat, st))
+      timed("tick") {
+        var last = System.nanoTime()
+        graft.streaming.IngestLoop.ingestImpl(batch, cat, st, stage => {
+          val now = System.nanoTime()
+          println(f"[ingestbench]   ...$stage%-12s +${(now - last) / 1e9}%.2f s")
+          last = now
+        })
+      }
       for (i <- 1 to 3)
         timed(s"quiescent$i")(graft.streaming.IngestLoop.ingest(batch, cat, st))
     } finally {

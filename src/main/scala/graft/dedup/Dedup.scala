@@ -674,6 +674,43 @@ object Dedup {
       .head().getAs[Double]("threshold")
     val batchPrefixes = probePrefixes(batchBase, idCol, catalog, table,
       threshold) // probe AND index-union both read the checkpoint
+    pairsFromProbe(batchPrefixes, corpusBase, batchBase, idCol, catalog,
+      table, threshold)
+  }
+
+  /** [[incrementalPairsFromCatalog]] that also reports the batch's
+    * [[prefixIndexDrift]] — measured on the SAME materialized probe
+    * the candidate join consumes, so a per-tick caller
+    * ([[graft.streaming.IngestLoop]]) pays the batch tokenize + vocab
+    * probe + ranking window once, not once per concern. */
+  def incrementalPairsFromCatalogWithDrift(
+      corpusBase: DataFrame, batchBase: DataFrame, idCol: String,
+      catalog: graft.catalog.TableCatalog,
+      table: String): (DataFrame, Double) = {
+    val spark = batchBase.sparkSession
+    val sc = spark.sparkContext
+    val threshold = catalog.read(spark, s"${table}__meta")
+      .head().getAs[Double]("threshold")
+    val withDf = frozenVocabPrefixes(batchBase, idCol, catalog, table,
+        threshold, keepDf = true)
+      .repartition(sc.defaultParallelism, col("id")) // see probePrefixes
+      .localCheckpoint(true)
+    val r = withDf
+      .agg(count(lit(1)).cast("long"),
+        sum(when(col("tok_df") === 0, 1L).otherwise(0L)).cast("long"))
+      .head()
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val unseen = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val drift = if (total == 0L) 0.0 else unseen.toDouble / total
+    (pairsFromProbe(withDf.drop("tok_df"), corpusBase, batchBase, idCol,
+      catalog, table, threshold), drift)
+  }
+
+  private def pairsFromProbe(batchPrefixes: DataFrame, corpusBase: DataFrame,
+                             batchBase: DataFrame, idCol: String,
+                             catalog: graft.catalog.TableCatalog,
+                             table: String, threshold: Double): DataFrame = {
+    val spark = batchBase.sparkSession
     val index = catalog.read(spark, table).unionByName(batchPrefixes)
     // != not <: a batch doc also pairs with lower corpus ids; both
     // orders arrive and collapse in the canonical select below

@@ -149,7 +149,9 @@ object IngestLoop {
     // marker, no partition rewrites
     if (survivors.isEmpty) return survivors.drop("__fp")
     val newSets = setsOf(survivors, st)
-    val deltaPairs = Dedup.incrementalPairsFromCatalog(
+    // pair discovery and the drift measure share one materialized
+    // probe (one batch tokenize + vocab probe + ranking window)
+    val (deltaPairs, drift) = Dedup.incrementalPairsFromCatalogWithDrift(
       setsOf(corpus, st), newSets, st.idCol, catalog, st.prefixIndex)
     // delta-scale component fold: (old-root → merged-root) remap plus
     // labeled new nodes; None when every delta edge dissolved into the
@@ -164,8 +166,7 @@ object IngestLoop {
     // crash left behind and could bolt new-vocab batch rows onto an
     // old-vocab index — the one mixed state the frozen-order proof
     // does not cover
-    val rebuild = Dedup.prefixIndexDrift(newSets, st.idCol, catalog,
-      st.prefixIndex) > st.maxUnseenPrefixShare
+    val rebuild = drift > st.maxUnseenPrefixShare
     // ---- staged two-phase commit: artifacts first, marker last ----
     failpoint("stage")
     catalog.overwrite(survivors, stagedSurvivors(st))
