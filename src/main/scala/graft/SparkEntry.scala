@@ -1066,8 +1066,11 @@ object SparkEntry {
       graft.sim.Quantize.int8Rows(embeddings(s, dir), "vec_id", "embedding")),
 
     // Exact top-k over the QUANTIZED corpus: all-integer dot products
-    // rescaled per candidate — the int8 kernel arithmetic. Rows-only;
-    // recall vs the float ranking is pinned in RecallSpec/RECALL.md.
+    // rescaled per candidate — the int8 kernel arithmetic. Fully
+    // deterministic (q75's per-element rounding feeds exact integer
+    // dots and norms), so the oracle replays the whole ranking in
+    // DuckDB; recall vs the FLOAT ranking stays a RECALL.md row
+    // (a different property — quantization loss, not correctness).
     "q76_ann_int8" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       graft.sim.Quantize.bruteForceTopKInt8(
@@ -2674,5 +2677,42 @@ object SparkEntry {
         |SELECT vec_id, dim, scale, qval,
         |  CAST(round((x - qval * scale) * 1000000) AS BIGINT) AS err_1e6
         |FROM qv""".stripMargin,
+
+    // The int8 ranking replayed end to end: q75's per-element
+    // quantization (same scale/round arithmetic, hash-proven there),
+    // then EXACT integer dot products and norms — the only doubles are
+    // one sqrt/multiply/divide per (query, candidate), each a single
+    // correctly-rounded IEEE op in both engines. Ties (sim DESC,
+    // id ASC) match the Spark window exactly.
+    "q76_ann_int8" ->
+      """WITH s AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    / 127.0 AS scale,
+        |  embedding FROM embeddings),
+        |e AS (SELECT vec_id, scale,
+        |  generate_subscripts(embedding, 1) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM s),
+        |qv AS (SELECT vec_id, pos,
+        |  CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(round(x/scale) AS BIGINT) END AS q FROM e),
+        |nrm AS (SELECT vec_id, sum(q*q) AS nn FROM qv GROUP BY vec_id),
+        |dots AS (
+        |  SELECT c.vec_id AS id, r.vec_id AS qid, sum(c.q * r.q) AS dot
+        |  FROM qv c JOIN qv r ON c.pos = r.pos AND c.vec_id <> r.vec_id
+        |  WHERE r.vec_id < 8
+        |  GROUP BY c.vec_id, r.vec_id),
+        |scored AS (
+        |  SELECT d.qid, d.id,
+        |    CASE WHEN cn.nn = 0 OR qn.nn = 0 THEN -2.0
+        |         ELSE CAST(d.dot AS DOUBLE) /
+        |           (sqrt(CAST(cn.nn AS DOUBLE)) * sqrt(CAST(qn.nn AS DOUBLE)))
+        |    END AS sim
+        |  FROM dots d
+        |  JOIN nrm cn ON cn.vec_id = d.id
+        |  JOIN nrm qn ON qn.vec_id = d.qid)
+        |SELECT qid, id AS vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT qid, id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
   )
 }

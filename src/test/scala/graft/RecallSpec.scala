@@ -56,16 +56,12 @@ class RecallSpec extends SparkTestBase {
       assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
     }
 
-    test(s"[$tag] int8-quantized top-k recall@5 >= 0.95 vs float (q76)") {
-      // measured 0.975/0.975 — 4x compression flips only neighbor
-      // pairs whose cosine gap is below the quantization noise, which
-      // on this near-uniform corpus is the top-k boundary itself.
-      // (The first implementation kept a stray per-candidate scale
-      // factor in the score and measured 0.675 — this bound exists to
-      // catch exactly that class of ranking bug.)
-      val x = RecallReport.annInt8(emb)
-      assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
-    }
+    // q76 (int8 top-k) is no longer gated here: its ranking is fully
+    // deterministic and now hash-gated against a DuckDB replay of the
+    // integer arithmetic (SparkEntry.oracleSql "q76_ann_int8"), which
+    // subsumes the CI recall bound. Recall vs the FLOAT ranking — a
+    // quantization-loss measure, not a correctness one — remains a
+    // docs/RECALL.md row via RecallReport.annInt8.
 
     test(s"[$tag] self k-NN graph recall >= 0.95 (q92 vs exact q65)") {
       // measured 0.980/0.986 at the r=3 × L=16 default over ALL
