@@ -152,15 +152,25 @@ object Bench {
         }
         dropAllState(gc = false)
         val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        // seed from 80%; TWO disjoint 10% ticks give a min-of-two for
+        // the tick row (a single first-tick sample rides whatever GC /
+        // page-cache state the build left behind — observed 2x spread)
         graft.streaming.IngestLoop.build(
-          docs.filter(col("doc_id") % 10 =!= 0), cat, st)
-        val batch = docs.filter(col("doc_id") % 10 === 0)
-          .localCheckpoint(true) // charge the tick, not the scan, twice
-        val t0 = System.nanoTime()
-        graft.streaming.IngestLoop.ingest(batch, cat, st)
-        val tick = (System.nanoTime() - t0) / 1e9
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          cat, st)
+        def tickOn(slice: Int): Double = {
+          val batch = docs.filter(col("doc_id") % 10 === slice)
+            .localCheckpoint(true) // charge the tick, not the scan
+          val t0 = System.nanoTime()
+          graft.streaming.IngestLoop.ingest(batch, cat, st)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val tick = math.min(tickOn(5), tickOn(0))
+        // quiescent: re-ingest an already-landed slice (pure gate cost)
+        val batch0 = docs.filter(col("doc_id") % 10 === 0)
+          .localCheckpoint(true)
         val t1 = System.nanoTime()
-        graft.streaming.IngestLoop.ingest(batch, cat, st)
+        graft.streaming.IngestLoop.ingest(batch0, cat, st)
         val quiet = (System.nanoTime() - t1) / 1e9
         Map("ingest_loop_tick" -> tick, "ingest_loop_quiescent" -> quiet)
       } catch { case e: Throwable =>

@@ -30,6 +30,18 @@ object IngestBench {
         f
         println(f"[ingestbench] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // JIT the whole loop path on the tiny sf first — the same warmup
+      // Bench gives it, so the two report comparable tick numbers
+      locally {
+        val wcat = new graft.catalog.ParquetCatalog(
+          root.resolve("warm").toString)
+        val wdocs = Tables.documents(spark, "/root/testdata/sf0.001")
+          .select("doc_id", "text")
+        graft.streaming.IngestLoop.build(
+          wdocs.filter(col("doc_id") % 10 =!= 0), wcat, st)
+        graft.streaming.IngestLoop.ingest(
+          wdocs.filter(col("doc_id") % 10 === 0), wcat, st)
+      }
       timed("build (untimed in Bench)") {
         graft.streaming.IngestLoop.build(
           docs.filter(col("doc_id") % 10 =!= 0), cat, st)

@@ -255,12 +255,15 @@ object RecallReport {
         |  md5-ranked spread inits all recall WORSE than lowest-id +
         |  Lloyd here (0.40-0.73 at k=16); fineness, not seed spread, is
         |  what buys IVF recall at fixed scan cost.
-        |- **q76**: int8 quantization (q75's exploded form is fully
-        |  ORACLE-gated; this row measures what the compression costs
-        |  the k-NN ranking). The scales cancel out of the approximate
-        |  cosine entirely — the score is the cosine of the integer
-        |  vectors. The corpus is near-uniform, so top-k cosine gaps
-        |  sit at the quantization noise floor: 0.975 here is the
+        |- **q76**: int8 quantization. BOTH q75 (the per-element
+        |  quantization) and q76 itself (the full int8 ranking) are
+        |  ORACLE-gated — the integer arithmetic replays in DuckDB —
+        |  so this row is NOT a correctness gate (no RecallSpec bound):
+        |  it measures what the 4x compression costs the k-NN ranking
+        |  vs the FLOAT ground truth. The scales cancel out of the
+        |  approximate cosine entirely — the score is the cosine of the
+        |  integer vectors. The corpus is near-uniform, so top-k cosine
+        |  gaps sit at the quantization noise floor: 0.975 here is the
         |  WORST regime, clustered corpora lose less.
         |- **q92**: the LSH self k-NN graph (its exact twin is the
         |  oracle-gated q65) — every vector is a query, so

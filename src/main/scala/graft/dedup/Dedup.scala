@@ -456,7 +456,13 @@ object Dedup {
       .join(prepped.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.functions.exprs.jaccard_sim(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
+      // coalesce, not a bare >=: a null-intolerant predicate on the
+      // jaccard lets constraint propagation infer isnotnull(set) and
+      // push a DataFilter evaluating the n-gram expression onto the
+      // CORPUS scan — re-tokenizing every corpus row per verify side,
+      // exactly what the candidate-id semi-probe above exists to
+      // avoid. Null-tolerant form, identical rows (null never >= t).
+      .filter(coalesce(col("jaccard"), lit(-2.0)) >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Per-JVM memo of broadcast decisions keyed by (canonical plan hash
@@ -687,10 +693,33 @@ object Dedup {
       corpusBase: DataFrame, batchBase: DataFrame, idCol: String,
       catalog: graft.catalog.TableCatalog,
       table: String): (DataFrame, Double) = {
+    val (pairs, drift, _) = incrementalPairsFromCatalogWithProbe(
+      corpusBase, batchBase, idCol, catalog, table)
+    (pairs, drift)
+  }
+
+  /** [[incrementalPairsFromCatalogWithDrift]] that ALSO hands back the
+    * materialized batch prefix rows — the index-schema (tok, id, sz,
+    * rn) frame the candidate join probed, which is byte-for-byte what
+    * [[appendToPrefixIndex]] would compute for the same batch. A
+    * fenced per-tick caller ([[graft.streaming.IngestLoop]]) stages
+    * these rows with its other commit artifacts, so the index append
+    * never pays the batch tokenize + vocab probe + ranking window a
+    * second time. */
+  def incrementalPairsFromCatalogWithProbe(
+      corpusBase: DataFrame, batchBase: DataFrame, idCol: String,
+      catalog: graft.catalog.TableCatalog,
+      table: String,
+      knownThreshold: Option[Double] = None): (DataFrame, Double, DataFrame) = {
     val spark = batchBase.sparkSession
     val sc = spark.sparkContext
-    val threshold = catalog.read(spark, s"${table}__meta")
-      .head().getAs[Double]("threshold")
+    // a caller that OWNS the index (built it with the same declared
+    // threshold, e.g. IngestLoop.State) passes it and skips the
+    // per-tick metadata read; anyone else pays one tiny head job for
+    // the guarantee the probe cut matches the persisted index's
+    val threshold = knownThreshold.getOrElse(
+      catalog.read(spark, s"${table}__meta")
+        .head().getAs[Double]("threshold"))
     val withDf = frozenVocabPrefixes(batchBase, idCol, catalog, table,
         threshold, keepDf = true)
       .repartition(sc.defaultParallelism, col("id")) // see probePrefixes
@@ -702,8 +731,9 @@ object Dedup {
     val total = if (r.isNullAt(0)) 0L else r.getLong(0)
     val unseen = if (r.isNullAt(1)) 0L else r.getLong(1)
     val drift = if (total == 0L) 0.0 else unseen.toDouble / total
-    (pairsFromProbe(withDf.drop("tok_df"), corpusBase, batchBase, idCol,
-      catalog, table, threshold), drift)
+    val prefixRows = withDf.drop("tok_df")
+    (pairsFromProbe(prefixRows, corpusBase, batchBase, idCol,
+      catalog, table, threshold), drift, prefixRows)
   }
 
   private def pairsFromProbe(batchPrefixes: DataFrame, corpusBase: DataFrame,
@@ -714,11 +744,24 @@ object Dedup {
     val index = catalog.read(spark, table).unionByName(batchPrefixes)
     // != not <: a batch doc also pairs with lower corpus ids; both
     // orders arrive and collapse in the canonical select below
+    // (materialized: the id-pair set is delta-scale and is consumed
+    // twice below — once for the candidate-id semi-probe, once by the
+    // verify join)
     val cand = ppjoinCandidates(batchPrefixes, index, threshold,
       broadcastPersistedIndex(spark, catalog, table),
       pairFilter = col("id_a") =!= col("id_b"))
+      .localCheckpoint(true)
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    // verification payloads for CANDIDATE-TOUCHING docs only: the
+    // broadcast semi-probe pushes below the set projection (Catalyst's
+    // PushDownLeftSemiAntiJoin through Project/Union), so the corpus
+    // tokenize runs over the delta-scale candidate set, not — twice,
+    // once per verify side — over every corpus row (measured at sf0.1:
+    // the dominant cost of the per-tick pair discovery)
     val prepped = corpusBase.select(col(idCol).as("id"), col("set"))
       .unionByName(batchBase.select(col(idCol).as("id"), col("set")))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
     verifyJaccard(cand, prepped, threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
@@ -954,12 +997,16 @@ object Dedup {
     * MINIMUM id so labels match the distributed form exactly
     * (IncrementalComponentsSpec runs both paths against the same
     * oracle). Ids must be integral and nonnegative. */
-  private def unionFindComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    val idType = pairs.schema("id_a").dataType
-    val edges = pairs
-      .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .collect()
+  private def unionFindComponents(pairs: DataFrame): DataFrame =
+    unionFindFromEdges(pairs.sparkSession,
+      pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect(),
+      pairs.schema("id_a").dataType)
+
+  private def unionFindFromEdges(spark: org.apache.spark.sql.SparkSession,
+                                 edges: Array[org.apache.spark.sql.Row],
+                                 idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -1047,7 +1094,8 @@ object Dedup {
     * [[graft.streaming.IngestLoop]] by id-hash) applies the remap to
     * the touched partitions only instead of rewriting the corpus. */
   def incrementalComponentsDelta(components: DataFrame,
-                                 deltaPairs: DataFrame)
+                                 deltaPairs: DataFrame,
+                                 pinned: Boolean = false)
       : Option[(DataFrame, DataFrame)] = {
     val compOf = components.select(col("id"), col("component"))
     // materialize the delta ONCE: the pair frame usually arrives as a
@@ -1056,9 +1104,11 @@ object Dedup {
     // the contraction, the new-node anti-join) — without the pin each
     // branch re-ran the whole candidate+verify chain (measured: q89's
     // warm runs paid the q90 chain ~4x, 12 s where the pinned form
-    // takes ~3)
-    val delta = deltaPairs.select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+    // takes ~3). A caller that already materialized the pairs says so
+    // via `pinned` and skips the redundant checkpoint job.
+    val delta =
+      if (pinned) deltaPairs.select(col("id_a"), col("id_b"))
+      else deltaPairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val deltaNodes = delta.select(col("id_a").as("id"))
       .unionByName(delta.select(col("id_b").as("id"))).distinct()
     // delta-scale assignment lookup: components is scanned, not
@@ -1079,45 +1129,60 @@ object Dedup {
       .select(least(col("u"), col("v")).as("id_a"),
         greatest(col("u"), col("v")).as("id_b"))
       .distinct()
-      .localCheckpoint(true)
     // every delta edge internal to a standing component ⇒ the
     // contracted graph is empty ⇒ nothing merges AND no delta node is
     // new (an edge only contracts away when both endpoints carry
     // assignments), so the standing assignment IS the answer — skip
     // the CC machinery and the corpus-side remap scan entirely (the
     // steady-state "nothing new today" tick)
-    val nEdges = contracted.count()
-    if (nEdges == 0) return None
+    //
+    // ONE job decides empty/small/huge AND fetches the small case's
+    // edges: collect through a cap+1 limit (the contracted graph is
+    // driver-broadcast-destined below the cap anyway), instead of the
+    // previous checkpoint + count + collect triple — two scheduling
+    // round-trips of a delta-scale frame saved per tick.
+    val ufCap = components.sparkSession.conf
+      .get("graft.cc.driverUnionFindMaxEdges", (1L << 20).toString).toLong
+    val capped = contracted
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(math.min(ufCap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (capped.isEmpty) return None
+    val idType = contracted.schema("id_a").dataType
     // Full CC, but on the contracted delta graph only. The merged
     // labels feed a BROADCAST remap below, so the contracted graph is
     // driver-broadcast-sized by the method's own contract — below the
     // cap, resolve it with a driver union-find (min-id roots, path
-    // compression) instead of the iterative distributed CC: the fold's
-    // warm cost was dominated by per-round job overhead on a graph of
-    // a few thousand edges (measured ~1.5 s of scheduling for ~0.2 s
-    // of data). Above the cap (a rebuild-scale delta where the remap
-    // broadcast itself is the real constraint) the distributed rounds
-    // take over unchanged.
-    val ufCap = components.sparkSession.conf
-      .get("graft.cc.driverUnionFindMaxEdges", (1L << 20).toString).toLong
+    // compression) over the already-collected edges instead of the
+    // iterative distributed CC: the fold's warm cost was dominated by
+    // per-round job overhead on a graph of a few thousand edges
+    // (measured ~1.5 s of scheduling for ~0.2 s of data). Above the
+    // cap (a rebuild-scale delta where the remap broadcast itself is
+    // the real constraint) the distributed rounds take over unchanged.
+    val viaDriver = capped.length <= ufCap
     val merged =
-      if (nEdges <= ufCap) unionFindComponents(contracted)
-      else connectedComponents(contracted)
+      if (viaDriver) unionFindFromEdges(components.sparkSession, capped, idType)
+      else connectedComponents(contracted.localCheckpoint(true))
     // merged includes the identity row for every root, so the remap is
     // idempotent (fixed points stay fixed) — load-bearing for the
-    // partition-scoped apply's crash recovery
-    val remapDf = merged
-      .select(col("id").as("component"), col("component").as("newc"))
-      .localCheckpoint(true)
+    // partition-scoped apply's crash recovery.
+    // Checkpoint ONLY on the distributed branch: the driver union-find
+    // yields a LocalRelation, which multiple consumers re-read for
+    // free — a checkpoint there is a pure scheduling tax (two jobs a
+    // tick, measured ~0.3 s of pure overhead).
+    def pin(df: DataFrame): DataFrame =
+      if (viaDriver) df else df.localCheckpoint(true)
+    val remapDf = pin(merged
+      .select(col("id").as("component"), col("component").as("newc")))
     // delta endpoints unseen by the standing assignment (new docs,
     // or corpus docs first entering a pair): their contracted node is
-    // themselves, so the merge result IS their label
+    // themselves, so the merge result IS their label. The chain is
+    // delta-over-broadcast-locals, cheap to re-run per consumer — no
+    // checkpoint.
     val newNodes = deltaNodes
       .join(broadcast(touched.select(col("id"))), Seq("id"), "left_anti")
       .join(broadcast(remapDf.select(col("component").as("id"), col("newc"))),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("newc"), col("id")).as("component"))
-      .localCheckpoint(true)
     Some((remapDf, newNodes))
   }
 

@@ -114,7 +114,18 @@ object BloomGate {
     * with [[buildBloomIndex]] (callers own that policy, like the IVF
     * centroid refresh). */
   def appendToBloomIndex(batch: DataFrame, keyCol: String,
-                         catalog: TableCatalog, table: String): Unit = {
+                         catalog: TableCatalog, table: String): Unit =
+    catalog.overwrite(mergedBloomFrame(batch, keyCol, catalog, table), table)
+
+  /** The merged (persisted ∪ batch) bloom as a one-row frame of the
+    * index table's schema, WITHOUT writing it — so a fenced caller
+    * ([[graft.streaming.IngestLoop]]) can stage the merged bytes
+    * before its commit marker and install them idempotently
+    * afterwards: `overwrite` backends are delete-then-write, and
+    * merging in place would leave a crash mid-overwrite with no
+    * surviving copy of the base bloom. */
+  def mergedBloomFrame(batch: DataFrame, keyCol: String,
+                       catalog: TableCatalog, table: String): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val row = catalog.read(spark, table).head()
@@ -123,16 +134,44 @@ object BloomGate {
     val expectedItems = row.getAs[Long]("expected_items")
     val bits = row.getAs[Long]("num_bits")
     // delta bloom with the SAME geometry, so the merge is compatible;
-    // an empty batch aggregates to null — nothing to merge
+    // an empty batch aggregates to null — nothing to merge. The delta
+    // stays a DISTRIBUTED aggregate here: this overload serves
+    // arbitrary batch sizes (a corpus-scale backfill must not collect)
     val delta = collectBloom(batch, keyCol, expectedItems, bits)
     if (delta != null)
       base.mergeInPlace(
         BloomFilter.readFrom(new java.io.ByteArrayInputStream(delta)))
     val out = new java.io.ByteArrayOutputStream()
     base.writeTo(out)
-    catalog.overwrite(
-      Seq((out.toByteArray, expectedItems, bits))
-        .toDF("bloom", "expected_items", "num_bits"), table)
+    Seq((out.toByteArray, expectedItems, bits))
+      .toDF("bloom", "expected_items", "num_bits")
+  }
+
+  /** [[mergedBloomFrame]] from an ALREADY-READ index row — a per-tick
+    * caller that probed the bloom moments earlier passes the same row
+    * and skips a second head job over the index table.
+    *
+    * The batch's bits are inserted DRIVER-SIDE: collect the batch's
+    * `xxhash64(key)` values (batch-scale by the caller's contract) and
+    * `putLong` each into the deserialized base — the exact insertion
+    * `BloomFilterAggregate` performs distributed (it hashes the
+    * XxHash64 child's long; IngestLoopSpec pins the result
+    * bit-identical to a from-scratch distributed build). One tiny
+    * collect instead of a full aggregate job per tick. */
+  def mergedBloomFrame(batch: DataFrame, keyCol: String,
+                       row: org.apache.spark.sql.Row): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val base = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bloom")))
+    val expectedItems = row.getAs[Long]("expected_items")
+    val bits = row.getAs[Long]("num_bits")
+    batch.select(xxhash64(col(keyCol)).as("h")).as[Long].collect()
+      .foreach(base.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    base.writeTo(out)
+    Seq((out.toByteArray, expectedItems, bits))
+      .toDF("bloom", "expected_items", "num_bits")
   }
 
   /** The persisted bloom's bytes. */

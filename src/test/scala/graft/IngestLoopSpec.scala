@@ -139,7 +139,7 @@ class IngestLoopSpec extends SparkTestBase {
     assertConverged(cat, seed.unionByName(b1), "killed at marker")
   }
 
-  test("vocabulary drift trips an index rebuild and pairs stay exact") {
+  test("vocabulary drift REQUESTS a rebuild; the tick appends and stays exact") {
     val cat = freshCatalog
     val seed = docs.filter(col("doc_id") < 300)
     IngestLoop.build(seed, cat, st)
@@ -151,16 +151,113 @@ class IngestLoopSpec extends SparkTestBase {
       (50002L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ αβ"),
       (50003L, "πολύ διαφορετικό κείμενο εδώ καθόλου όμοιο"))
       .toDF("doc_id", "text")
+    assert(!IngestLoop.rebuildRequested(spark, cat, st))
     val s1 = IngestLoop.ingest(alien, cat, st)
     assert(s1.count() == 3)
-    // the rebuild re-snapshotted the vocabulary: the alien tokens now
-    // carry REAL frequencies (an append would have left vocab as-was)
+    // the TICK stays batch-scale: it appended on the frozen order
+    // (vocab untouched) and recorded the rebuild request for the
+    // maintenance window instead of stalling on a corpus-scale job
+    assert(cat.read(spark, s"${st.prefixIndex}__vocab").count()
+      == vocabBefore, "a tick must never rebuild the vocabulary")
+    assert(IngestLoop.rebuildRequested(spark, cat, st))
+    assertConverged(cat, seed.unionByName(alien), "drift append")
+    // the maintenance op rebuilds under a fresh snapshot: alien tokens
+    // now carry REAL frequencies, the request clears, pairs unchanged
+    assert(IngestLoop.maintainPrefixIndex(spark, cat, st))
     val vocabAfter = cat.read(spark, s"${st.prefixIndex}__vocab")
     assert(vocabAfter.count() > vocabBefore)
     assert(vocabAfter.filter(col("tok") === "ωψφξδ").count() == 1,
       "rebuilt vocab must hold the (lowercased) alien 5-grams")
-    // and the loop invariant held through the rebuild
-    assertConverged(cat, seed.unionByName(alien), "drift rebuild")
+    assert(!IngestLoop.rebuildRequested(spark, cat, st))
+    assert(!IngestLoop.maintainPrefixIndex(spark, cat, st),
+      "no standing request: maintenance must be a no-op")
+    assertConverged(cat, seed.unionByName(alien), "post-rebuild")
+    // and the rebuilt index serves the next tick
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    IngestLoop.ingest(b2, cat, st)
+    assertConverged(cat, seed.unionByName(alien).unionByName(b2),
+      "tick after rebuild")
+  }
+
+  test("a rebuild killed mid-swap rolls forward before the next tick appends") {
+    val cat = freshCatalog
+    val seed = docs.filter(col("doc_id") < 300)
+    IngestLoop.build(seed, cat, st)
+    val alien = Seq(
+      (50001L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ"),
+      (50002L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ αβ"))
+      .toDF("doc_id", "text")
+    IngestLoop.ingest(alien, cat, st)
+    assert(IngestLoop.rebuildRequested(spark, cat, st))
+    // die AFTER the swap marker committed, BEFORE the install — the
+    // staged index is complete; the next tick must land it before its
+    // first append or the late-arriving swap would erase that append
+    val boom = intercept[RuntimeException] {
+      IngestLoop.rebuildPrefixIndexImpl(spark, cat, st,
+        s => if (s == "rebuild_swap") throw new RuntimeException("kill@swap"))
+    }
+    assert(boom.getMessage == "kill@swap")
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    IngestLoop.ingest(b2, cat, st)
+    // the swap landed (alien vocab present), the request cleared, and
+    // b2's prefix rows live in the NEW index (convergence proves the
+    // next batch can still pair against them)
+    assert(cat.read(spark, s"${st.prefixIndex}__vocab")
+      .filter(col("tok") === "ωψφξδ").count() == 1)
+    assert(!IngestLoop.rebuildRequested(spark, cat, st))
+    assertConverged(cat,
+      seed.unionByName(alien).unionByName(b2), "swap rolled forward")
+    val b3 = docs.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+    IngestLoop.ingest(b3, cat, st)
+    assertConverged(cat,
+      seed.unionByName(alien).unionByName(b2).unionByName(b3),
+      "tick after recovered swap")
+  }
+
+  test("a partition destroyed mid-component-write is restored from staged content") {
+    // the delete-then-rename window inside dynamic partition overwrite
+    // can vaporize a whole touched id-hash partition — including rows
+    // of components the tick never remapped. Recovery must rewrite it
+    // from the STAGED replacement content (recomputing from the
+    // damaged standing table would silently drop the partition).
+    val cat = freshCatalog
+    val seed = docs.filter(col("doc_id") < 300)
+    IngestLoop.build(seed, cat, st)
+    // an internal near-dup pair → new nodes → non-empty staged content
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .unionByName(Seq(
+        (60001L, "shared shingle payload shared shingle payload alpha"),
+        (60002L, "shared shingle payload shared shingle payload beta"))
+        .toDF("doc_id", "text"))
+    val boom = intercept[RuntimeException] {
+      IngestLoop.ingestImpl(b1, cat, st,
+        s => if (s == "prefix") throw new RuntimeException("kill@prefix"))
+    }
+    assert(boom.getMessage == "kill@prefix")
+    // components landed before the kill; now destroy one touched
+    // partition wholesale, as a crash inside the next write's
+    // delete/rename pair would
+    val staged = cat.read(spark, s"${st.corpus}__tick_components")
+    assert(!staged.isEmpty, "test needs a non-empty staged delta")
+    // pick a staged partition that exists on disk (one holding
+    // standing rows — an all-new partition has no dir to destroy yet)
+    val parts = staged.select("__part").distinct().as[Long].collect()
+    val target = parts.map(p =>
+        new java.io.File(s"${cat.root}/${st.components}/__part=$p"))
+      .find(_.exists)
+      .getOrElse(fail("no touched partition dir exists on disk"))
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(nuke)
+      f.delete()
+    }
+    nuke(target)
+    assert(!target.exists)
+    // the retry's head-of-tick recovery replaces every touched
+    // partition from staged content — the destroyed one included
+    val retry = IngestLoop.ingest(b1, cat, st)
+    assert(retry.isEmpty,
+      "the recovered tick already landed; retry must gate out")
+    assertConverged(cat, seed.unionByName(b1), "partition restored")
   }
 
   test("a tick of pure re-ingests is a no-op on every artifact") {

@@ -87,4 +87,77 @@ class JdbcCatalogSpec extends SparkTestBase {
     assert(sqlserver.getClass.getSimpleName.toLowerCase.contains("sqlserver") ||
       sqlserver.getClass.getSimpleName.toLowerCase.contains("mssql"))
   }
+
+  /** The FULL statement, not just per-type fragments: the column list
+    * below is built by Spark's own `JdbcUtils.schemaString` (the exact
+    * text `DataFrameWriter.jdbc` executes), so quoting, ordering,
+    * nullability syntax and the type map are all pinned per dialect in
+    * one string each. A regression in ANY of them — a Spark upgrade
+    * remapping StringType, a quoting change — fails here instead of at
+    * the first production write to the gold (MySQL) or platinum
+    * (SQL Server) warehouse. */
+  test("full CREATE TABLE text is pinned per warehouse dialect") {
+    import org.apache.spark.sql.types._
+    // the gold mart's report shape: keys, a label, measures, a flag,
+    // a load timestamp — NOT NULL on the keys exercises nullability
+    val schema = StructType(Seq(
+      StructField("report_id", LongType, nullable = false),
+      StructField("zone_name", StringType, nullable = true),
+      StructField("total_amount", DoubleType, nullable = true),
+      StructField("trip_count", IntegerType, nullable = true),
+      StructField("is_weekend", BooleanType, nullable = true),
+      StructField("loaded_at", TimestampType, nullable = true)))
+    assert(JdbcCatalog.createTableDdl(
+      "jdbc:mysql://host/db", "gold_report", schema) ==
+      "CREATE TABLE gold_report (`report_id` BIGINT NOT NULL, " +
+        "`zone_name` LONGTEXT , `total_amount` DOUBLE PRECISION , " +
+        "`trip_count` INTEGER , `is_weekend` BIT(1) , " +
+        "`loaded_at` TIMESTAMP )")
+    assert(JdbcCatalog.createTableDdl(
+      "jdbc:sqlserver://host;database=db", "platinum_report", schema) ==
+      "CREATE TABLE platinum_report (\"report_id\" BIGINT NOT NULL, " +
+        "\"zone_name\" NVARCHAR(MAX) , \"total_amount\" DOUBLE PRECISION , " +
+        "\"trip_count\" INTEGER , \"is_weekend\" BIT , " +
+        "\"loaded_at\" DATETIME )")
+    // and the embedded engine actually used by the live tests above
+    assert(JdbcCatalog.createTableDdl(url, "t_ddl", schema).startsWith(
+      "CREATE TABLE t_ddl (\"report_id\" BIGINT NOT NULL"))
+  }
+
+  test("replacePartitions deletes only the incoming partition's rows") {
+    val cat = catalog
+    val df = Seq((1L, "2023-01", 10.0), (2L, "2023-01", 20.0),
+      (3L, "2023-02", 30.0)).toDF("id", "month_o", "amount")
+    cat.overwrite(df, "t_parts")
+    // replace month 2023-01 with ONE corrected row; 2023-02 untouched
+    cat.replacePartitions(
+      Seq((9L, "2023-01", 99.0)).toDF("id", "month_o", "amount"),
+      "t_parts", partitionBy = Seq("month_o"))
+    val back = cat.read(spark, "t_parts").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("month_o")))
+      .toSet
+    assert(back == Set((9L, "2023-01"), (3L, "2023-02")))
+    // re-running the same unit of work is idempotent (the monthly
+    // backfill contract replacePartitions exists for)
+    cat.replacePartitions(
+      Seq((9L, "2023-01", 99.0)).toDF("id", "month_o", "amount"),
+      "t_parts", partitionBy = Seq("month_o"))
+    assert(cat.read(spark, "t_parts").count() == 2)
+  }
+
+  test("the trait default refuses rather than guessing overwrite/append") {
+    val bare = new graft.catalog.TableCatalog {
+      def read(s: org.apache.spark.sql.SparkSession, t: String) = ???
+      def exists(s: org.apache.spark.sql.SparkSession, t: String) = false
+      def append(df: org.apache.spark.sql.DataFrame, t: String,
+                 p: Seq[String]) = ()
+      def overwrite(df: org.apache.spark.sql.DataFrame, t: String,
+                    p: Seq[String]) = ()
+      def drop(s: org.apache.spark.sql.SparkSession, t: String) = ()
+    }
+    intercept[UnsupportedOperationException] {
+      bare.replacePartitions(rows.toDF("id", "name", "amount"), "t_x",
+        Seq("name"))
+    }
+  }
 }

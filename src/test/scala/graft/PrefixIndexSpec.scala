@@ -120,16 +120,19 @@ class PrefixIndexSpec extends SparkTestBase {
     assert(got.contains(got.find(p => p._1 == 30001L && p._2 == 30002L).get))
   }
 
-  test("the catalog query recomputes no prefixes: a window-free plan") {
+  test("the catalog query recomputes no prefixes: a window-free verify plan") {
     val cat = freshCatalog
     Dedup.buildPrefixIndex(corpus, "doc_id", 0.4, cat, "pfx")
     val plan = Dedup.incrementalPairsFromCatalog(
         corpus, batch, "doc_id", cat, "pfx")
       .queryExecution.executedPlan.toString
-    // corpus prefixes arrive from the persisted table (a file scan of
-    // the index path), batch prefixes from the checkpointed delta —
-    // the ranking window was paid at build time, not per query
-    assert(plan.contains("pfx"), plan)
+    // corpus prefixes arrive from the persisted table and the
+    // candidate id-pairs are materialized eagerly (they feed both the
+    // verify join and its payload semi-probe), so the returned plan is
+    // verification-only: no ranking Window anywhere (paid at build
+    // time, not per query), and the corpus side appears solely as the
+    // semi-probed payload lookup — never a per-query re-rank
+    assert(plan.contains("ExistingRDD"), plan) // the materialized pairs
     assert(!plan.contains("Window"), plan)
   }
 
