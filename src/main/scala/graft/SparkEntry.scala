@@ -365,16 +365,27 @@ object SparkEntry {
     // hashCode-replay oracle applies to the whole decode path)
     "q22_multimodal_decode" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMedia(documents(s, dir))).toDF()),
+    // Banded hyperplane-LSH near-dups, FULLY oracle-gated since r8:
+    // the seeded planes are a java.util.Random LCG the oracle replays
+    // exactly in DuckDB integer arithmetic (see lshPlanesCte), so the
+    // whole chain — 12×3 sign bits, band collisions, exact-cosine
+    // verify — hash-compares. Recall vs brute force stays a separate
+    // QUALITY bound (RECALL.md + RecallSpec): the oracle proves the
+    // LSH computed what it declares, the recall floor proves what it
+    // declares is a good approximation.
     "q23_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingPairs(embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.3, planesPerBand = 3, bands = 12)),
     // EXACT n-gram Jaccard self-join via rarest-first prefix filtering
     // (AllPairs/PPJoin shape) — oracle-checkable against a DuckDB
-    // all-pairs join, unlike the LSH variants above whose recall is
-    // measured in docs/RECALL.md instead.
+    // all-pairs join with no prefix filter, proving the filter dropped
+    // nothing.
     "q24_ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.exactNgramJaccardPairs(documents(s, dir), "doc_id", "text",
         n = 5, threshold = 0.4)),
+    // Multi-table multi-probe LSH top-k, FULLY oracle-gated since r8
+    // (LCG plane replay + Hamming-1 probe set in SQL); recall vs brute
+    // force stays the RECALL.md/RecallSpec quality bound.
     "q25_ann_lsh" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Ann.lshTopK(e, e.filter(col("vec_id") < 8), k = 5,
@@ -549,8 +560,9 @@ object SparkEntry {
     // Self k-NN JOIN, LSH form (Ann.knnJoin): symmetric bucket
     // self-join (no broadcastable query side exists when every vector
     // is a query) + the k-bounded heap aggregate for per-vector top-k.
-    // Rows-only; graph recall ≥0.95 vs q65's exact form measured in
-    // RECALL.md and floored in RecallSpec.
+    // FULLY oracle-gated since r8 (LCG plane replay, 16 tables × 3
+    // bits, mirror + row_number twin of the heap); graph recall ≥0.95
+    // vs q65's exact form stays the RECALL.md/RecallSpec quality bound.
     "q92_knn_graph_lsh" -> ((s, dir) =>
       graft.sim.Ann.knnJoin(embeddings(s, dir), k = 5)),
 
@@ -1410,6 +1422,37 @@ object SparkEntry {
   private val discPrice = "(l_extendedprice*(1-l_discount))"
   private val charge    = "(l_extendedprice*(1-l_discount)*(1+l_tax))"
 
+  /** Hyperplane-LSH plane replay for the q23/q25/q92 oracles: the
+    * planes come from `scala.util.Random(seed)` = java.util.Random's
+    * 48-bit LCG, replayed EXACTLY in DuckDB integer arithmetic —
+    * `seed' = (seed * 0x5DEECE66D + 0xB) mod 2^48`, scrambled init,
+    * nextDouble = ((next(26) << 27) + next(27)) / 2^53 (every step
+    * exact: the 53-bit integer, the power-of-two divide, and the
+    * *2−1 rescale are all representable). One chain per table at
+    * seed 42+t (`Vectors.seededPlanes` / `Ann.planeTables`), draws in
+    * plane-major order, plane vectors reassembled with
+    * `list(w ORDER BY pos)` so `list_dot_product`'s fold order matches
+    * the Spark side's ordered-fold `DotProductD` bit for bit.
+    * Emits CTEs: lcg → draws → planes(t, p, pw) → e(vec_id, v). */
+  private def lshPlanesCte(nTables: Int, nPlanes: Int, dim: Int): String =
+    s"""lcg(t, i, state) AS (
+       |  SELECT t, 0, CAST(xor(42 + t, 25214903917) & 281474976710655 AS BIGINT)
+       |  FROM range($nTables) r(t)
+       |  UNION ALL
+       |  SELECT t, i+1, CAST((CAST(state AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT)
+       |  FROM lcg WHERE i < ${2 * nPlanes * dim}
+       |),
+       |draws AS (
+       |  SELECT a.t, CAST((a.i-1)//2 AS INT) AS d,
+       |    CAST(((a.state >> 22) * 134217728 + (b.state >> 21)) AS DOUBLE)
+       |      / 9007199254740992.0 * 2 - 1 AS w
+       |  FROM lcg a JOIN lcg b ON b.t = a.t AND b.i = a.i + 1
+       |  WHERE a.i % 2 = 1),
+       |planes AS (
+       |  SELECT t, d // $dim AS p, list(w ORDER BY d % $dim) AS pw
+       |  FROM draws GROUP BY t, d // $dim),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+
   /** ONE IVF ground truth consumed by q42 (inline) and q77 (persisted
     * index) — the two forms are bit-identical by construction. */
   private val ivfOracleSql =
@@ -1853,6 +1896,94 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = id_a
         |JOIN counts cb ON cb.doc_id = id_b
         |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4""".stripMargin,
+
+    // Banded hyperplane LSH near-dup replayed END TO END: the LCG
+    // plane replay (see lshPlanesCte) feeds 12 bands × 3 sign bits
+    // (single chain, band = p/3, bit = p%3), candidates collide in any
+    // band, exact cosine ≥ 0.3 verifies — every double along the way
+    // is a single correctly-rounded IEEE op in both engines. The flood
+    // cap (maxBucket=10000) cannot trip at the gate scale (≤500 rows
+    // per bucket), so the oracle omits it.
+    "q23_embedding_neardup" ->
+      s"""WITH RECURSIVE ${lshPlanesCte(1, 36, 64)},
+         |bits AS (
+         |  SELECT e.vec_id, CAST(p.p // 3 AS INT) AS bno,
+         |    CASE WHEN list_dot_product(e.v, p.pw) > 0
+         |         THEN CAST(1 << CAST(p.p % 3 AS INT) AS BIGINT) ELSE 0 END AS bit
+         |  FROM e, planes p),
+         |sigs AS (SELECT vec_id, bno, SUM(bit) AS sig FROM bits GROUP BY vec_id, bno),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.bno = b.bno AND a.sig = b.sig
+         |    AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cosine
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
+
+    // Multi-table multi-probe LSH top-k replayed end to end: 6 tables
+    // of 4 sign bits at seeds 42..47, each query probes its own bucket
+    // plus every 1-bit flip, candidates verify by exact cosine, same
+    // (sim DESC, id ASC) tie rule as the Spark window.
+    "q25_ann_lsh" ->
+      s"""WITH RECURSIVE ${lshPlanesCte(6, 4, 64)},
+         |buckets AS (
+         |  SELECT e.vec_id, CAST(p.t AS INT) AS tbl,
+         |    SUM(CASE WHEN list_dot_product(e.v, p.pw) > 0
+         |        THEN CAST(1 << CAST(p.p AS INT) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM e, planes p GROUP BY e.vec_id, p.t),
+         |qb AS (SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT qid, tbl, bucket FROM qb
+         |  UNION ALL
+         |  SELECT qid, tbl, xor(bucket, CAST(1 << CAST(j AS INT) AS BIGINT)) AS bucket
+         |  FROM qb, range(4) rj(j)),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, c.vec_id AS id
+         |  FROM buckets c JOIN probes p ON c.tbl = p.tbl AND c.bucket = p.bucket
+         |  WHERE c.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT cd.qid, cd.id,
+         |    list_dot_product(eq.v, ec.v) /
+         |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+         |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ec ON ec.vec_id = cd.id)
+         |SELECT qid, id AS vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // The LSH self k-NN graph replayed end to end: 16 tables × 3 sign
+    // bits at seeds 42..57, symmetric bucket collisions (qid < id),
+    // each unordered pair scored once and mirrored — cosine(a,b) is
+    // bit-identical to cosine(b,a) — then per-vector top-5. The
+    // k-bounded heap's tie rule (sim DESC via the struct order, id ASC
+    // via the negated-id field) is exactly row_number's here, the same
+    // equivalence the oracle-green exact twin q65 already pins.
+    "q92_knn_graph_lsh" ->
+      s"""WITH RECURSIVE ${lshPlanesCte(16, 3, 64)},
+         |buckets AS (
+         |  SELECT e.vec_id, CAST(p.t AS INT) AS tbl,
+         |    SUM(CASE WHEN list_dot_product(e.v, p.pw) > 0
+         |        THEN CAST(1 << CAST(p.p AS INT) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM e, planes p GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS id
+         |  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT cd.qid, cd.id,
+         |    list_dot_product(eq.v, ec.v) /
+         |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+         |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ec ON ec.vec_id = cd.id),
+         |mirrored AS (
+         |  SELECT qid, id, sim FROM scored
+         |  UNION ALL SELECT id AS qid, qid AS id, sim FROM scored)
+         |SELECT qid, id AS vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM mirrored) WHERE rnk <= 5""".stripMargin,
 
     // Chunk pigeonholing is exact below the flood cap, and the token
     // hash is SQL-replayable by design — the oracle brute-forces every
