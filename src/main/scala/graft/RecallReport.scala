@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.dedup.{Curation, Dedup}
 import graft.sim.{Ann, Vectors}
 
-/** Measured recall/precision of every approximate (rows-only) operator
-  * against its EXACT ground truth — the quantified replacement for
-  * "trust me, LSH works". Run via:
+/** Measured recall/precision of every APPROXIMATE operator against its
+  * EXACT ground truth — the quantified replacement for "trust me, LSH
+  * works". Since r8 every one of these operators ALSO carries a full
+  * DuckDB hash oracle (the LCG plane replay / fixed-point Lloyd replay
+  * in SparkEntry.oracleSql), so this table is no longer a correctness
+  * substitute: the oracle proves the operator computed exactly what it
+  * declares; the recall row proves the declaration approximates the
+  * exact answer well. Run via:
   *
   *   sbt "runMain graft.RecallReport /root/testdata/sf0.01 docs/RECALL.md"
   *
@@ -227,9 +232,11 @@ object RecallReport {
         |`sbt "runMain graft.RecallReport docs/RECALL.md"`) at BOTH scales
         |`RecallSpec` pins in CI — the spec asserts lower bounds on the
         |same measurement functions at the same scales, so this table and
-        |a green test suite cannot disagree. Every rows-only (no SQL
-        |oracle) operator is measured against an exact, brute-force or
-        |prefix-filter ground truth computed in the same session.
+        |a green test suite cannot disagree. Every approximate operator
+        |is measured against an exact, brute-force or prefix-filter
+        |ground truth computed in the same session. (Correctness is
+        |gated separately: since r8 each of these operators also has a
+        |full DuckDB hash oracle replaying its exact arithmetic.)
         |""".stripMargin
     val notes =
       """

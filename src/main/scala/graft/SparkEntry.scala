@@ -407,8 +407,9 @@ object SparkEntry {
     // where IVF recall actually comes from (measured 0.975 vs q42's
     // 0.925 at both spec scales — docs/RECALL.md; spread-seed inits
     // measured strictly worse, see kmeansCentroids scaladoc).
-    // Rows-only: unrolled float-mean iterations aren't reasonably
-    // SQL-expressible.
+    // FULLY oracle-gated since r8: the Lloyd means are the FIXED-POINT
+    // image (exact integer sums + pinned-order divisions), so two
+    // unrolled rounds replay bit-for-bit in DuckDB (kmeansCteSql).
     "q48_ann_ivf_kmeans" -> ((s, dir) => {
       val e = embeddings(s, dir)
       Ann.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nProbe = 64,
@@ -568,9 +569,10 @@ object SparkEntry {
 
     // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means
     // clusters bound the candidate space, within-cluster cosine pairs
-    // drop the higher id. Rows-only — clustering has no SQL oracle;
-    // pair recall vs the brute-force ground truth is measured in
-    // docs/RECALL.md and lower-bounded in RecallSpec.
+    // drop the higher id. FULLY oracle-gated since r8 (kmeansCteSql
+    // replay + top-8 cell heap as row_number); pair recall vs the
+    // brute-force ground truth stays the RECALL.md/RecallSpec quality
+    // bound.
     "q58_semantic_dedup" -> ((s, dir) =>
       graft.dedup.Dedup.semanticDedup(embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.3)
@@ -1434,6 +1436,44 @@ object SparkEntry {
     * `list(w ORDER BY pos)` so `list_dot_product`'s fold order matches
     * the Spark side's ordered-fold `DotProductD` bit for bit.
     * Emits CTEs: lcg → draws → planes(t, p, pw) → e(vec_id, v). */
+  /** Deterministic-Lloyd k-means replay for the q48/q58 oracles.
+    * Every stage of `Ann.kmeansCentroids` is SQL-exact: the init is
+    * the 256 lowest-id vectors; assignment argmax ties (csim DESC,
+    * cid ASC) are a row_number; the means are the FIXED-POINT image —
+    * `cast(sum(floor(x*1e9)) as double) / 1e9 / n`, exact integer sum
+    * then two pinned-order IEEE divisions, the same replay the green
+    * q53 oracle uses — and empty cells retain their previous centroid.
+    * Emits CTEs e, ex, c0, then a<i>/m<i>/cm<i>/c<i> per round; the
+    * final centroids are `c<rounds>`. */
+  private def kmeansCteSql(rounds: Int): String = {
+    def round(prev: String, i: Int): String =
+      s"""a$i AS (
+         |  SELECT id, cid FROM (
+         |    SELECT e.vec_id AS id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.cv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM e, $prev c) WHERE rn = 1),
+         |m$i AS (
+         |  SELECT a.cid, ex.pos,
+         |    CAST(SUM(CAST(floor(ex.x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000000.0 / COUNT(*) AS mv
+         |  FROM a$i a JOIN ex ON ex.vec_id = a.id
+         |  GROUP BY a.cid, ex.pos),
+         |cm$i AS (SELECT cid, list(mv ORDER BY pos) AS cv FROM m$i GROUP BY cid),
+         |c$i AS (
+         |  SELECT * FROM cm$i
+         |  UNION ALL
+         |  SELECT p.cid, p.cv FROM $prev p
+         |  WHERE p.cid NOT IN (SELECT cid FROM cm$i))""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+       |  CAST(unnest(v) AS DOUBLE) AS x FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 256),
+       |${(1 to rounds).map(i => round(s"c${i - 1}", i)).mkString(",\n")}""".stripMargin
+  }
+
   private def lshPlanesCte(nTables: Int, nPlanes: Int, dim: Int): String =
     s"""lcg(t, i, state) AS (
        |  SELECT t, 0, CAST(xor(42 + t, 25214903917) & 281474976710655 AS BIGINT)
@@ -1984,6 +2024,66 @@ object SparkEntry {
          |  SELECT qid, id, sim,
          |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
          |  FROM mirrored) WHERE rnk <= 5""".stripMargin,
+
+    // IVF over k-means centroids replayed end to end: two
+    // deterministic Lloyd rounds (see kmeansCteSql) rebuild the 256
+    // centroids bit-for-bit, then list assignment, 64-probe selection
+    // and the final top-5 all use the same (cosine DESC, id ASC)
+    // arithmetic the green q42/q77 oracle already pins.
+    "q48_ann_ivf_kmeans" ->
+      s"""WITH ${kmeansCteSql(2)},
+         |lists AS (
+         |  SELECT id, cid AS list_id FROM (
+         |    SELECT e.vec_id AS id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.cv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM e, c2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cid AS list_id FROM (
+         |    SELECT e.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.cv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM e, c2 c WHERE e.vec_id < 8) WHERE rn <= 64),
+         |scored AS (
+         |  SELECT p.qid, l.id,
+         |    list_dot_product(eq.v, ec.v) /
+         |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+         |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.id <> p.qid
+         |  JOIN e eq ON eq.vec_id = p.qid JOIN e ec ON ec.vec_id = l.id)
+         |SELECT qid, id AS vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // SemDeDup replayed end to end: one Lloyd round rebuilds the 256
+    // cells, each vector takes its top-8 cells (the heap's
+    // (csim, -cid) tie rule is row_number's rn <= 8 here), pairs
+    // sharing any cell verify by exact cosine, and the higher id of
+    // every qualifying pair drops.
+    "q58_semantic_dedup" ->
+      s"""WITH ${kmeansCteSql(1)},
+         |cells AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.v, c.cv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |        c.cid ASC) AS rn
+         |    FROM e, c1 c) WHERE rn <= 8),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |losers AS (
+         |  SELECT DISTINCT c.id_b AS vec_id
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+         |  WHERE list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.3)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
 
     // Chunk pigeonholing is exact below the flood cap, and the token
     // hash is SQL-replayable by design — the oracle brute-forces every
