@@ -455,4 +455,35 @@ object IngestLoop {
       indexSuffixes.foreach(sfx =>
         catalog.drop(spark, rebuildStage(st) + sfx))
     }
+
+  /** Small-file maintenance for the standing tables the loop APPENDS
+    * to: every tick adds a file batch to the corpus and the prefix
+    * index, and at 100 TB a year of daily ticks turns their scans into
+    * footer-open storms (the corpus is scanned by every gate and every
+    * pair verification). Rewrites both through
+    * [[graft.catalog.ParquetCatalog.compact]]'s fenced rename
+    * protocol into ≈`targetBytes` files. The components table is NOT
+    * compacted per call: its touched partitions are rewritten
+    * wholesale each tick, so only long-untouched partitions fragment —
+    * pass `componentParts = true` to sweep those too (one fenced
+    * compact per id-hash partition). Like compact itself, this is a
+    * between-ticks maintenance op for the loop's single sequential
+    * caller: a pending tick is recovered first, so no staged state is
+    * in flight while directories are being swapped. */
+  def compactState(spark: SparkSession, catalog: graft.catalog.ParquetCatalog,
+                   st: State, targetBytes: Long = 128L * 1024 * 1024,
+                   componentParts: Boolean = false): Unit = {
+    recoverPendingTick(spark, catalog, st)
+    catalog.compact(spark, st.corpus, targetBytes = targetBytes)
+    catalog.compact(spark, st.prefixIndex, targetBytes = targetBytes)
+    if (componentParts) {
+      val root = new org.apache.hadoop.fs.Path(
+        s"${catalog.root}/${st.components}")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__part="))
+        .foreach(s => catalog.compact(spark, st.components,
+          partition = Some(s.getPath.getName), targetBytes = targetBytes))
+    }
+  }
 }

@@ -260,6 +260,34 @@ class IngestLoopSpec extends SparkTestBase {
     assertConverged(cat, seed.unionByName(b1), "partition restored")
   }
 
+  test("compactState merges the per-tick file accumulation; loop stays ≡ batch") {
+    val cat = freshCatalog
+    val seed = docs.filter(col("doc_id") < 200)
+    IngestLoop.build(seed, cat, st)
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    IngestLoop.ingest(b1, cat, st)
+    IngestLoop.ingest(b2, cat, st)
+    def parquetFiles(table: String): Int =
+      new java.io.File(s"${cat.root}/$table").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val corpusBefore = parquetFiles(st.corpus)
+    val pfxBefore = parquetFiles(st.prefixIndex)
+    assert(corpusBefore > 1 && pfxBefore > 1,
+      s"appends should fragment ($corpusBefore, $pfxBefore)")
+    IngestLoop.compactState(spark, cat, st, componentParts = true)
+    assert(parquetFiles(st.corpus) < corpusBefore)
+    assert(parquetFiles(st.prefixIndex) < pfxBefore)
+    // data byte-equal through the rename protocol, and the loop keeps
+    // working on the compacted tables
+    assertConverged(cat, seed.unionByName(b1).unionByName(b2), "compacted")
+    val b3 = docs.filter(col("doc_id") >= 400)
+    IngestLoop.ingest(b3, cat, st)
+    assertConverged(cat,
+      seed.unionByName(b1).unionByName(b2).unionByName(b3),
+      "tick after compaction")
+  }
+
   test("a tick of pure re-ingests is a no-op on every artifact") {
     val cat = freshCatalog
     val seed = docs.filter(col("doc_id") < 200)
