@@ -33,6 +33,14 @@ trait TableCatalog {
         "overwrite (drops untouched partitions) and append (double " +
         "rows on re-run)")
 
+  /** Whether [[replacePartitions]] is genuinely implemented. Callers
+    * whose protocol DEPENDS on partition-replace (the ingest loop's
+    * component rewrite) check this up front and fail at setup — a
+    * backend that would throw mid-protocol, after a commit marker is
+    * already down, would otherwise wedge recovery. Keep in sync with
+    * the override. */
+  def supportsPartitionReplace: Boolean = false
+
   /** Remove `table` entirely (recursive delete / DROP TABLE); a no-op
     * when it does not exist. Exists for small protocol tables (intent
     * markers, staging) — dropping a data table is a caller decision
@@ -76,6 +84,8 @@ final class ParquetCatalog(val root: String) extends TableCatalog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true) // returns false when absent — the no-op case
   }
+
+  override def supportsPartitionReplace: Boolean = true
 
   /** Dynamic partition overwrite: only partitions with incoming rows
     * are rewritten, so "materialize 1996-03" never clobbers the other
@@ -216,6 +226,8 @@ final class JdbcCatalog(url: String, props: java.util.Properties) extends TableC
       finally st.close()
     } finally conn.close()
   }
+
+  override def supportsPartitionReplace: Boolean = true
 
   /** Genuine partition-replace for a keyed warehouse: DELETE the rows
     * of every partition value present in `df`, then append — the SQL

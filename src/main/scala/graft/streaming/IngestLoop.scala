@@ -132,6 +132,12 @@ object IngestLoop {
     * instead of a per-tick re-hash of every corpus text (measured:
     * the dominant cost of a quiescent tick at sf0.1). */
   def build(seed: DataFrame, catalog: TableCatalog, st: State): Unit = {
+    // fail at SETUP, not mid-protocol: the component rewrite depends
+    // on genuine partition-replace, and a backend that throws after a
+    // tick's commit marker is down would wedge recovery forever
+    require(catalog.supportsPartitionReplace,
+      s"IngestLoop needs a catalog with partition-replace semantics; " +
+        s"${catalog.getClass.getName} reports none")
     val unique = withFp(Dedup.exactDedup(seed, st.idCol, st.textCol), st)
       .localCheckpoint(true)
     catalog.overwrite(unique, st.corpus)
@@ -455,6 +461,33 @@ object IngestLoop {
       indexSuffixes.foreach(sfx =>
         catalog.drop(spark, rebuildStage(st) + sfx))
     }
+
+  /** The loop as a Structured Streaming SINK: one fenced tick per
+    * micro-batch via `foreachBatch`, index maintenance between ticks.
+    * This is the `foreachBatch` caller the tick protocol was designed
+    * for, packaged: end-to-end convergence does NOT depend on
+    * exactly-once delivery — a replayed micro-batch (failure before
+    * the checkpoint commit) re-enters as a tick of pure re-ingests and
+    * gates out against the recovered corpus, so at-least-once is
+    * enough (IngestLoopSpec's kill matrix is exactly this replay).
+    * `maintain = true` runs [[maintainPrefixIndex]] after each tick —
+    * one existence probe when no rebuild is due; a caller with a real
+    * maintenance window passes false and schedules it themselves.
+    * The returned query is started; callers own its lifecycle. */
+  def ingestSink(docs: DataFrame, catalog: TableCatalog, st: State,
+                 checkpointDir: String, maintain: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docs.isStreaming, "ingestSink needs a streaming DataFrame")
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        ingest(batch, catalog, st)
+        if (maintain) maintainPrefixIndex(spark, catalog, st)
+        ()
+      }
+      .start()
+  }
 
   /** Small-file maintenance for the standing tables the loop APPENDS
     * to: every tick adds a file batch to the corpus and the prefix

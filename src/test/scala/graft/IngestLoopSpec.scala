@@ -288,6 +288,48 @@ class IngestLoopSpec extends SparkTestBase {
       "tick after compaction")
   }
 
+  test("ingestSink drives the loop from a real stream: micro-batches ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cat = freshCatalog
+    val seed = docs.filter(col("doc_id") < 300)
+    IngestLoop.build(seed, cat, st)
+    val src = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt").toString
+    val q = IngestLoop.ingestSink(
+      src.toDF().toDF("doc_id", "text"), cat, st, ckpt)
+    try {
+      def rows(df: DataFrame) = df.select("doc_id", "text")
+        .as[(Long, String)].collect().toSeq
+      // batch 1: new docs + exact re-ingests of the seed
+      src.addData(rows(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .unionByName(reDup(seed.filter(col("doc_id") < 10), 10000L))): _*)
+      q.processAllAvailable()
+      // batch 2: the rest, plus re-ingests of batch 1
+      src.addData(rows(docs.filter(col("doc_id") >= 400)): _*)
+      q.processAllAvailable()
+      val arrivals = seed
+        .unionByName(docs.filter(col("doc_id") >= 300))
+        .unionByName(reDup(seed.filter(col("doc_id") < 10), 10000L))
+      assertConverged(cat, arrivals, "streamed ticks")
+      // a drift batch REQUESTS a rebuild and the sink's maintain pass
+      // runs it before the next micro-batch
+      src.addData(
+        (50001L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ"),
+        (50002L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ αβ"))
+      q.processAllAvailable()
+      assert(!IngestLoop.rebuildRequested(spark, cat, st),
+        "the sink's maintenance pass must have consumed the request")
+      assert(cat.read(spark, s"${st.prefixIndex}__vocab")
+        .filter(col("tok") === "ωψφξδ").count() == 1)
+      val alien = Seq(
+        (50001L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ"),
+        (50002L, "ΩΨΦΞΔΘΛΠΣΓ ΩΨΦΞΔΘΛΠΣΓ ΞΞΔΔΘΘΛΛ ΠΠΣΣΓΓ αβ"))
+        .toDF("doc_id", "text")
+      assertConverged(cat, arrivals.unionByName(alien), "post-maintain")
+    } finally q.stop()
+  }
+
   test("a tick of pure re-ingests is a no-op on every artifact") {
     val cat = freshCatalog
     val seed = docs.filter(col("doc_id") < 200)
