@@ -578,6 +578,24 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.3)
         .select(col("vec_id"), col("label"))),
 
+    // Hashed-linear quality classifier (exprs.ClassifierScore64): the
+    // fastText-style classifier gate of the DCLM / FineWeb-Edu
+    // pipelines — score every doc with a linear model over 2^20
+    // hashed token features, keep above threshold. One codegen'd
+    // kernel call per row, zero shuffle, integer-exact (Long sum), so
+    // the full score column hash-matches a DuckDB HUGEINT replay of
+    // the same FNV-1a/fmix64 + weight-mix arithmetic. The synthetic
+    // weight mix is the trained-coefficient seam (see the kernel's
+    // scaladoc); swapping in real weights changes the lookup, not the
+    // plan.
+    "q93_quality_classifier" -> ((s, dir) =>
+      documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.exprs.classifier_score(TF.tokens(col("text")))
+            .as("clf_score"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("keep", (col("clf_score") > 0L).cast("int"))),
+
     // Concat-and-chunk sequence packing (ops.Packing): every doc's
     // position in the per-shard training-token stream — one shuffle on
     // the shard key, per-shard cumsum, layout reproduced bit-for-bit
@@ -1580,16 +1598,17 @@ object SparkEntry {
       |WHERE CAST(ovl AS DOUBLE)/(ca.sz + cb.sz - ovl) >= 0.4
       |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
 
-  /** DuckDB twin of [[graft.functions.SimHash64]]'s token hash and
-    * signature: FNV-1a-64 over unicode codepoints + murmur3 fmix64,
-    * with unsigned 64-bit arithmetic emulated in HUGEINT mod 2^64.
-    * The multiply splits its left operand at 2^32 so the 128-bit
-    * intermediate never overflows HUGEINT; each xor touches only low
-    * bits (both xor operands are < the split width at every site —
-    * codepoints < 2^21, the fmix shift term < 2^31), so it runs in
-    * BIGINT exactly. The 64 signature bits reconstruct by sign of the
-    * per-bit vote sums, exactly as the Spark expression does. */
-  private val simhashPairsOracleSql: String = {
+  /** DuckDB twin of [[graft.functions.SimHash64]]'s token hash:
+    * FNV-1a-64 over unicode codepoints + murmur3 fmix64, with unsigned
+    * 64-bit arithmetic emulated in HUGEINT mod 2^64. The multiply
+    * splits its left operand at 2^32 so the 128-bit intermediate never
+    * overflows HUGEINT; each xor touches only low bits (both xor
+    * operands are < the split width at every site — codepoints < 2^21,
+    * the fmix shift term < 2^31), so it runs in BIGINT exactly. Shared
+    * by every oracle that replays the token hash (q21 SimHash, q93
+    * classifier). `tokHash` expects a token column named `tok` and
+    * yields the UNSIGNED hash as HUGEINT in [0, 2^64). */
+  private object Fnv64Sql {
     val m64 = "18446744073709551616::HUGEINT" // 2^64
     def mulmod(a: String, b: String): String =
       s"((($a) % 4294967296) * $b + ((($a) // 4294967296) * $b % 4294967296) * 4294967296) % $m64"
@@ -1604,11 +1623,18 @@ object SparkEntry {
       xorLow(d, shr33(d), "2147483648")
     }
     // fold: h' = (h xor codepoint) * FNV_PRIME, basis-seeded via prepend
-    val fold = mulmod(xorLow("h", "cp", "2097152"), "1099511628211")
-    val tokHash = fmix(
+    private val fold = mulmod(xorLow("h", "cp", "2097152"), "1099511628211")
+    val tokHash: String = fmix(
       "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
         "list_transform(regexp_extract_all(tok, '.'), c -> CAST(unicode(c) AS HUGEINT))), " +
         s"(h, cp) -> $fold)")
+  }
+
+  /** The 64 SimHash signature bits reconstruct by sign of the per-bit
+    * vote sums over [[Fnv64Sql.tokHash]], exactly as the Spark
+    * expression does. */
+  private val simhashPairsOracleSql: String = {
+    import Fnv64Sql.{m64, tokHash}
     val bits = (0 until 64).map { j =>
       val p = BigInt(1) << j
       s"CASE WHEN sum(CASE WHEN (th // $p) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
@@ -2089,6 +2115,26 @@ object SparkEntry {
     // hash is SQL-replayable by design — the oracle brute-forces every
     // signature and pair (see simhashPairsOracleSql).
     "q21_simhash_pairs" -> simhashPairsOracleSql,
+
+    // Full replay of the hashed-linear classifier: Fnv64Sql.tokHash
+    // (unsigned HUGEINT) → low-20-bit bucket → the same Knuth-mix
+    // weight, summed per doc. Every intermediate is a nonneg integer
+    // < 2^52, so the arithmetic is exact in both engines; the LEFT
+    // JOIN + coalesce covers zero-token docs (Spark's empty token
+    // array scores 0).
+    "q93_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score, count(*) AS n FROM w GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.score, 0) AS BIGINT) AS clf_score,
+         |  CAST(coalesce(s.n, 0) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(s.score, 0) > 0 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |WHERE d.text IS NOT NULL""".stripMargin,
 
     "q64_incremental_pairs" -> incrementalPairsOracleSql,
 

@@ -62,6 +62,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(arr) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("classifier_score"),
+      info("classifier_score", "classifier_score(arr) - hashed-linear quality-classifier score of a token array"),
+      (args: Seq[Expression]) => ClassifierScore64(args.head)),
     (FunctionIdentifier("char_ngrams"),
       info("char_ngrams", "char_ngrams(str, n) - distinct character n-grams"),
       (args: Seq[Expression]) => CharNgrams(args.head, intArg(args(1), "n"))),

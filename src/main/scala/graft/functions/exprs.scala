@@ -86,6 +86,35 @@ object ExprOps {
     out
   }
 
+  /** Hashed-linear classifier score: Σ over token OCCURRENCES of
+    * weight(bucket(token)) — the fastText-style bag-of-words linear
+    * model every modern pretraining pipeline uses as its cheap quality
+    * gate (the DCLM / FineWeb-Edu filter shape: score each document
+    * with a linear classifier over hashed token features, keep above
+    * threshold). bucket = low 20 bits of the FNV-1a/fmix64 token hash
+    * (2^20-dim feature hashing); weight = a Knuth-multiplicative mix of
+    * the bucket into [-32768, 32767]. The weight table is a
+    * DETERMINISTIC STAND-IN for trained coefficients — the seam where a
+    * real model's weights plug in is exactly this bucket→weight lookup
+    * (at 2^20 × 2 bytes a trained table broadcasts trivially) — while
+    * staying integer-exact so the DuckDB oracle replays it bit-for-bit
+    * (Long sum: order-independent, no float accumulation). Null tokens
+    * skipped; empty array scores 0. */
+  def classifierScore(arr: ArrayData): Long = {
+    var score = 0L
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val bucket = SimHash64.tokenHashUtf8(s) & 0xFFFFFL
+        score += ((bucket * 2654435761L) >>> 16) % 65536L - 32768L
+      }
+      i += 1
+    }
+    score
+  }
+
   def minhash(arr: ArrayData, n: Int): ArrayData = {
     val out = Array.fill(n)(Long.MaxValue)
     var i = 0
@@ -229,6 +258,30 @@ case class SimHash64(child: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed-linear classifier score of a token array — see
+  * [[ExprOps.classifierScore]] for the model shape and the
+  * trained-weights seam. One row-level kernel call (vs an
+  * interpreted transform+aggregate per token), oracle-replayable
+  * integer arithmetic end to end. */
+case class ClassifierScore64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprOps.classifierScore(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.classifierScore($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -435,6 +488,7 @@ object exprs {
   def minhash_signature(c: Column, n: Int): Column =
     toCol(MinHashSignature(toExpr(c), n))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def classifier_score(c: Column): Column = toCol(ClassifierScore64(toExpr(c)))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductD(toExpr(a), toExpr(b)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))

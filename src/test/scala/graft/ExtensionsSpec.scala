@@ -20,13 +20,19 @@ class ExtensionsSpec extends SparkTestBase {
         |  size(char_ngrams('abcdef', 3)) AS ng,
         |  size(word_shingles(array('a','b','c'), 2)) AS ws,
         |  dot_product_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |  element_at(minhash_signature(array('a','b'), 4), 1) AS mh
+        |  element_at(minhash_signature(array('a','b'), 4), 1) AS mh,
+        |  classifier_score(array('x','y')) AS cs
         |""".stripMargin).head()
     assert(r.getAs[Double]("j") == 0.5)
     assert(r.getAs[Int]("ng") == 4)
     assert(r.getAs[Int]("ws") == 2)
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[Long]("cs") ==
+      Seq("x", "y").map { t =>
+        val bucket = graft.functions.SimHash64.tokenHash(t) & 0xFFFFFL
+        ((bucket * 2654435761L) >>> 16) % 65536L - 32768L
+      }.sum)
   }
 
   test("custom aggregates callable from SQL") {
