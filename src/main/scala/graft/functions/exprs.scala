@@ -115,6 +115,24 @@ object ExprOps {
     score
   }
 
+  /** [[classifierScore]] with an EXPLICIT weight table — the
+    * trained-model form. `w.length` is the feature dimension (power of
+    * two; bucket = hash & (len-1), which for 2^20 is exactly
+    * [[classifierScore]]'s low-20-bit bucket). */
+  def classifierScoreWeighted(arr: ArrayData, w: Array[Long]): Long = {
+    val mask = w.length - 1
+    var score = 0L
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      if (s != null)
+        score += w((SimHash64.tokenHashUtf8(s) & mask).toInt)
+      i += 1
+    }
+    score
+  }
+
   def minhash(arr: ArrayData, n: Int): ArrayData = {
     val out = Array.fill(n)(Long.MaxValue)
     var i = 0
@@ -285,6 +303,65 @@ case class ClassifierScore64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** [[ClassifierScore64]] with EXPLICIT trained weights — the concrete
+  * form of the coefficient seam. `weights` is the dense bucket→weight
+  * table (length = feature dimension, power of two); it rides the plan
+  * as a reference object — serialized once per executor with the task
+  * closure, indexed as a plain long[] from generated code — so scoring
+  * stays one kernel call per row with zero joins and zero shuffles. A
+  * 2^20-dim model is 8 MB: the standard fastText-gate size, far below
+  * closure/broadcast limits. Load a (bucket, weight) frame into the
+  * array with [[ClassifierWeights.fromFrame]]. */
+case class ClassifierScoreWeighted(child: Expression, weights: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
+    s"weights length must be a power of two, got ${weights.length}")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      ExprOps.classifierScoreWeighted(input.asInstanceOf[ArrayData], weights))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val w = ctx.addReferenceObj("clfWeights", weights, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprOps.classifierScoreWeighted($c, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Model-weight loading for [[ClassifierScoreWeighted]]. */
+object ClassifierWeights {
+  /** Densify a (bucket, weight) frame into the long[] the expression
+    * indexes. The collect is bounded by `dim` BY CONSTRUCTION (this is
+    * model loading, not a data path — a classifier's coefficient table
+    * is driver-sized in every serving system); buckets outside
+    * [0, dim) are rejected rather than silently masked, missing
+    * buckets weigh 0. */
+  def fromFrame(df: org.apache.spark.sql.DataFrame, dim: Int,
+                bucketCol: String = "bucket",
+                weightCol: String = "weight"): Array[Long] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two, got $dim")
+    val w = new Array[Long](dim)
+    import org.apache.spark.sql.functions.col
+    df.select(col(bucketCol).cast("long"), col(weightCol).cast("long"))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        require(b >= 0 && b < dim, s"bucket $b outside [0, $dim)")
+        w(b.toInt) = r.getLong(1)
+      }
+    w
+  }
 }
 
 /** Ordered dot product of two array<double> columns. The accumulation
@@ -489,6 +566,9 @@ object exprs {
     toCol(MinHashSignature(toExpr(c), n))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def classifier_score(c: Column): Column = toCol(ClassifierScore64(toExpr(c)))
+  /** Trained-weights form; load `weights` via [[ClassifierWeights.fromFrame]]. */
+  def classifier_score(c: Column, weights: Array[Long]): Column =
+    toCol(ClassifierScoreWeighted(toExpr(c), weights))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductD(toExpr(a), toExpr(b)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))

@@ -54,6 +54,45 @@ class ClassifierSpec extends SparkTestBase {
     assert(viaKernel == viaReplay)
   }
 
+  test("weighted form: explicit 2^20 mix table ≡ the synthetic kernel") {
+    // materialize the synthetic weight mix as an ACTUAL table — the
+    // trained-coefficient seam, fed with the coefficients the built-in
+    // kernel derives — and the two forms must agree on every doc
+    val dim = 1 << 20
+    val w = Array.tabulate(dim)(b =>
+      ((b.toLong * 2654435761L) >>> 16) % 65536L - 32768L)
+    val docs = Seq("the quick brown fox", "spam spam spam", "", "ümlaut mix")
+      .toDF("text")
+    val both = docs.select(
+      exprs.classifier_score(TF.tokens(col("text"))).as("syn"),
+      exprs.classifier_score(TF.tokens(col("text")), w).as("tab"))
+    assert(both.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("weighted form: toy trained model, mask semantics, frame loader") {
+    import graft.functions.ClassifierWeights
+    // dim 8: bucket = tokenHash & 7; put a deciding weight on 'good'
+    // and a penalty on 'bad' — colliding buckets get the SUM semantics
+    // a linear model over hashed features actually has
+    val gb = (SimHash64.tokenHash("good") & 7L).toInt
+    val bb = (SimHash64.tokenHash("bad") & 7L).toInt
+    assume(gb != bb) // fixed hash, fixed tokens: stable across runs
+    val wf = Seq((gb.toLong, 10L), (bb.toLong, -10L)).toDF("bucket", "weight")
+    val w = ClassifierWeights.fromFrame(wf, 8)
+    val scores = Seq("good good story", "bad bad bad", "neutral words")
+      .toDF("text")
+      .select(exprs.classifier_score(TF.tokens(col("text")), w).as("s"))
+      .collect().map(_.getLong(0))
+    val nw = Seq("neutral", "words", "story").map(t =>
+      w((SimHash64.tokenHash(t) & 7L).toInt))
+    assert(scores(0) == 20L + nw(2) && scores(1) == -30L)
+    assert(scores(2) == nw(0) + nw(1))
+    // loader rejects out-of-range buckets instead of masking silently
+    intercept[IllegalArgumentException] {
+      ClassifierWeights.fromFrame(Seq((8L, 1L)).toDF("bucket", "weight"), 8)
+    }
+  }
+
   test("q93 query shape: per-doc rows, keep = score > 0, no shuffle") {
     val df = Seq((1L, "alpha beta gamma"), (2L, null.asInstanceOf[String]),
         (3L, "")).toDF("doc_id", "text")
