@@ -62,6 +62,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(arr) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("ws_tokens"),
+      info("ws_tokens", "ws_tokens(str) - whitespace tokens, empties dropped (codegen'd twin of filter(split(str,'\\\\s+'), t -> t <> ''))"),
+      (args: Seq[Expression]) => WhitespaceTokens(args.head)),
     (FunctionIdentifier("classifier_score"),
       info("classifier_score", "classifier_score(arr) - hashed-linear quality-classifier score of a token array"),
       (args: Seq[Expression]) => ClassifierScore64(args.head)),

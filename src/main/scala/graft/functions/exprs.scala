@@ -115,6 +115,42 @@ object ExprOps {
     score
   }
 
+  /** Whitespace tokenization — byte-walk twin of
+    * `filter(split(text, "\\s+"), _ =!= "")`, the tokenizer every text
+    * operator shares (graft.text.TextFunctions.tokens). Semantics are
+    * IDENTICAL by construction: Java's `\s` is the six ASCII
+    * whitespace chars [ \t\n\x0B\f\r] (no UNICODE_CHARACTER_CLASS in
+    * Spark's split), and in UTF-8 those are single bytes that can
+    * never occur inside a multi-byte sequence — so "maximal run of
+    * non-ws bytes" ≡ "regex-split token, empties dropped", unicode
+    * whitespace (NBSP, U+2028…) staying inside tokens on both paths.
+    * Why it exists: the HOF chain is a CodegenFallback that breaks
+    * whole-stage codegen at the tokenize — the FIRST step of every
+    * text pipeline — and re-enters the expression interpreter per
+    * element; this is one static call per row, token views sliced
+    * zero-copy off one byte array. */
+  def wsTokens(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = u.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b == 32 || (b >= 9 && b <= 13)) i += 1
+      else {
+        val start = i
+        var c = b
+        while (c != 32 && !(c >= 9 && c <= 13)) {
+          i += 1
+          if (i < n) c = bytes(i) else c = 32
+        }
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(bytes, start, i - start)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** [[classifierScore]] with an EXPLICIT weight table — the
     * trained-model form. `w.length` is the feature dimension (power of
     * two; bucket = hash & (len-1), which for 2^20 is exactly
@@ -276,6 +312,29 @@ case class SimHash64(child: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whitespace tokenizer — see [[ExprOps.wsTokens]] for the semantics
+  * proof vs the `filter(split(...))` HOF chain it replaces. Keeps the
+  * tokenize — the first step of every text pipeline — inside
+  * whole-stage codegen. */
+case class WhitespaceTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.wsTokens(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.wsTokens($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -565,6 +624,7 @@ object exprs {
   def minhash_signature(c: Column, n: Int): Column =
     toCol(MinHashSignature(toExpr(c), n))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def ws_tokens(c: Column): Column = toCol(WhitespaceTokens(toExpr(c)))
   def classifier_score(c: Column): Column = toCol(ClassifierScore64(toExpr(c)))
   /** Trained-weights form; load `weights` via [[ClassifierWeights.fromFrame]]. */
   def classifier_score(c: Column, weights: Array[Long]): Column =

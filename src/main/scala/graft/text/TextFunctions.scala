@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
   * counting, document fingerprinting.
   */
 object TextFunctions {
-  /** Whitespace tokens, empty strings removed. */
-  def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+  /** Whitespace tokens, empty strings removed. Declaratively this is
+    * `filter(split(c, "\\s+"), _ =!= "")`; the codegen'd byte-walk
+    * expression ([[graft.functions.WhitespaceTokens]]) computes the
+    * identical array without the HOF chain's CodegenFallback — the
+    * fallback split whole-stage codegen at the tokenize, the FIRST
+    * step of every text operator (see the semantics proof on
+    * [[graft.functions.ExprOps.wsTokens]]; TextFunctionsSpec pins
+    * ≡ on the edge shapes). */
+  def tokens(c: Column): Column = graft.functions.exprs.ws_tokens(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

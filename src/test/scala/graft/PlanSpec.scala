@@ -56,6 +56,25 @@ class PlanSpec extends SparkTestBase {
       scan.requiredSchema.treeString)
   }
 
+  test("q93: classifier is a pure scan→project — no exchange, pruned, WSCG") {
+    val df = q("q93_quality_classifier")
+    val p = df.queryExecution.executedPlan
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"per-row scoring must not shuffle:\n$p")
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      scan.requiredSchema.treeString)
+    val s = planString(df)
+    assert(s.contains("PushedFilters: [IsNotNull(text)]"), s)
+    // the tokenize + kernel must stay inside whole-stage codegen (the
+    // reason ws_tokens/ClassifierScore64 exist instead of HOF chains):
+    // every Project in the plan carries the *(n) codegen marker
+    val bareProjects = s.linesIterator
+      .filter(l => l.contains("Project") && !l.contains("*("))
+    assert(bareProjects.isEmpty,
+      s"projection fell out of WholeStageCodegen:\n$s")
+  }
+
   test("q24: broadcast index join, pure lazy plan, cartesian-free") {
     // The production query eagerly checkpoints (its returned plan is a
     // bare checkpoint scan), so pin the lazy twin — the identical plan

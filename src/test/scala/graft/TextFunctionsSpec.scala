@@ -30,6 +30,26 @@ class TextFunctionsSpec extends SparkTestBase {
   private def one[T](c: org.apache.spark.sql.Column, text: String): T =
     Seq(text).toDF("t").select(c).head().getAs[T](0)
 
+  test("ws_tokens ≡ filter(split(text, \\s+), _ != '') on every edge shape") {
+    import org.apache.spark.sql.functions._
+    // the declarative form the codegen'd tokenizer replaces — must be
+    // bit-identical, incl. unicode whitespace NOT splitting (Java \s
+    // is ASCII-only) and multi-byte tokens surviving intact
+    val edges = Seq(
+      "a  b\t c", "   ", "", "solo", " lead", "trail ", "\tx\n\ry z",
+      "nb sp stays", "héllo wörld", "你好 世界", "mix 你好x line")
+    val df = edges.toDF("t")
+    val old = df.select(filter(split(col("t"), "\\s+"), x => x =!= "").as("a"))
+      .collect().map(_.getSeq[String](0).toList)
+    val neu = df.select(graft.functions.exprs.ws_tokens(col("t")).as("a"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(neu.toSeq == old.toSeq)
+    assert(neu(7) == List("nb sp", "stays")) // NBSP is not \s
+    // null text → null array on both paths
+    val n2 = Seq[String](null).toDF("t")
+    assert(n2.select(graft.functions.exprs.ws_tokens(col("t"))).head().isNullAt(0))
+  }
+
   test("tokenCount handles runs of whitespace and empty-ish strings") {
     assert(one[Int](TextFunctions.tokenCount(col("t")), "a  b\t c") == 3)
     assert(one[Int](TextFunctions.tokenCount(col("t")), "   ") == 0)
