@@ -167,10 +167,13 @@ object Dedup {
         col("band.no").as("bucket_no"), col("band.sig").as("bucket_sig"))
   }
 
-  /** Fraction of agreeing signature positions (Jaccard estimator). */
+  /** Fraction of agreeing signature positions (Jaccard estimator).
+    * One codegen'd kernel call per candidate pair
+    * ([[graft.functions.EqCountL]]) — the declarative
+    * `aggregate(zip_with(...))` form is value-identical but
+    * interpreted per element in the pair-scale prefilter. */
   private def sigAgreement(a: Column, b: Column, n: Int): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v) / lit(n.toDouble)
+    graft.functions.exprs.eq_count_l(a, b) / lit(n.toDouble)
 
   /** The shared LSH chain: band signatures → bucket pair expansion →
     * signature-agreement prefilter → exact set-Jaccard verification.

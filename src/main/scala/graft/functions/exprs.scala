@@ -151,6 +151,41 @@ object ExprOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Exact integer dot product of two array<int> columns — the int8
+    * rerank kernel (quantized ANN scores whole candidate pairs with
+    * this; as a HOF chain `aggregate(zip_with(a,b,_*_),0L,_+_)` it ran
+    * interpreted per ELEMENT per PAIR, the hottest loop in q76). Long
+    * accumulation of int products is overflow-free below 2^31 elements
+    * and order-independent, so the value is bit-identical to the HOF
+    * form and to the DuckDB list replay. */
+  def dotL(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Count of positions where two array<long> columns agree — the
+    * MinHash signature-agreement estimator's inner loop (runs per
+    * candidate PAIR in the LSH chain; the HOF form
+    * `aggregate(zip_with(a,b,(x,y)=>if(x==y)1 else 0),0,_+_)` was
+    * interpreted per element). Inputs are signature arrays: fixed
+    * equal length, no null elements. */
+  def eqCount(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** [[classifierScore]] with an EXPLICIT weight table — the
     * trained-model form. `w.length` is the feature dimension (power of
     * two; bucket = hash & (len-1), which for 2^20 is exactly
@@ -315,6 +350,50 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Agreeing-position count of two long arrays — see [[ExprOps.eqCount]]. */
+case class EqCountL(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(
+      ExprOps.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprOps.eqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact integer dot product — see [[ExprOps.dotL]]. */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(
+      ExprOps.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprOps.dotL($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Whitespace tokenizer — see [[ExprOps.wsTokens]] for the semantics
@@ -631,6 +710,10 @@ object exprs {
     toCol(ClassifierScoreWeighted(toExpr(c), weights))
   def dot_product(a: Column, b: Column): Column =
     toCol(DotProductD(toExpr(a), toExpr(b)))
+  def dot_product_l(a: Column, b: Column): Column =
+    toCol(DotProductL(toExpr(a), toExpr(b)))
+  def eq_count_l(a: Column, b: Column): Column =
+    toCol(EqCountL(toExpr(a), toExpr(b)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
   /** Generator: one row per distinct k-shingle (see [[WordShingleExplode]]). */

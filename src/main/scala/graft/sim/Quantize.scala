@@ -75,16 +75,17 @@ object Quantize {
     // no numeric-id guard: ties break by plain ascending id (any
     // orderable type), same as the float twin Ann.bruteForceTopK —
     // only the -id-encoding operators need NumericType
-    def intNorm(c: Column): Column = sqrt(aggregate(
-      transform(c, a => a.cast("long") * a.cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double"))
+    // exact long-of-int-products math, as one codegen'd kernel call per
+    // pair instead of an interpreted aggregate(zip_with(...)) per
+    // element (the rerank loop is candidates × dim — the hot spot)
+    import graft.functions.exprs.dot_product_l
+    def intNorm(c: Column): Column =
+      sqrt(dot_product_l(c, c).cast("double"))
     val corpus = int8(emb, idCol, vecCol)
       .select(col(idCol).as("id"), col("q").as("cq"))
     val q = int8(queries, idCol, vecCol)
       .select(col(idCol).as("qid"), col("q").as("qq"))
-    val dotInt = aggregate(
-      zip_with(col("cq"), col("qq"), (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    val dotInt = dot_product_l(col("cq"), col("qq"))
     val denom = intNorm(col("cq")) * intNorm(col("qq"))
     val scored = corpus.join(broadcast(q), col("id") =!= col("qid"))
       .withColumn("sim",

@@ -11,8 +11,14 @@ import org.apache.spark.sql.functions._
   * boxing: the hot path stays in Tungsten arrays.
   */
 object Vectors {
-  /** Lossless float→double element cast. */
-  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** Lossless float→double element cast. A NATIVE array cast, not
+    * `transform(c, _.cast("double"))`: the HOF form is semantically
+    * identical but interpreted per element and (being CodegenFallback)
+    * splits whole-stage codegen at the embedding scan — the first step
+    * of every ANN/near-dup query. Cast is codegen'd end to end. */
+  def asDouble(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
 
   /** Ordered-fold dot product. Backed by a custom tight-loop Expression
     * ([[graft.functions.DotProductD]]) — the HOF formulation

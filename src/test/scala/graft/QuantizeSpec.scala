@@ -8,6 +8,30 @@ import graft.sim.Quantize
 class QuantizeSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("dot_product_l / eq_count_l kernels ≡ their HOF forms") {
+    import graft.functions.exprs
+    val df = Seq(
+      (Array(1, -2, 3, 127), Array(4, 5, -6, 127),
+       Array(1L, 2L, 3L), Array(1L, 9L, 3L)),
+      (Array[Int](), Array[Int](), Array[Long](), Array[Long]()))
+      .toDF("a", "b", "x", "y")
+    val r = df.select(
+      exprs.dot_product_l(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"),
+          (p, q) => p.cast("long") * q.cast("long")),
+        lit(0L), (acc, v) => acc + v).as("h"),
+      exprs.eq_count_l(col("x"), col("y")).as("ek"),
+      aggregate(zip_with(col("x"), col("y"),
+          (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("eh")).collect()
+    r.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1))
+      assert(row.getInt(2) == row.getInt(3))
+    }
+    assert(r(0).getLong(0) == 4 - 10 - 18 + 127L * 127L)
+    assert(r(0).getInt(2) == 2)
+  }
+
   test("hand-checked quantization: scale, values, zero vector") {
     val emb = Seq(
       (1L, Array(1.27f, -0.635f, 0.0f, 0.01f)),
