@@ -22,6 +22,21 @@ object QVerify {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries(name)(spark, dir).coalesce(1).write
       .mode("overwrite").parquet(s"$out/$name")
+    // a one-entry oracle_sql.json so tools/check.py runs on this dir
+    // directly (same escaping discipline as Verify)
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.get(name)
+      .map(sql => s"{${q(name)}: ${q(sql)}}").getOrElse("{}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"), json)
     println(s"[qverify] wrote $out/$name")
     spark.stop()
   }

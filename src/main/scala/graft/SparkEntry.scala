@@ -596,6 +596,15 @@ object SparkEntry {
           TF.tokenCount(col("text")).as("n_tokens"))
         .withColumn("keep", (col("clf_score") > 0L).cast("int"))),
 
+    // Gopher-style structural repetition statistics (text.Repetition):
+    // duplicate line/paragraph fractions (occurrence and character
+    // weighted) plus top-{2,3,4}-gram character fractions — the
+    // published corpus-filter thresholds' inputs, each an explode +
+    // two map-side-combinable aggregates, fractions as IEEE divisions
+    // of exact Long sums (cross-engine hashable).
+    "q94_repetition_stats" -> ((s, dir) =>
+      graft.text.Repetition.stats(documents(s, dir), "doc_id", "text")),
+
     // Concat-and-chunk sequence packing (ops.Packing): every doc's
     // position in the per-shard training-token stream — one shuffle on
     // the shard key, per-shard cumsum, layout reproduced bit-for-bit
@@ -1158,6 +1167,14 @@ object SparkEntry {
     "q80_crossdoc_scrub" -> ((s, dir) =>
       graft.text.CrossDoc.removeSharedSpans(
         documents(s, dir), "doc_id", "text", shingleK = 5)),
+
+    // Exact LINE-level cross-doc dedup (CCNet-style): lines carried
+    // verbatim by ≥2 documents survive only in the lowest-id carrier —
+    // whole-line boilerplate at a fraction of the shingle machinery's
+    // cost (no tokenize, no positional cover).
+    "q95_shared_line_dedup" -> ((s, dir) =>
+      graft.text.CrossDoc.removeSharedLines(
+        documents(s, dir), "doc_id", "text")),
 
     // Leakage-safe train/val/test split: the whole near-dup COMPONENT
     // takes one md5 coin flip, so duplicate families never straddle
@@ -2136,6 +2153,11 @@ object SparkEntry {
          |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
          |WHERE d.text IS NOT NULL""".stripMargin,
 
+    // Oracle built by the operator itself (graft.text.Repetition) so
+    // split rules, tie-breaks, and zero-fills cannot drift.
+    "q94_repetition_stats" ->
+      graft.text.Repetition.statsOracleSql("documents", "doc_id", "text"),
+
     "q64_incremental_pairs" -> incrementalPairsOracleSql,
 
     // The persisted-index path must reproduce q64 exactly — the
@@ -2779,6 +2801,12 @@ object SparkEntry {
          |         p -> b.t[CAST(p AS INTEGER)]), ' ')
          |  END, '') AS clean_text
          |FROM base b LEFT JOIN cova a USING (doc_id)""".stripMargin,
+
+    // Oracle built by the operator itself (CrossDoc) so the split
+    // rule, keeper policy, and reassembly cannot drift.
+    "q95_shared_line_dedup" ->
+      graft.text.CrossDoc.removeSharedLinesOracleSql(
+        "documents", "doc_id", "text"),
 
     // q47's closure + the md5-cut CASE from the SAME declaration the
     // Spark operator renders (Splits.hexCut — literals cannot drift).

@@ -243,6 +243,38 @@ object ExprOps {
     new GenericArrayData(arr)
   }
 
+  /** ALL overlapping k-word grams (multiplicity kept, input order) —
+    * the counting twin of [[wordShingles]]: repetition statistics need
+    * occurrence counts, so nothing dedups. Fewer than k tokens yield
+    * an EMPTY array (a 3-token doc has no 4-grams) — unlike the
+    * shingle short-doc rule, which exists so SET-overlap operators can
+    * still represent short docs. */
+  def wordGrams(input: ArrayData, k: Int): ArrayData = {
+    val m = input.numElements()
+    if (m < k) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val s = input.getUTF8String(i)
+      toks(i) = if (s == null) "" else s.toString
+      i += 1
+    }
+    val res = new Array[Any](m - k + 1)
+    i = 0
+    while (i <= m - k) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      res(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(res)
+  }
+
   def wordShingles(input: ArrayData, k: Int): ArrayData = {
     val out = ShingleBuilder.distinctShingles(input, k)
     val res = new Array[Any](out.size)
@@ -575,6 +607,30 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** ALL overlapping k-word grams of an array<string> of tokens (space-
+  * joined, multiplicity kept, input order); fewer than k tokens yield
+  * an empty array. The counting twin of [[WordShingles]] — repetition
+  * statistics ([[graft.text.Repetition]]) need occurrence counts, so
+  * nothing dedups and the short-doc set rule does not apply. */
+case class WordGrams(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.wordGrams(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.wordGrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Shared tight-loop shingle-set builder for [[WordShingles]] (array
   * form) and [[WordShingleExplode]] (generator form) — one definition,
   * so the two surfaces can never drift. */
@@ -716,6 +772,8 @@ object exprs {
     toCol(EqCountL(toExpr(a), toExpr(b)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
+  /** All overlapping k-grams with multiplicity (see [[WordGrams]]). */
+  def word_grams(c: Column, k: Int): Column = toCol(WordGrams(toExpr(c), k))
   /** Generator: one row per distinct k-shingle (see [[WordShingleExplode]]). */
   def word_shingle_rows(c: Column, k: Int): Column =
     toCol(WordShingleExplode(toExpr(c), k))

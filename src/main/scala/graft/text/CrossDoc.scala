@@ -88,4 +88,84 @@ object CrossDoc {
       .filter(col(idCol) =!= col("__keeper"))
     Contamination.scrubCovered(base, matches, idCol, shingleK)
   }
+
+  /** Exact LINE-level cross-document dedup (the CCNet / RefinedWeb
+    * paragraph-hash discipline, public methodology): every non-empty
+    * line carried verbatim by ≥ `minDocs` distinct documents survives
+    * only in its lowest-id carrier document; every other document
+    * loses ALL its occurrences of that line. The line-granular sibling
+    * of [[removeSharedSpans]] — boilerplate navigation, cookie
+    * banners, and footers repeat as whole lines, and exact line
+    * equality catches them at a fraction of the shingle machinery's
+    * cost (no tokenize, no positional cover). Empty lines are
+    * structure, not content: they are never dedup candidates and are
+    * preserved verbatim at their positions.
+    *
+    * Output per doc: (idCol, n_lines, n_removed, clean_text) — the
+    * [[removeSharedSpans]] contract with lines for tokens (`n_lines`
+    * counts every split piece, empties included, matching what the
+    * reassembly preserves); the frame
+    * is total over the corpus (docs losing every line keep an empty
+    * clean_text). Scale shape: one (line → carrier) aggregate over
+    * DISTINCT (line, doc) pairs, a hint-free equi-join back (AQE
+    * broadcasts when the shared-line frame measures small — like the
+    * shingle form, it is corpus-derived and must not be blindly
+    * broadcast), and one doc-keyed reassembly; linear in corpus line
+    * mass, no pair frame. At petabyte scale carry `xxhash64(line)`
+    * instead of the string (collision-tolerant for a scrub; the
+    * string keeps the DuckDB oracle exact). */
+  def removeSharedLines(docs: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would scrub unshared text: $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\\n", -1)).as(Seq("__pos", "__line")))
+    val carriers = lines.filter(col("__line") =!= "")
+      .select(col("__line"), col(idCol)).distinct()
+      .groupBy(col("__line"))
+      .agg(count(lit(1)).as("__n_docs"), min(col(idCol)).as("__keeper"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("__line"), col("__keeper"))
+    val marked = lines.join(carriers, Seq("__line"), "left")
+      .withColumn("__drop",
+        col("__keeper").isNotNull && col(idCol) =!= col("__keeper"))
+    marked.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("__drop").cast("long")).as("n_removed"),
+        array_join(
+          transform(
+            filter(sort_array(collect_list(
+              struct(col("__pos"), col("__drop"), col("__line")))),
+              s => !s.getField("__drop")),
+            s => s.getField("__line")),
+          "\n").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_removed"), col("clean_text"))
+  }
+
+  /** DuckDB oracle twin of [[removeSharedLines]] — full query over
+    * `table`; kept adjacent so the split rule, keeper policy, and
+    * reassembly cannot drift. */
+  def removeSharedLinesOracleSql(table: String, idCol: String,
+                                 textCol: String, minDocs: Int = 2): String =
+    s"""WITH lines AS (
+       |  SELECT $idCol, L,
+       |    CAST(unnest(range(1, len(L)+1)) AS INTEGER) AS pos
+       |  FROM (SELECT $idCol,
+       |    string_split($textCol, chr(10)) AS L FROM $table)),
+       |pieces AS (SELECT $idCol, pos, L[pos] AS line FROM lines),
+       |carriers AS (
+       |  SELECT line, min($idCol) AS keeper
+       |  FROM (SELECT DISTINCT line, $idCol FROM pieces WHERE line <> '')
+       |  GROUP BY 1 HAVING count(*) >= $minDocs),
+       |marked AS (
+       |  SELECT p.$idCol, p.pos, p.line,
+       |    (c.keeper IS NOT NULL AND p.$idCol <> c.keeper) AS dropped
+       |  FROM pieces p LEFT JOIN carriers c ON p.line = c.line)
+       |SELECT $idCol,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  coalesce(array_to_string(
+       |    list(line ORDER BY pos) FILTER (WHERE NOT dropped),
+       |    chr(10)), '') AS clean_text
+       |FROM marked GROUP BY 1""".stripMargin
 }

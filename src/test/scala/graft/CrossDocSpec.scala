@@ -90,4 +90,53 @@ class CrossDocSpec extends SparkTestBase {
       CrossDoc.removeSharedSpans(docs, "doc_id", "text", 5, minDocs = 1).count())
     assert(e.getMessage.contains("unshared"), e.getMessage)
   }
+
+  test("removeSharedLines: lowest-id carrier keeps, others scrubbed") {
+    val docs = Seq(
+      (1L, "header menu\nunique one\nfooter text"),
+      (2L, "header menu\nunique two\nfooter text"),
+      (3L, "nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedLines(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 0L, "header menu\nunique one\nfooter text")))
+    assert(out(2L) == ((3L, 2L, "unique two")))
+    assert(out(3L) == ((1L, 0L, "nothing shared here")))
+  }
+
+  test("removeSharedLines: empty lines are structure, never deduped") {
+    val docs = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "other one\n\nother two") // shares only the blank line
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedLines(docs, "doc_id", "text")
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, "para one\n\npara two")))
+    assert(out(2L) == ((0L, "other one\n\nother two")))
+  }
+
+  test("removeSharedLines: keeper keeps ALL its occurrences, loser loses all") {
+    val docs = Seq(
+      (1L, "dup\nmid\ndup"),
+      (2L, "dup\nown\ndup")
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedLines(docs, "doc_id", "text")
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, "dup\nmid\ndup")))
+    assert(out(2L) == ((2L, "own")))
+  }
+
+  test("removeSharedLines: total frame — a doc losing everything stays") {
+    val docs = Seq(
+      (1L, "only line"),
+      (2L, "only line")
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.removeSharedLines(docs, "doc_id", "text")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "only line" && out(2L) == "")
+  }
 }
