@@ -416,6 +416,21 @@ object SparkEntry {
         centroids0 = Some(Ann.kmeansCentroids(e, k = 256, iters = 2)))
     }),
 
+    // Product-quantization ADC ANN (sim.Pq): 4 subspaces × 16-entry
+    // codebooks (2 subspace-Lloyd rounds, fixed-point means), corpus
+    // stored as 4 code bytes/vector, queries scored by integer LUT
+    // sums (AdcSumL kernel — one call per pair). FULLY oracle-gated:
+    // train → encode → ADC ranking replays bit-for-bit in DuckDB
+    // (Pq.adcOracleSql — the q48 Lloyd replay discipline extended to
+    // per-block codebooks and an order-free integer ADC sum).
+    "q96_pq_adc" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cb = graft.sim.Pq.trainCodebooks(e, m = 4, k = 16, dim = 64, iters = 2)
+      val codes = graft.sim.Pq.encode(e, cb, m = 4, dim = 64)
+      graft.sim.Pq.adcTopK(codes, e.filter(col("vec_id") < 8), cb,
+        m = 4, k = 16, dim = 64, topK = 5)
+    }),
+
     // Grouped mean-pooled embeddings (class prototypes / label
     // centroids): one custom vector aggregate over a fixed-point
     // integral image (functions.VectorSumFixed) — order-independent
@@ -2073,6 +2088,12 @@ object SparkEntry {
     // centroids bit-for-bit, then list assignment, 64-probe selection
     // and the final top-5 all use the same (cosine DESC, id ASC)
     // arithmetic the green q42/q77 oracle already pins.
+    // Oracle built by the operator itself (sim.Pq) — subspace Lloyd,
+    // encode, and the integer ADC sum in one replay.
+    "q96_pq_adc" ->
+      graft.sim.Pq.adcOracleSql(m = 4, k = 16, dim = 64, iters = 2,
+        nQueries = 8, topK = 5),
+
     "q48_ann_ivf_kmeans" ->
       s"""WITH ${kmeansCteSql(2)},
          |lists AS (

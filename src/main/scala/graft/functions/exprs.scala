@@ -169,6 +169,24 @@ object ExprOps {
     s
   }
 
+  /** ADC (asymmetric distance computation) lookup sum — product
+    * quantization's scoring loop: `codes` holds one codebook index per
+    * subspace block, `lut` the query's per-(block, code) fixed-point
+    * distances laid out block-major (index = block·k + code). The sum
+    * of m Long lookups is order-independent and exact, so PQ rankings
+    * hash-match a DuckDB integer-sum replay. One kernel call per
+    * (query, vector) pair — the loop an ADC SIMD scan runs. */
+  def adcSum(lut: ArrayData, codes: ArrayData, k: Int): Long = {
+    val m = codes.numElements()
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      s += lut.getLong(j * k + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+
   /** Count of positions where two array<long> columns agree — the
     * MinHash signature-agreement estimator's inner loop (runs per
     * candidate PAIR in the LSH chain; the HOF form
@@ -423,6 +441,31 @@ case class DotProductL(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprOps.dotL($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** PQ ADC lookup sum — see [[ExprOps.adcSum]]. `left` is the query's
+  * block-major fixed-point LUT (array<long>, length m·k), `right` the
+  * vector's code array (array<int>, length m). */
+case class AdcSumL(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(ExprOps.adcSum(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprOps.adcSum($a, $b, $k)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -770,6 +813,8 @@ object exprs {
     toCol(DotProductL(toExpr(a), toExpr(b)))
   def eq_count_l(a: Column, b: Column): Column =
     toCol(EqCountL(toExpr(a), toExpr(b)))
+  def adc_sum_l(lut: Column, codes: Column, k: Int): Column =
+    toCol(AdcSumL(toExpr(lut), toExpr(codes), k))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
   /** All overlapping k-grams with multiplicity (see [[WordGrams]]). */

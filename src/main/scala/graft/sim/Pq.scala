@@ -1,0 +1,208 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the memory lever BEYOND int8
+  * ([[Quantize]]): split each d-dim vector into `m` contiguous
+  * subspaces, k-means each subspace independently (`k` centroids),
+  * and store every vector as `m` small codebook indices. At m=16,
+  * k=256 a 768-dim float32 vector compresses 3 KB → 16 bytes (192×),
+  * which is the difference between an exhaustive candidate scan that
+  * streams from object storage and one that sits in executor memory —
+  * the standard 100 TB retrieval-stack layout (Jégou et al. 2011,
+  * "Product Quantization for Nearest Neighbor Search" — public
+  * methodology; composes with IVF lists exactly like FAISS's IVFPQ).
+  *
+  * Queries score by ADC (asymmetric distance computation): the query
+  * stays un-quantized, one m×k lookup table of query↔centroid
+  * distances is built per query, and each corpus vector costs m table
+  * lookups ([[graft.functions.AdcSumL]] — one codegen'd kernel call
+  * per pair). Distances are squared L2 per subspace, summed across
+  * blocks.
+  *
+  * Determinism discipline (the library's fixed-point rule): codebook
+  * training sums fixed-point integral images
+  * ([[graft.functions.aggs.vec_mean_fixed]]) so centroids are
+  * partition-invariant; the LUT entries are `floor(d2·1e9)` longs, so
+  * the ADC score is an order-free INTEGER sum — the full ranking
+  * hash-matches a DuckDB replay ([[adcOracleSql]]) with no float
+  * accumulation anywhere past the per-block distance.
+  *
+  * Scale shape: training shuffles (corpus × m) subvector rows through
+  * map-side-combined aggregates per Lloyd round; encoding is one
+  * broadcast-join argmin (no shuffle of the corpus beyond its scan);
+  * the query scan is |corpus| rows × |queries| LUT broadcasts with a
+  * per-query top-k window. Codes + LUTs travel as int/long arrays —
+  * the d-wide float vectors never enter the query-time plan.
+  */
+object Pq {
+  /** Blocked view: one row per (id, block, sv) with sv the
+    * `dim/m`-element subvector. `dim` is declared, not inferred — the
+    * caller knows its embedding width, and a driver-side peek per
+    * invocation would cost an action. */
+  private def blocked(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dim: Int): DataFrame = {
+    val bs = dim / m
+    val v = Vectors.asDouble(col(vecCol))
+    df.select(col(idCol).as("id"),
+      posexplode(array((0 until m).map(b => slice(v, b * bs + 1, bs)): _*))
+        .as(Seq("block", "sv")))
+  }
+
+  /** Squared L2 in the pinned op shape `(a·a − 2·a·b) + b·b` — three
+    * sequential-fold dots and left-associated arithmetic, identical in
+    * Spark ([[Vectors.dot]]) and DuckDB (`list_dot_product`). */
+  private def l2sq(a: Column, b: Column): Column =
+    Vectors.dot(a, a) - lit(2.0) * Vectors.dot(a, b) + Vectors.dot(b, b)
+
+  /** Train per-subspace codebooks: (block, code, cid, cv) with `code`
+    * the dense 0..k-1 index (centroids ordered by init id within each
+    * block — the layout [[adcTopK]]'s LUT indexes by). Init = the k
+    * lowest-id vectors' subvectors (the [[Ann.kmeansCentroids]]
+    * discipline — measured there against spread inits); `iters` Lloyd
+    * rounds run over ALL blocks in one distributed iteration
+    * (assignment keys on (id, block), means on (block, cid)). */
+  def trainCodebooks(emb: DataFrame, m: Int, k: Int, dim: Int,
+                     iters: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    Ann.requireNumericId(emb, idCol, "Pq.trainCodebooks")
+    val corpus = blocked(emb, idCol, vecCol, m, dim)
+    val initIds = emb.select(col(idCol).as("id")).orderBy(col("id")).limit(k)
+    var centroids = corpus.join(broadcast(initIds), Seq("id"))
+      .select(col("block"), col("id").as("cid"), col("sv").as("cv"))
+    var i = 0
+    while (i < iters) {
+      // argmin by aggregation (partial hash agg collapses the k
+      // candidates per (id, block) before any exchange — lloydRounds'
+      // reasoning); ties to the lowest cid
+      val assigned = corpus.join(broadcast(centroids), Seq("block"))
+        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .groupBy(col("id"), col("block"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"),
+          first(col("sv")).as("sv"))
+      val means = assigned.groupBy(col("block"), col("cid"))
+        .agg(graft.functions.aggs.vec_mean_fixed(col("sv"), scale = 9).as("cv"))
+      // empty cells keep their previous centroid
+      val kept = centroids.join(means, Seq("block", "cid"), "left_anti")
+      centroids = means.unionByName(kept).localCheckpoint(true)
+      i += 1
+    }
+    val w = Window.partitionBy(col("block")).orderBy(col("cid"))
+    centroids.withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(col("block"), col("code"), col("cid"), col("cv"))
+  }
+
+  /** Encode the corpus: (id, codes array<int>) — nearest codebook
+    * entry per block (squared L2, ties to the lowest code), codes
+    * ordered by block. One broadcast join + one id-keyed fold. */
+  def encode(emb: DataFrame, codebooks: DataFrame, m: Int, dim: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    blocked(emb, idCol, vecCol, m, dim)
+      .join(broadcast(codebooks.select(col("block"), col("code"), col("cv"))),
+        Seq("block"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .groupBy(col("id"), col("block"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("block"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("id").as(idCol), col("codes"))
+
+  /** ADC top-k: every query's `floor(d2·1e9)` LUT (block-major
+    * array<long>, built from one broadcast codebook join) scans the
+    * coded corpus with [[graft.functions.AdcSumL]]; rank by (adc_fix
+    * ASC, id ASC). Returns (qid, idCol, adc_fix, rank ≤ topK).
+    * `codes` is [[encode]]'s output — persist it as a catalog table
+    * and this is a pure code-scan query, the IVFPQ steady state. */
+  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+              m: Int, k: Int, dim: Int, topK: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val lut = blocked(queries, idCol, vecCol, m, dim)
+      .join(broadcast(codebooks.select(col("block"), col("code"), col("cv"))),
+        Seq("block"))
+      .withColumn("fix", floor(l2sq(col("sv"), col("cv")) * lit(1e9)).cast("long"))
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("block"), col("code"), col("fix")))),
+        s => s.getField("fix")).as("lut"))
+      .select(col("id").as("qid"), col("lut"))
+    val scored = codes.join(broadcast(lut), col(idCol) =!= col("qid"))
+      .withColumn("adc_fix",
+        graft.functions.exprs.adc_sum_l(col("lut"), col("codes"), k))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_fix").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col(idCol), col("adc_fix"), col("rank"))
+  }
+
+  /** DuckDB oracle twin of train → encode → [[adcTopK]] as ONE query
+    * over `embeddings` — subspace Lloyd rounds unrolled with the same
+    * fixed-point means as the q48 replay, LUT and ADC in exact
+    * integer arithmetic. Queries are `vec_id < nQueries`. */
+  def adcOracleSql(m: Int, k: Int, dim: Int, iters: Int, nQueries: Int,
+                   topK: Int): String = {
+    val bs = dim / m
+    def d2(a: String, b: String): String =
+      s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)"
+    def round(prev: String, i: Int): String =
+      s"""a$i AS (
+         |  SELECT id, block, cid FROM (
+         |    SELECT bv.vec_id AS id, bv.block, c.cid,
+         |      row_number() OVER (PARTITION BY bv.vec_id, bv.block ORDER BY
+         |        ${d2("bv.sv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM bv, $prev c WHERE c.block = bv.block) WHERE rn = 1),
+         |m$i AS (
+         |  SELECT a.block, a.cid, exb.bpos,
+         |    CAST(SUM(CAST(floor(exb.x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |      / 1000000000.0 / COUNT(*) AS mv
+         |  FROM a$i a JOIN exb ON exb.vec_id = a.id AND exb.block = a.block
+         |  GROUP BY a.block, a.cid, exb.bpos),
+         |cm$i AS (SELECT block, cid, list(mv ORDER BY bpos) AS cv
+         |  FROM m$i GROUP BY block, cid),
+         |c$i AS (
+         |  SELECT * FROM cm$i
+         |  UNION ALL
+         |  SELECT p.block, p.cid, p.cv FROM $prev p
+         |  WHERE NOT EXISTS (SELECT 1 FROM cm$i n
+         |    WHERE n.block = p.block AND n.cid = p.cid))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos,
+       |  CAST(unnest(v) AS DOUBLE) AS x FROM e),
+       |exb AS (SELECT vec_id, CAST((pos-1)//$bs AS INTEGER) AS block,
+       |  CAST((pos-1)%$bs AS INTEGER) AS bpos, x FROM ex),
+       |bv AS (SELECT vec_id, block, list(x ORDER BY bpos) AS sv
+       |  FROM exb GROUP BY 1, 2),
+       |c0 AS (SELECT block, vec_id AS cid, sv AS cv FROM bv
+       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+       |${(1 to iters).map(i => round(s"c${i - 1}", i)).mkString(",\n")},
+       |cb AS (SELECT block, cid, cv,
+       |  CAST(row_number() OVER (PARTITION BY block ORDER BY cid) - 1 AS INTEGER)
+       |    AS code FROM c$iters),
+       |enc AS (
+       |  SELECT id, block, code FROM (
+       |    SELECT bv.vec_id AS id, bv.block, cb.code,
+       |      row_number() OVER (PARTITION BY bv.vec_id, bv.block ORDER BY
+       |        ${d2("bv.sv", "cb.cv")} ASC, cb.code ASC) AS rn
+       |    FROM bv, cb WHERE cb.block = bv.block) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, cb.block, cb.code,
+       |    CAST(floor((${d2("q.sv", "cb.cv")}) * 1000000000.0) AS BIGINT) AS fix
+       |  FROM bv q JOIN cb ON cb.block = q.block WHERE q.vec_id < $nQueries),
+       |scored AS (
+       |  SELECT l.qid, enc.id AS vec_id, SUM(l.fix) AS adc_fix
+       |  FROM enc JOIN lut l ON l.block = enc.block AND l.code = enc.code
+       |  WHERE enc.id <> l.qid GROUP BY 1, 2)
+       |SELECT qid, vec_id, CAST(adc_fix AS BIGINT) AS adc_fix,
+       |  CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT qid, vec_id, adc_fix,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fix ASC, vec_id ASC)
+       |      AS rnk FROM scored) WHERE rnk <= $topK""".stripMargin
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Pq, Vectors}
+
+/** sim.Pq: product-quantization codebooks, encoding, ADC ranking. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val m = 2
+  private val k = 4
+  private val dim = 8
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    (i.toLong, (0 until dim).map(d =>
+      math.sin(i * 31 + d * 7).toFloat).toArray)
+  }.toDF("vec_id", "embedding")
+
+  test("codebooks: k dense codes per block, means partition-invariant") {
+    val e = corpus(40)
+    val cb = Pq.trainCodebooks(e, m, k, dim, iters = 2)
+    val rows = cb.select("block", "code").as[(Int, Int)].collect().sorted
+    assert(rows.toSeq == (for (b <- 0 until m; c <- 0 until k) yield (b, c)))
+    val cb2 = Pq.trainCodebooks(e.repartition(7), m, k, dim, iters = 2)
+    val a = cb.select("block", "code", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val b = cb2.select("block", "code", "cv").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(a == b) // fixed-point means: bit-equal under any layout
+  }
+
+  test("encode: m codes per vector, each the argmin centroid") {
+    val e = corpus(40)
+    val cb = Pq.trainCodebooks(e, m, k, dim, iters = 1)
+    val codes = Pq.encode(e, cb, m, dim)
+    val all = codes.select("vec_id", "codes").as[(Long, Seq[Int])].collect()
+    assert(all.length == 40)
+    assert(all.forall(_._2.length == m))
+    assert(all.forall(_._2.forall(c => c >= 0 && c < k)))
+    // replay one vector's argmin by hand against the collected codebook
+    val cbRows = cb.collect().map(r => (r.getAs[Int]("block"),
+      r.getAs[Int]("code")) -> r.getSeq[Double](r.fieldIndex("cv"))).toMap
+    val v0 = corpus(40).filter(col("vec_id") === 5L)
+      .select(Vectors.asDouble(col("embedding"))).as[Seq[Double]].head()
+    val got = all.find(_._1 == 5L).get._2
+    for (b <- 0 until m) {
+      val sv = v0.slice(b * dim / m, (b + 1) * dim / m)
+      def d2(cv: Seq[Double]) = {
+        def dot(x: Seq[Double], y: Seq[Double]) =
+          x.zip(y).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+        dot(sv, sv) - 2.0 * dot(sv, cv) + dot(cv, cv)
+      }
+      val want = (0 until k).minBy(c => (d2(cbRows((b, c))), c))
+      assert(got(b) == want, s"block $b")
+    }
+  }
+
+  test("ADC kernel ranking equals the join-sum formulation") {
+    val e = corpus(60)
+    val q = e.filter(col("vec_id") < 3)
+    val cb = Pq.trainCodebooks(e, m, k, dim, iters = 2)
+    val codes = Pq.encode(e, cb, m, dim)
+    val fast = Pq.adcTopK(codes, q, cb, m, k, dim, topK = 4)
+      .select("qid", "vec_id", "adc_fix", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // naive twin: explode codes, join centroid LUT rows, integer-sum
+    val lutRows = q.select(col("vec_id").as("qid"),
+        Vectors.asDouble(col("embedding")).as("qv"))
+      .crossJoin(broadcast(cb))
+      .withColumn("sv",
+        slice(col("qv"), col("block") * (dim / m) + 1, lit(dim / m)))
+      .withColumn("fix", floor(
+        (graft.sim.Vectors.dot(col("sv"), col("sv"))
+          - lit(2.0) * graft.sim.Vectors.dot(col("sv"), col("cv"))
+          + graft.sim.Vectors.dot(col("cv"), col("cv"))) * lit(1e9))
+        .cast("long"))
+      .select("qid", "block", "code", "fix")
+    val naive = codes.select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+      .join(lutRows, Seq("block", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("fix")).as("adc_fix"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_fix").asc, col("vec_id").asc)
+    val naiveTop = naive.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select("qid", "vec_id", "adc_fix", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(fast == naiveTop)
+  }
+
+  test("refuses a dim not divisible into blocks") {
+    val e = corpus(10)
+    val ex = intercept[IllegalArgumentException](
+      Pq.trainCodebooks(e, m = 3, k = 2, dim = dim))
+    assert(ex.getMessage.contains("divisible"), ex.getMessage)
+  }
+}
