@@ -96,6 +96,26 @@ object RecallReport {
       truth, found)
   }
 
+  /** q96/q97: product-quantization ADC top-k (raw and reranked) vs
+    * the float ranking — quantifies what 16-code (16× vs float32)
+    * compression costs when the scan is pure integer LUT sums, and
+    * what the shortlist-50 exact rerank buys back. */
+  def annPq(emb: DataFrame): Seq[Metrics] = {
+    val q = emb.filter(col("vec_id") < 8)
+    def pairs(df: DataFrame) = df.select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Ann.bruteForceTopK(emb, q, k = 5))
+    val cb = graft.sim.Pq.trainCodebooks(emb, m = 16, k = 64, dim = 64, iters = 2)
+    val codes = graft.sim.Pq.encode(emb, cb, m = 16, dim = 64)
+    val adc = pairs(graft.sim.Pq.adcTopK(codes, q, cb,
+      m = 16, dim = 64, topK = 5))
+    val rer = pairs(graft.sim.Pq.adcRerankTopK(emb, codes, q, cb,
+      m = 16, dim = 64, shortlist = 50, topK = 5))
+    Seq(m("q96 pq adcTopK", "k=5 m=16 blocks x 64 codes lloyd=2", truth, adc),
+      m("q97 pq adcRerankTopK", "k=5 shortlist=50 exact-cos rerank",
+        truth, rer))
+  }
+
   /** q42: IVF inverted-list ANN vs brute-force top-k (recall@k over
     * (query, neighbor) pairs). */
   def ivfTopK(emb: DataFrame): Metrics = {
@@ -188,8 +208,8 @@ object RecallReport {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb),
-      ivfTopK(emb), ivfKmeans(emb), annInt8(emb), semantic(emb),
-      knnGraph(emb), curationChain(docs))
+      ivfTopK(emb), ivfKmeans(emb), annInt8(emb)) ++ annPq(emb) ++
+      Seq(semantic(emb), knnGraph(emb), curationChain(docs))
   }
 
   /** The scales the doc AND `RecallSpec` both measure at — one source

@@ -416,19 +416,32 @@ object SparkEntry {
         centroids0 = Some(Ann.kmeansCentroids(e, k = 256, iters = 2)))
     }),
 
-    // Product-quantization ADC ANN (sim.Pq): 4 subspaces × 16-entry
-    // codebooks (2 subspace-Lloyd rounds, fixed-point means), corpus
-    // stored as 4 code bytes/vector, queries scored by integer LUT
-    // sums (AdcSumL kernel — one call per pair). FULLY oracle-gated:
-    // train → encode → ADC ranking replays bit-for-bit in DuckDB
-    // (Pq.adcOracleSql — the q48 Lloyd replay discipline extended to
-    // per-block codebooks and an order-free integer ADC sum).
+    // Product-quantization ADC ANN (sim.Pq): 16 subspaces × 64-entry
+    // codebooks (2 subspace-Lloyd rounds, fixed-point means; config
+    // picked by the measured recall sweep — coarser grids collapse on
+    // the near-uniform unit-sphere corpus, the hardest PQ case),
+    // corpus stored as 16 code bytes/vector, queries scored by integer
+    // LUT sums (AdcSumL kernel — one call per pair). FULLY
+    // oracle-gated: train → encode → ADC ranking replays bit-for-bit
+    // in DuckDB (Pq.adcOracleSql — the q48 Lloyd replay discipline
+    // extended to per-block codebooks and an order-free integer sum).
     "q96_pq_adc" -> ((s, dir) => {
       val e = embeddings(s, dir)
-      val cb = graft.sim.Pq.trainCodebooks(e, m = 4, k = 16, dim = 64, iters = 2)
-      val codes = graft.sim.Pq.encode(e, cb, m = 4, dim = 64)
+      val cb = graft.sim.Pq.trainCodebooks(e, m = 16, k = 64, dim = 64, iters = 2)
+      val codes = graft.sim.Pq.encode(e, cb, m = 16, dim = 64)
       graft.sim.Pq.adcTopK(codes, e.filter(col("vec_id") < 8), cb,
-        m = 4, k = 16, dim = 64, topK = 5)
+        m = 16, dim = 64, topK = 5)
+    }),
+
+    // The production PQ shape: ADC shortlist-50 + exact cosine rerank
+    // (recall 0.625 → 0.975 vs the float truth, docs/RECALL.md) —
+    // wide vectors touched only for the shortlist ids.
+    "q97_pq_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val cb = graft.sim.Pq.trainCodebooks(e, m = 16, k = 64, dim = 64, iters = 2)
+      val codes = graft.sim.Pq.encode(e, cb, m = 16, dim = 64)
+      graft.sim.Pq.adcRerankTopK(e, codes, e.filter(col("vec_id") < 8), cb,
+        m = 16, dim = 64, shortlist = 50, topK = 5)
     }),
 
     // Grouped mean-pooled embeddings (class prototypes / label
@@ -2091,8 +2104,13 @@ object SparkEntry {
     // Oracle built by the operator itself (sim.Pq) — subspace Lloyd,
     // encode, and the integer ADC sum in one replay.
     "q96_pq_adc" ->
-      graft.sim.Pq.adcOracleSql(m = 4, k = 16, dim = 64, iters = 2,
+      graft.sim.Pq.adcOracleSql(m = 16, k = 64, dim = 64, iters = 2,
         nQueries = 8, topK = 5),
+
+    // Shared CTEs + shortlist + exact cosine rerank.
+    "q97_pq_rerank" ->
+      graft.sim.Pq.adcRerankOracleSql(m = 16, k = 64, dim = 64, iters = 2,
+        nQueries = 8, shortlist = 50, topK = 5),
 
     "q48_ann_ivf_kmeans" ->
       s"""WITH ${kmeansCteSql(2)},

@@ -175,9 +175,13 @@ object ExprOps {
     * distances laid out block-major (index = block·k + code). The sum
     * of m Long lookups is order-independent and exact, so PQ rankings
     * hash-match a DuckDB integer-sum replay. One kernel call per
-    * (query, vector) pair — the loop an ADC SIMD scan runs. */
-  def adcSum(lut: ArrayData, codes: ArrayData, k: Int): Long = {
+    * (query, vector) pair — the loop an ADC SIMD scan runs. The
+    * per-block stride is DERIVED (lut.length / codes.length), so a
+    * codebook smaller than the declared k (corpus < k vectors) still
+    * indexes correctly. */
+  def adcSum(lut: ArrayData, codes: ArrayData): Long = {
     val m = codes.numElements()
+    val k = lut.numElements() / m
     var s = 0L
     var j = 0
     while (j < m) {
@@ -449,7 +453,7 @@ case class DotProductL(left: Expression, right: Expression)
 /** PQ ADC lookup sum — see [[ExprOps.adcSum]]. `left` is the query's
   * block-major fixed-point LUT (array<long>, length m·k), `right` the
   * vector's code array (array<int>, length m). */
-case class AdcSumL(left: Expression, right: Expression, k: Int)
+case class AdcSumL(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(LongType), ArrayType(IntegerType))
@@ -458,14 +462,14 @@ case class AdcSumL(left: Expression, right: Expression, k: Int)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.valueOf(ExprOps.adcSum(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k))
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.ExprOps.adcSum($a, $b, $k)")
+      (a, b) => s"graft.functions.ExprOps.adcSum($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -813,8 +817,8 @@ object exprs {
     toCol(DotProductL(toExpr(a), toExpr(b)))
   def eq_count_l(a: Column, b: Column): Column =
     toCol(EqCountL(toExpr(a), toExpr(b)))
-  def adc_sum_l(lut: Column, codes: Column, k: Int): Column =
-    toCol(AdcSumL(toExpr(lut), toExpr(codes), k))
+  def adc_sum_l(lut: Column, codes: Column): Column =
+    toCol(AdcSumL(toExpr(lut), toExpr(codes)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
   /** All overlapping k-grams with multiplicity (see [[WordGrams]]). */

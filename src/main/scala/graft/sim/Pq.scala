@@ -39,13 +39,21 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
   /** Blocked view: one row per (id, block, sv) with sv the
-    * `dim/m`-element subvector. `dim` is declared, not inferred — the
-    * caller knows its embedding width, and a driver-side peek per
-    * invocation would cost an action. */
+    * `dim/m`-element subvector of the L2-NORMALIZED vector. The
+    * normalization is what makes squared-L2 PQ serve COSINE retrieval
+    * (on unit vectors ‖a−b‖² = 2 − 2·cos(a,b), so the L2 ranking IS
+    * the cosine ranking — without it ADC ranks by magnitude and
+    * recall@5 vs the cosine truth collapsed to 0.18, measured); an
+    * all-zero vector stays zero. One per-element IEEE division, so
+    * the DuckDB replay stays bit-exact. `dim` is declared, not
+    * inferred — the caller knows its embedding width, and a
+    * driver-side peek per invocation would cost an action. */
   private def blocked(df: DataFrame, idCol: String, vecCol: String,
                       m: Int, dim: Int): DataFrame = {
     val bs = dim / m
-    val v = Vectors.asDouble(col(vecCol))
+    val v0 = Vectors.asDouble(col(vecCol))
+    val nrm = Vectors.norm(v0)
+    val v = when(nrm === 0.0, v0).otherwise(transform(v0, x => x / nrm))
     df.select(col(idCol).as("id"),
       posexplode(array((0 until m).map(b => slice(v, b * bs + 1, bs)): _*))
         .as(Seq("block", "sv")))
@@ -120,7 +128,7 @@ object Pq {
     * `codes` is [[encode]]'s output — persist it as a catalog table
     * and this is a pure code-scan query, the IVFPQ steady state. */
   def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
-              m: Int, k: Int, dim: Int, topK: Int,
+              m: Int, dim: Int, topK: Int,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val lut = blocked(queries, idCol, vecCol, m, dim)
@@ -134,7 +142,7 @@ object Pq {
       .select(col("id").as("qid"), col("lut"))
     val scored = codes.join(broadcast(lut), col(idCol) =!= col("qid"))
       .withColumn("adc_fix",
-        graft.functions.exprs.adc_sum_l(col("lut"), col("codes"), k))
+        graft.functions.exprs.adc_sum_l(col("lut"), col("codes")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_fix").asc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
@@ -142,12 +150,82 @@ object Pq {
       .select(col("qid"), col(idCol), col("adc_fix"), col("rank"))
   }
 
+  /** The production PQ query shape: ADC SHORTLIST of `shortlist`
+    * candidates per query (the cheap integer scan above), then EXACT
+    * cosine rerank of just those — recall jumps from the raw ADC
+    * ranking's to near-exact (measured in docs/RECALL.md: 0.625 →
+    * 0.975 at shortlist=50 on the 500-vector gate corpus) while the
+    * full-width vectors are touched for only `shortlist/|corpus|` of
+    * the scan (Jégou et al.'s IVFADC + rerank discipline). The rerank
+    * join re-reads the corpus BY ID (a semi-join-shaped probe of
+    * shortlist ids — at scale a broadcast of |Q|·shortlist ids
+    * pruning the vector table's scan), so the wide vectors never
+    * cross a shuffle. Returns (qid, idCol, sim, rank ≤ topK) — q19's
+    * output contract, cosine on the ORIGINAL vectors. */
+  def adcRerankTopK(emb: DataFrame, codes: DataFrame, queries: DataFrame,
+                    codebooks: DataFrame, m: Int, dim: Int,
+                    shortlist: Int, topK: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val short = adcTopK(codes, queries, codebooks, m, dim, shortlist,
+      idCol, vecCol).select(col("qid"), col(idCol))
+    val v = emb.select(col(idCol),
+      Vectors.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val qv = queries.select(col(idCol).as("qid"),
+      Vectors.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", Vectors.norm(col("qv")))
+    val scored = short.join(v, Seq(idCol)).join(broadcast(qv), Seq("qid"))
+      .withColumn("sim",
+        Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col(idCol), col("sim"), col("rank"))
+  }
+
   /** DuckDB oracle twin of train → encode → [[adcTopK]] as ONE query
     * over `embeddings` — subspace Lloyd rounds unrolled with the same
     * fixed-point means as the q48 replay, LUT and ADC in exact
     * integer arithmetic. Queries are `vec_id < nQueries`. */
   def adcOracleSql(m: Int, k: Int, dim: Int, iters: Int, nQueries: Int,
-                   topK: Int): String = {
+                   topK: Int): String =
+    s"""WITH ${adcCtes(m, k, dim, iters, nQueries)}
+       |SELECT qid, vec_id, CAST(adc_fix AS BIGINT) AS adc_fix,
+       |  CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT qid, vec_id, adc_fix,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fix ASC, vec_id ASC)
+       |      AS rnk FROM scored) WHERE rnk <= $topK""".stripMargin
+
+  /** DuckDB oracle twin of [[adcRerankTopK]] — the shared ADC CTEs,
+    * a per-query shortlist, then the exact cosine rerank on the
+    * ORIGINAL vectors (q19's arithmetic, query norm first). */
+  def adcRerankOracleSql(m: Int, k: Int, dim: Int, iters: Int,
+                         nQueries: Int, shortlist: Int,
+                         topK: Int): String =
+    s"""WITH ${adcCtes(m, k, dim, iters, nQueries)},
+       |short AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc_fix ASC, vec_id ASC)
+       |        AS rnk FROM scored) WHERE rnk <= $shortlist),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_dot_product(q.v0, c.v0) /
+       |      (sqrt(list_dot_product(q.v0, q.v0)) *
+       |       sqrt(list_dot_product(c.v0, c.v0))) AS sim
+       |  FROM short s JOIN e0 c ON c.vec_id = s.vec_id
+       |  JOIN e0 q ON q.vec_id = s.qid)
+       |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC)
+       |      AS rnk FROM rr) WHERE rnk <= $topK""".stripMargin
+
+  /** Shared CTE body: normalize → block → subspace Lloyd (unrolled) →
+    * dense codes → encode → LUT → integer ADC scores (`scored`). */
+  private def adcCtes(m: Int, k: Int, dim: Int, iters: Int,
+                      nQueries: Int): String = {
     val bs = dim / m
     def d2(a: String, b: String): String =
       s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)"
@@ -172,7 +250,11 @@ object Pq {
          |  SELECT p.block, p.cid, p.cv FROM $prev p
          |  WHERE NOT EXISTS (SELECT 1 FROM cm$i n
          |    WHERE n.block = p.block AND n.cid = p.cid))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id,
+       |  CASE WHEN sqrt(list_dot_product(v0, v0)) = 0 THEN v0
+       |       ELSE list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0)))
+       |  END AS v FROM e0),
        |ex AS (SELECT vec_id, generate_subscripts(v, 1) AS pos,
        |  CAST(unnest(v) AS DOUBLE) AS x FROM e),
        |exb AS (SELECT vec_id, CAST((pos-1)//$bs AS INTEGER) AS block,
@@ -198,11 +280,6 @@ object Pq {
        |scored AS (
        |  SELECT l.qid, enc.id AS vec_id, SUM(l.fix) AS adc_fix
        |  FROM enc JOIN lut l ON l.block = enc.block AND l.code = enc.code
-       |  WHERE enc.id <> l.qid GROUP BY 1, 2)
-       |SELECT qid, vec_id, CAST(adc_fix AS BIGINT) AS adc_fix,
-       |  CAST(rnk AS INTEGER) AS rank FROM (
-       |  SELECT qid, vec_id, adc_fix,
-       |    row_number() OVER (PARTITION BY qid ORDER BY adc_fix ASC, vec_id ASC)
-       |      AS rnk FROM scored) WHERE rnk <= $topK""".stripMargin
+       |  WHERE enc.id <> l.qid GROUP BY 1, 2)""".stripMargin
   }
 }

@@ -40,8 +40,10 @@ class PqSpec extends SparkTestBase {
     // replay one vector's argmin by hand against the collected codebook
     val cbRows = cb.collect().map(r => (r.getAs[Int]("block"),
       r.getAs[Int]("code")) -> r.getSeq[Double](r.fieldIndex("cv"))).toMap
-    val v0 = corpus(40).filter(col("vec_id") === 5L)
+    val raw = corpus(40).filter(col("vec_id") === 5L)
       .select(Vectors.asDouble(col("embedding"))).as[Seq[Double]].head()
+    val nrm = math.sqrt(raw.foldLeft(0.0)((s, x) => s + x * x))
+    val v0 = if (nrm == 0.0) raw else raw.map(_ / nrm)
     val got = all.find(_._1 == 5L).get._2
     for (b <- 0 until m) {
       val sv = v0.slice(b * dim / m, (b + 1) * dim / m)
@@ -60,12 +62,15 @@ class PqSpec extends SparkTestBase {
     val q = e.filter(col("vec_id") < 3)
     val cb = Pq.trainCodebooks(e, m, k, dim, iters = 2)
     val codes = Pq.encode(e, cb, m, dim)
-    val fast = Pq.adcTopK(codes, q, cb, m, k, dim, topK = 4)
+    val fast = Pq.adcTopK(codes, q, cb, m, dim, topK = 4)
       .select("qid", "vec_id", "adc_fix", "rank")
       .as[(Long, Long, Long, Int)].collect().toSet
     // naive twin: explode codes, join centroid LUT rows, integer-sum
     val lutRows = q.select(col("vec_id").as("qid"),
-        Vectors.asDouble(col("embedding")).as("qv"))
+        Vectors.asDouble(col("embedding")).as("qv0"))
+      .withColumn("qv", // the operator's L2 normalization, replayed
+        when(Vectors.norm(col("qv0")) === 0.0, col("qv0"))
+          .otherwise(transform(col("qv0"), x => x / Vectors.norm(col("qv0")))))
       .crossJoin(broadcast(cb))
       .withColumn("sv",
         slice(col("qv"), col("block") * (dim / m) + 1, lit(dim / m)))
@@ -88,6 +93,34 @@ class PqSpec extends SparkTestBase {
       .select("qid", "vec_id", "adc_fix", "rank")
       .as[(Long, Long, Long, Int)].collect().toSet
     assert(fast == naiveTop)
+  }
+
+  test("rerank with shortlist = corpus reproduces exact brute-force top-k") {
+    val e = corpus(30)
+    val q = e.filter(col("vec_id") < 2)
+    val cb = Pq.trainCodebooks(e, m, k, dim, iters = 1)
+    val codes = Pq.encode(e, cb, m, dim)
+    // shortlist covers everything → the rerank IS bruteForceTopK
+    val rer = Pq.adcRerankTopK(e, codes, q, cb, m, dim,
+        shortlist = 30, topK = 3)
+      .select("qid", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = graft.sim.Ann.bruteForceTopK(e, q, k = 3)
+      .select("qid", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rer == exact)
+  }
+
+  test("codebook smaller than k (tiny corpus): stride-derived ADC still exact") {
+    val e = corpus(6) // 6 vectors < k=4 centroids? k=4 < 6; use k=8
+    val cb = Pq.trainCodebooks(e, m, k = 8, dim = dim, iters = 1)
+    // only 6 init vectors exist → 6 codes per block, codes in 0..5
+    val codes = Pq.encode(e, cb, m, dim)
+    val all = codes.select("codes").as[Seq[Int]].collect()
+    assert(all.forall(_.forall(c => c >= 0 && c < 6)))
+    val out = Pq.adcTopK(codes, e.filter(col("vec_id") < 2), cb, m, dim,
+      topK = 2).collect()
+    assert(out.length == 4) // 2 queries × top-2, no index error
   }
 
   test("refuses a dim not divisible into blocks") {

@@ -63,6 +63,18 @@ class RecallSpec extends SparkTestBase {
     // quantization-loss measure, not a correctness one — remains a
     // docs/RECALL.md row via RecallReport.annInt8.
 
+    test(s"[$tag] PQ rerank recall@5 >= 0.95; raw ADC >= 0.4 (q96/q97)") {
+      // measured 0.450/0.625 raw ADC and 1.000/0.975 after the
+      // shortlist-50 exact rerank (m=16 × 64 codes, lloyd=2) — the
+      // near-uniform unit-sphere corpus is PQ's hardest case (no
+      // cluster structure to quantize onto), which is exactly why the
+      // declared production shape is q97's rerank; the raw-ADC floor
+      // pins the shortlist's candidate quality, not end recall
+      val Seq(adc, rer) = RecallReport.annPq(emb)
+      assert(adc.recall >= 0.4, s"ADC recall ${adc.recall} (${adc.hit}/${adc.truth})")
+      assert(rer.recall >= 0.95, s"rerank recall ${rer.recall} (${rer.hit}/${rer.truth})")
+    }
+
     test(s"[$tag] self k-NN graph recall >= 0.95 (q92 vs exact q65)") {
       // measured 0.980/0.986 at the r=3 × L=16 default over ALL
       // (vector, neighbor) edges — every vector is a query. The
