@@ -33,7 +33,8 @@ object Explain {
     "q89_incremental_components", "q90_indexed_pairs",
     "q91_canonical_docs", "q92_knn_graph_lsh", "q20_minhash_pairs",
     "q21_simhash_pairs", "q93_quality_classifier",
-    "q94_repetition_stats", "q95_shared_line_dedup")
+    "q94_repetition_stats", "q95_shared_line_dedup", "q96_pq_adc",
+    "q97_pq_rerank")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")
