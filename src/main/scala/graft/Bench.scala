@@ -53,7 +53,8 @@ object Bench {
       "q90_build" -> (() => SparkEntry.prefixIndexTable(spark, sfDir)),
       "q84_build" -> (() => SparkEntry.bloomIndexTable(spark, sfDir)),
       "q77_build" -> (() => SparkEntry.ivfIndexTable(spark, sfDir)),
-      "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir)))
+      "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir)),
+      "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)))
     val buildRows = builds.map { case (name, build) =>
       try {
         val t0 = System.nanoTime()
@@ -72,7 +73,8 @@ object Bench {
     // diff must see the break, not a phantom speedup. After each query,
     // its leftover persisted blocks are dropped (cheap, no GC) so query
     // ordering cannot leak storage pressure into later measurements.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), idx) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         run(name, fn, sfDir)
@@ -91,7 +93,14 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
       }
-      dropAllState(gc = false)
+      // forced GC every 8th query, not only at phase boundaries: ~95
+      // queries of unreferenced blocks/buffers otherwise accumulate in
+      // old-gen until some unlucky allocation-heavy query eats the full
+      // GC mid-measurement — BOTH its runs land in the degraded regime,
+      // so min-of-two cannot save it (observed: code-untouched q89
+      // 4.1 s → 13.2 s between two clean full sweeps). ~1 s × 12
+      // deterministic pauses between queries buys run-to-run stability.
+      dropAllState(gc = idx % 8 == 7)
       row
     }.toMap
     // Full-year NYC pipeline over the REAL reference dataset (787,060

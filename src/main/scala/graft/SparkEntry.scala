@@ -425,11 +425,17 @@ object SparkEntry {
     // oracle-gated: train → encode → ADC ranking replays bit-for-bit
     // in DuckDB (Pq.adcOracleSql — the q48 Lloyd replay discipline
     // extended to per-block codebooks and an order-free integer sum).
+    // The declared query reads the PERSISTED index (pqIndexTable —
+    // train + encode paid once, the q77 build-once discipline) and
+    // runs the pure ADC scan; parquet round-trips binary64/int arrays
+    // exactly, so persistence is bit-neutral and the oracle replays
+    // the full inline train → encode → scan.
     "q96_pq_adc" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-      val cb = graft.sim.Pq.trainCodebooks(e, m = 16, k = 64, dim = 64, iters = 2)
-      val codes = graft.sim.Pq.encode(e, cb, m = 16, dim = 64)
-      graft.sim.Pq.adcTopK(codes, e.filter(col("vec_id") < 8), cb,
+      val (cat, prefix) = pqIndexTable(s, dir)
+      graft.sim.Pq.adcTopK(
+        cat.read(s, s"${prefix}_codes"),
+        embeddings(s, dir).filter(col("vec_id") < 8),
+        cat.read(s, s"${prefix}_codebooks"),
         m = 16, dim = 64, topK = 5)
     }),
 
@@ -437,10 +443,12 @@ object SparkEntry {
     // (recall 0.625 → 0.975 vs the float truth, docs/RECALL.md) —
     // wide vectors touched only for the shortlist ids.
     "q97_pq_rerank" -> ((s, dir) => {
+      val (cat, prefix) = pqIndexTable(s, dir)
       val e = embeddings(s, dir)
-      val cb = graft.sim.Pq.trainCodebooks(e, m = 16, k = 64, dim = 64, iters = 2)
-      val codes = graft.sim.Pq.encode(e, cb, m = 16, dim = 64)
-      graft.sim.Pq.adcRerankTopK(e, codes, e.filter(col("vec_id") < 8), cb,
+      graft.sim.Pq.adcRerankTopK(e,
+        cat.read(s, s"${prefix}_codes"),
+        e.filter(col("vec_id") < 8),
+        cat.read(s, s"${prefix}_codebooks"),
         m = 16, dim = 64, shortlist = 50, topK = 5)
     }),
 
@@ -1413,6 +1421,20 @@ object SparkEntry {
 
   /** q77's per-(JVM, source-dir) persisted IVF index — built once,
     * like the pair graph. */
+  /** q96/q97's persisted PQ index (sim.Pq.buildPqIndex) — same
+    * build-once artifact discipline as [[ivfIndexTable]]; the codes
+    * table is written last, so its _SUCCESS fences the whole index. */
+  private[graft] def pqIndexTable(s: SparkSession,
+                                  dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val prefix = "pq_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(
+        new java.io.File(artifactRoot, s"${prefix}_codes"), "_SUCCESS").exists())
+      graft.sim.Pq.buildPqIndex(embeddings(s, dir), cat, prefix,
+        m = 16, k = 64, dim = 64, iters = 2)
+    (cat, prefix)
+  }
+
   private[graft] def ivfIndexTable(s: SparkSession,
                                    dir: String): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)

@@ -169,6 +169,29 @@ object ExprOps {
     s
   }
 
+  /** L2-normalize an array<double> in one pass (zero vectors pass
+    * through unchanged). Same arithmetic as
+    * `transform(v, x => x / sqrt(dot(v, v)))` — sequential-fold norm,
+    * one IEEE division per element — but ONE codegen'd call per row:
+    * the HOF form is interpreted per element AND re-evaluated once per
+    * consumer expression (the PQ blocked view referenced it from m
+    * slice expressions — m × interpreted normalization per row,
+    * measured as the dominant cost of the q96 corpus scan). */
+  def normalizeL2(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    if (nrm == 0.0)
+      while (i < n) { out(i) = v.getDouble(i); i += 1 }
+    else
+      while (i < n) { out(i) = java.lang.Double.valueOf(v.getDouble(i) / nrm); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ADC (asymmetric distance computation) lookup sum — product
     * quantization's scoring loop: `codes` holds one codebook index per
     * subspace block, `lut` the query's per-(block, code) fixed-point
@@ -448,6 +471,26 @@ case class DotProductL(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** One-pass L2 normalization — see [[ExprOps.normalizeL2]]. */
+case class NormalizeL2(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.normalizeL2(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.normalizeL2($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** PQ ADC lookup sum — see [[ExprOps.adcSum]]. `left` is the query's
@@ -819,6 +862,7 @@ object exprs {
     toCol(EqCountL(toExpr(a), toExpr(b)))
   def adc_sum_l(lut: Column, codes: Column): Column =
     toCol(AdcSumL(toExpr(lut), toExpr(codes)))
+  def normalize_l2(c: Column): Column = toCol(NormalizeL2(toExpr(c)))
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
   def word_shingles(c: Column, k: Int): Column = toCol(WordShingles(toExpr(c), k))
   /** All overlapping k-grams with multiplicity (see [[WordGrams]]). */

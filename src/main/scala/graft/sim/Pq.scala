@@ -51,12 +51,16 @@ object Pq {
   private def blocked(df: DataFrame, idCol: String, vecCol: String,
                       m: Int, dim: Int): DataFrame = {
     val bs = dim / m
-    val v0 = Vectors.asDouble(col(vecCol))
-    val nrm = Vectors.norm(v0)
-    val v = when(nrm === 0.0, v0).otherwise(transform(v0, x => x / nrm))
+    // one codegen'd normalization per ROW behind a projection
+    // boundary — inlining it into the m slice expressions would
+    // re-evaluate it m times per row (NormalizeL2 scaladoc; measured
+    // as the dominant q96 scan cost)
     df.select(col(idCol).as("id"),
-      posexplode(array((0 until m).map(b => slice(v, b * bs + 1, bs)): _*))
-        .as(Seq("block", "sv")))
+        graft.functions.exprs.normalize_l2(
+          Vectors.asDouble(col(vecCol))).as("__nv"))
+      .select(col("id"),
+        posexplode(array((0 until m).map(b =>
+          slice(col("__nv"), b * bs + 1, bs)): _*)).as(Seq("block", "sv")))
   }
 
   /** Squared L2 in the pinned op shape `(a·a − 2·a·b) + b·b` — three
@@ -183,6 +187,27 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid"), col(idCol), col("sim"), col("rank"))
+  }
+
+  /** Persist the trained index as catalog tables —
+    * `<prefix>_codebooks` (block, code, cid, cv) and
+    * `<prefix>_codes` (idCol, codes) — the build-once/query-many
+    * split the persisted IVF index (q77) established: codebook
+    * training and corpus encoding are the passes that dominate at
+    * 100 TB, paid once here; a query batch then reads two tables and
+    * runs the pure ADC scan. Codes are written LAST, so their
+    * `_SUCCESS` marker implies the whole index committed.
+    * Parquet round-trips binary64 and int arrays exactly, so the
+    * persisted path is bit-neutral: q96/q97 share the inline oracle. */
+  def buildPqIndex(emb: DataFrame, catalog: graft.catalog.TableCatalog,
+                   prefix: String, m: Int, k: Int, dim: Int,
+                   iters: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    val cb = trainCodebooks(emb, m, k, dim, iters, idCol, vecCol)
+      .localCheckpoint(true) // encode consumes it twice (join + layout)
+    catalog.overwrite(cb, s"${prefix}_codebooks")
+    catalog.overwrite(encode(emb, cb, m, dim, idCol, vecCol),
+      s"${prefix}_codes")
   }
 
   /** DuckDB oracle twin of train → encode → [[adcTopK]] as ONE query
