@@ -54,7 +54,8 @@ object Bench {
       "q84_build" -> (() => SparkEntry.bloomIndexTable(spark, sfDir)),
       "q77_build" -> (() => SparkEntry.ivfIndexTable(spark, sfDir)),
       "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir)),
-      "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)))
+      "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)),
+      "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)))
     val buildRows = builds.map { case (name, build) =>
       try {
         val t0 = System.nanoTime()

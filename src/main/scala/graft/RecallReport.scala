@@ -111,9 +111,21 @@ object RecallReport {
       m = 16, dim = 64, topK = 5))
     val rer = pairs(graft.sim.Pq.adcRerankTopK(emb, codes, q, cb,
       m = 16, dim = 64, shortlist = 50, topK = 5))
+    val cents = emb.select(col("vec_id"), Vectors.asDouble(col("embedding")))
+      .orderBy(col("vec_id")).limit(16)
+      .toDF("cid", "cv")
+    val probes = graft.sim.Ann.probeLists(q, cents, nProbe = 4)
+    val lists = graft.sim.Ann.probeLists(emb, cents, nProbe = 1)
+      .select(col("qid").as("vec_id"), col("list_id"))
+    val ivfpq = pairs(graft.sim.Pq.ivfAdcRerankTopK(emb,
+      lists.join(probes, Seq("list_id")), codes, q, cb,
+      m = 16, dim = 64, shortlist = 20, topK = 5))
     Seq(m("q96 pq adcTopK", "k=5 m=16 blocks x 64 codes lloyd=2", truth, adc),
       m("q97 pq adcRerankTopK", "k=5 shortlist=50 exact-cos rerank",
-        truth, rer))
+        truth, rer),
+      m("q99 ivfAdcRerankTopK",
+        "k=5 probe 4/16 lists, ADC shortlist=20, exact rerank",
+        truth, ivfpq))
   }
 
   /** q42: IVF inverted-list ANN vs brute-force top-k (recall@k over

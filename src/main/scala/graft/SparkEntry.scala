@@ -439,6 +439,44 @@ object SparkEntry {
         m = 16, dim = 64, topK = 5)
     }),
 
+    // Appendable PQ index: codebooks trained on the 90% seed, the
+    // held-out 10% encoded against the FROZEN codebooks and appended
+    // — daily upkeep is one delta-sized job, the index never
+    // re-encodes; ADC stays exact w.r.t. the declared codebooks
+    // (drift erodes fineness, not correctness). Oracle replays the
+    // exact protocol: Lloyd restricted to the seed slice, encoding
+    // and scoring over everything.
+    "q98_pq_append" -> ((s, dir) => {
+      val (cat, prefix) = pqAppendedIndexTable(s, dir)
+      graft.sim.Pq.adcTopK(
+        cat.read(s, s"${prefix}_codes"),
+        embeddings(s, dir).filter(col("vec_id") < 8),
+        cat.read(s, s"${prefix}_codebooks"),
+        m = 16, dim = 64, topK = 5)
+    }),
+
+    // The full IVFADC composition (FAISS IVFPQ, off persisted
+    // artifacts only): q77's inverted lists bound WHICH vectors are
+    // scored (probe 4 of 16 lists), q96's PQ codes make scoring them
+    // cheap (integer ADC shortlist-20), the exact cosine rerank
+    // restores exactness at the top. Per query ≈ 25% of the corpus as
+    // code lookups + 20 full-width vectors.
+    "q99_ivfpq" -> ((s, dir) => {
+      val (icat, iprefix) = ivfIndexTable(s, dir)
+      val (pcat, pprefix) = pqIndexTable(s, dir)
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      val probes = graft.sim.Ann.probeLists(q,
+        icat.read(s, s"${iprefix}_centroids"), nProbe = 4)
+      val candidates = icat.read(s, s"${iprefix}_lists")
+        .select(col("id").as("vec_id"), col("list_id"))
+        .join(broadcast(probes), Seq("list_id"))
+      graft.sim.Pq.ivfAdcRerankTopK(e, candidates,
+        pcat.read(s, s"${pprefix}_codes"), q,
+        pcat.read(s, s"${pprefix}_codebooks"),
+        m = 16, dim = 64, shortlist = 20, topK = 5)
+    }),
+
     // The production PQ shape: ADC shortlist-50 + exact cosine rerank
     // (recall 0.625 → 0.975 vs the float truth, docs/RECALL.md) —
     // wide vectors touched only for the shortlist ids.
@@ -1435,6 +1473,27 @@ object SparkEntry {
     (cat, prefix)
   }
 
+  /** q98's build-then-append PQ index: codebooks trained on the 90%
+    * seed slice, the held-out 10% encoded against the FROZEN
+    * codebooks and appended (Pq.appendToPqIndex). READY marker as in
+    * [[ivfAppendedIndexTable]] — build and append both write the
+    * codes table, so its _SUCCESS cannot fence the whole artifact. */
+  private[graft] def pqAppendedIndexTable(s: SparkSession,
+                                          dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val prefix = "pqa_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val ready = new java.io.File(artifactRoot, s"${prefix}_READY")
+    if (!ready.exists()) {
+      val e = embeddings(s, dir)
+      graft.sim.Pq.buildPqIndex(e.filter(col("vec_id") % 10 =!= 0), cat,
+        prefix, m = 16, k = 64, dim = 64, iters = 2)
+      graft.sim.Pq.appendToPqIndex(e.filter(col("vec_id") % 10 === 0), cat,
+        prefix, m = 16, dim = 64)
+      ready.createNewFile()
+    }
+    (cat, prefix)
+  }
+
   private[graft] def ivfIndexTable(s: SparkSession,
                                    dir: String): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
@@ -2128,6 +2187,19 @@ object SparkEntry {
     "q96_pq_adc" ->
       graft.sim.Pq.adcOracleSql(m = 16, k = 64, dim = 64, iters = 2,
         nQueries = 8, topK = 5),
+
+    // The build-then-append protocol's exact replay: Lloyd over the
+    // seed slice only, encode/score over the full corpus.
+    "q98_pq_append" ->
+      graft.sim.Pq.adcOracleSql(m = 16, k = 64, dim = 64, iters = 2,
+        nQueries = 8, topK = 5, trainWhere = "vec_id % 10 <> 0"),
+
+    // ADC CTEs + q42-shape IVF assignment + probed-list candidates +
+    // integer shortlist + exact rerank, in one replay.
+    "q99_ivfpq" ->
+      graft.sim.Pq.ivfAdcRerankOracleSql(m = 16, k = 64, dim = 64,
+        iters = 2, nQueries = 8, nCentroids = 16, nProbe = 4,
+        shortlist = 20, topK = 5),
 
     // Shared CTEs + shortlist + exact cosine rerank.
     "q97_pq_rerank" ->

@@ -234,6 +234,18 @@ object Ann {
       s"${prefix}_lists", partitionBy = Seq("list_id"))
   }
 
+  /** Each query's `nProbe` nearest inverted lists as (qid, list_id)
+    * rows — the probe half of the IVF query phase, exposed so other
+    * scan structures can reuse the pruning (the IVFPQ composition
+    * joins these against PQ codes: lists bound WHICH vectors are
+    * scored, codes make scoring them cheap). Same assignment
+    * semantics as [[ivfTopK]]'s probes (cosine, ties by list id). */
+  def probeLists(queries: DataFrame, centroids: DataFrame, nProbe: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    assignLists(centroids)(prep(queries, idCol, vecCol), "list_id", nProbe)
+      .select(col("id").as("qid"), col("list_id"))
+
   /** Incremental index maintenance: assign a NEW batch of vectors
     * against the persisted centroids and append its inverted-list
     * rows — the corpus-assignment pass is paid for the DELTA only,

@@ -131,11 +131,11 @@ object Pq {
     * ASC, id ASC). Returns (qid, idCol, adc_fix, rank ≤ topK).
     * `codes` is [[encode]]'s output — persist it as a catalog table
     * and this is a pure code-scan query, the IVFPQ steady state. */
-  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
-              m: Int, dim: Int, topK: Int,
-              idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val lut = blocked(queries, idCol, vecCol, m, dim)
+  /** Per-query block-major fixed-point LUT: (qid, lut array<long>). */
+  private def lutOf(queries: DataFrame, codebooks: DataFrame,
+                    m: Int, dim: Int, idCol: String,
+                    vecCol: String): DataFrame =
+    blocked(queries, idCol, vecCol, m, dim)
       .join(broadcast(codebooks.select(col("block"), col("code"), col("cv"))),
         Seq("block"))
       .withColumn("fix", floor(l2sq(col("sv"), col("cv")) * lit(1e9)).cast("long"))
@@ -144,14 +144,47 @@ object Pq {
         sort_array(collect_list(struct(col("block"), col("code"), col("fix")))),
         s => s.getField("fix")).as("lut"))
       .select(col("id").as("qid"), col("lut"))
-    val scored = codes.join(broadcast(lut), col(idCol) =!= col("qid"))
-      .withColumn("adc_fix",
-        graft.functions.exprs.adc_sum_l(col("lut"), col("codes")))
+
+  private def rankAdc(scored: DataFrame, topK: Int,
+                      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_fix").asc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid"), col(idCol), col("adc_fix"), col("rank"))
+  }
+
+  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+              m: Int, dim: Int, topK: Int,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val lut = lutOf(queries, codebooks, m, dim, idCol, vecCol)
+    rankAdc(
+      codes.join(broadcast(lut), col(idCol) =!= col("qid"))
+        .withColumn("adc_fix",
+          graft.functions.exprs.adc_sum_l(col("lut"), col("codes"))),
+      topK, idCol)
+  }
+
+  /** [[adcTopK]] restricted to an explicit candidate frame
+    * (qid, idCol) — the composition hook structure-pruned scans plug
+    * into ([[graft.sim.Ann.probeLists]] × inverted lists for IVFPQ):
+    * only the candidate pairs are scored, so the ADC cost is the
+    * pruned mass, not |corpus|·|queries|. */
+  def adcTopKOn(candidates: DataFrame, codes: DataFrame,
+                queries: DataFrame, codebooks: DataFrame,
+                m: Int, dim: Int, topK: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val lut = lutOf(queries, codebooks, m, dim, idCol, vecCol)
+    rankAdc(
+      candidates.select(col("qid"), col(idCol))
+        .join(codes, Seq(idCol))
+        .join(broadcast(lut), Seq("qid"))
+        .filter(col(idCol) =!= col("qid"))
+        .withColumn("adc_fix",
+          graft.functions.exprs.adc_sum_l(col("lut"), col("codes"))),
+      topK, idCol)
   }
 
   /** The production PQ query shape: ADC SHORTLIST of `shortlist`
@@ -170,16 +203,42 @@ object Pq {
                     codebooks: DataFrame, m: Int, dim: Int,
                     shortlist: Int, topK: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val short = adcTopK(codes, queries, codebooks, m, dim, shortlist,
-      idCol, vecCol).select(col("qid"), col(idCol))
+                    vecCol: String = "embedding"): DataFrame =
+    rerankExact(emb,
+      adcTopK(codes, queries, codebooks, m, dim, shortlist, idCol, vecCol),
+      queries, topK, idCol, vecCol)
+
+  /** Full IVFADC: IVF probes bound WHICH vectors are scored
+    * (`candidates` = [[graft.sim.Ann.probeLists]] ⋈ inverted lists),
+    * PQ codes make scoring them cheap (integer ADC shortlist), the
+    * exact cosine rerank restores exactness at the top — the FAISS
+    * IVFPQ composition, every stage off persisted artifacts. Scan
+    * cost per query ≈ (nProbe/nLists)·|corpus| code lookups plus
+    * `shortlist` full-width vectors. */
+  def ivfAdcRerankTopK(emb: DataFrame, candidates: DataFrame,
+                       codes: DataFrame, queries: DataFrame,
+                       codebooks: DataFrame, m: Int, dim: Int,
+                       shortlist: Int, topK: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    rerankExact(emb,
+      adcTopKOn(candidates, codes, queries, codebooks, m, dim, shortlist,
+        idCol, vecCol),
+      queries, topK, idCol, vecCol)
+
+  /** Exact cosine rerank of a (qid, idCol) shortlist against the
+    * ORIGINAL vectors — q19's arithmetic (query norm first). */
+  private def rerankExact(emb: DataFrame, short: DataFrame,
+                          queries: DataFrame, topK: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val v = emb.select(col(idCol),
       Vectors.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
     val qv = queries.select(col(idCol).as("qid"),
       Vectors.asDouble(col(vecCol)).as("qv"))
       .withColumn("qnrm", Vectors.norm(col("qv")))
-    val scored = short.join(v, Seq(idCol)).join(broadcast(qv), Seq("qid"))
+    val scored = short.select(col("qid"), col(idCol))
+      .join(v, Seq(idCol)).join(broadcast(qv), Seq("qid"))
       .withColumn("sim",
         Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy(col("qid"))
@@ -210,13 +269,36 @@ object Pq {
       s"${prefix}_codes")
   }
 
+  /** Append a delta batch to a persisted index: encode against the
+    * FROZEN persisted codebooks, append to the codes table — daily
+    * upkeep is one delta-sized job, the accumulated index never
+    * re-encodes (the [[graft.dedup.Dedup.appendToPrefixIndex]] /
+    * [[Ann.appendToIvfIndex]] discipline). Sound at every point: ADC
+    * scores are exact with respect to the DECLARED codebooks, so a
+    * drifting vector distribution erodes quantization FINENESS (raw
+    * ADC recall), never correctness — and the q97 rerank restores
+    * exactness at the top regardless. Policy for heavy drift =
+    * rebuild, as with the prefix index. Each id's single code row
+    * commits atomically (one row per id, file-level append). */
+  def appendToPqIndex(delta: DataFrame, catalog: graft.catalog.TableCatalog,
+                      prefix: String, m: Int, dim: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val cb = catalog.read(delta.sparkSession, s"${prefix}_codebooks")
+    catalog.append(encode(delta, cb, m, dim, idCol, vecCol),
+      s"${prefix}_codes")
+  }
+
   /** DuckDB oracle twin of train → encode → [[adcTopK]] as ONE query
     * over `embeddings` — subspace Lloyd rounds unrolled with the same
     * fixed-point means as the q48 replay, LUT and ADC in exact
-    * integer arithmetic. Queries are `vec_id < nQueries`. */
+    * integer arithmetic. Queries are `vec_id < nQueries`.
+    * `trainWhere` restricts the TRAINING corpus (init + Lloyd) to a
+    * seed slice while encoding/scoring still cover every vector — the
+    * build-then-append protocol's exact replay (q98). */
   def adcOracleSql(m: Int, k: Int, dim: Int, iters: Int, nQueries: Int,
-                   topK: Int): String =
-    s"""WITH ${adcCtes(m, k, dim, iters, nQueries)}
+                   topK: Int, trainWhere: String = "TRUE"): String =
+    s"""WITH ${adcCtes(m, k, dim, iters, nQueries, trainWhere)}
        |SELECT qid, vec_id, CAST(adc_fix AS BIGINT) AS adc_fix,
        |  CAST(rnk AS INTEGER) AS rank FROM (
        |  SELECT qid, vec_id, adc_fix,
@@ -247,10 +329,60 @@ object Pq {
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC)
        |      AS rnk FROM rr) WHERE rnk <= $topK""".stripMargin
 
-  /** Shared CTE body: normalize → block → subspace Lloyd (unrolled) →
-    * dense codes → encode → LUT → integer ADC scores (`scored`). */
+  /** DuckDB oracle twin of the IVFADC composition ([[ivfAdcRerankTopK]]
+    * fed by [[graft.sim.Ann.probeLists]] × inverted lists): the shared
+    * ADC CTEs, the q42-shape IVF assignment on the RAW vectors
+    * (lowest-id centroids, cosine, ties by list id), candidates from
+    * probed lists only, integer ADC shortlist, exact cosine rerank. */
+  def ivfAdcRerankOracleSql(m: Int, k: Int, dim: Int, iters: Int,
+                            nQueries: Int, nCentroids: Int, nProbe: Int,
+                            shortlist: Int, topK: Int): String = {
+    def cos(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    s"""WITH ${adcCtes(m, k, dim, iters, nQueries)},
+       |ivc AS (SELECT vec_id AS cid, v0 AS cv FROM e0
+       |  ORDER BY vec_id LIMIT $nCentroids),
+       |ivr AS (
+       |  SELECT e0.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+       |      ${cos("e0.v0", "c.cv")} DESC, c.cid) AS crank
+       |  FROM e0, ivc c),
+       |ivlists AS (SELECT vec_id, cid AS list_id FROM ivr WHERE crank = 1),
+       |ivprobes AS (SELECT vec_id AS qid, cid AS list_id FROM ivr
+       |  WHERE vec_id < $nQueries AND crank <= $nProbe),
+       |cand AS (
+       |  SELECT p.qid, l.vec_id FROM ivprobes p
+       |  JOIN ivlists l USING (list_id) WHERE l.vec_id <> p.qid),
+       |cscored AS (
+       |  SELECT c.qid, c.vec_id, SUM(l.fix) AS adc_fix
+       |  FROM cand c JOIN enc ON enc.id = c.vec_id
+       |  JOIN lut l ON l.qid = c.qid AND l.block = enc.block
+       |    AND l.code = enc.code
+       |  GROUP BY 1, 2),
+       |cshort AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc_fix ASC, vec_id ASC)
+       |        AS rnk FROM cscored) WHERE rnk <= $shortlist),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_dot_product(q.v0, c.v0) /
+       |      (sqrt(list_dot_product(q.v0, q.v0)) *
+       |       sqrt(list_dot_product(c.v0, c.v0))) AS sim
+       |  FROM cshort s JOIN e0 c ON c.vec_id = s.vec_id
+       |  JOIN e0 q ON q.vec_id = s.qid)
+       |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC)
+       |      AS rnk FROM rr) WHERE rnk <= $topK""".stripMargin
+  }
+
+  /** Shared CTE body: normalize → block → subspace Lloyd (unrolled,
+    * over the `trainWhere` seed slice) → dense codes → encode → LUT →
+    * integer ADC scores (`scored`). */
   private def adcCtes(m: Int, k: Int, dim: Int, iters: Int,
-                      nQueries: Int): String = {
+                      nQueries: Int, trainWhere: String = "TRUE"): String = {
     val bs = dim / m
     def d2(a: String, b: String): String =
       s"list_dot_product($a, $a) - 2*list_dot_product($a, $b) + list_dot_product($b, $b)"
@@ -260,7 +392,7 @@ object Pq {
          |    SELECT bv.vec_id AS id, bv.block, c.cid,
          |      row_number() OVER (PARTITION BY bv.vec_id, bv.block ORDER BY
          |        ${d2("bv.sv", "c.cv")} ASC, c.cid ASC) AS rn
-         |    FROM bv, $prev c WHERE c.block = bv.block) WHERE rn = 1),
+         |    FROM seedbv bv, $prev c WHERE c.block = bv.block) WHERE rn = 1),
          |m$i AS (
          |  SELECT a.block, a.cid, exb.bpos,
          |    CAST(SUM(CAST(floor(exb.x * 1000000000.0) AS BIGINT)) AS DOUBLE)
@@ -286,8 +418,10 @@ object Pq {
        |  CAST((pos-1)%$bs AS INTEGER) AS bpos, x FROM ex),
        |bv AS (SELECT vec_id, block, list(x ORDER BY bpos) AS sv
        |  FROM exb GROUP BY 1, 2),
-       |c0 AS (SELECT block, vec_id AS cid, sv AS cv FROM bv
-       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $k)),
+       |seedbv AS (SELECT * FROM bv WHERE $trainWhere),
+       |c0 AS (SELECT block, vec_id AS cid, sv AS cv FROM seedbv
+       |  WHERE vec_id IN
+       |    (SELECT vec_id FROM e WHERE $trainWhere ORDER BY vec_id LIMIT $k)),
        |${(1 to iters).map(i => round(s"c${i - 1}", i)).mkString(",\n")},
        |cb AS (SELECT block, cid, cv,
        |  CAST(row_number() OVER (PARTITION BY block ORDER BY cid) - 1 AS INTEGER)

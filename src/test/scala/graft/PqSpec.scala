@@ -123,6 +123,54 @@ class PqSpec extends SparkTestBase {
     assert(out.length == 4) // 2 queries × top-2, no index error
   }
 
+  test("append encodes against frozen codebooks: build+append ≡ encode-all") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_spec_")
+    try {
+      val cat = new graft.catalog.ParquetCatalog(root.toString)
+      val e = corpus(50)
+      val seed = e.filter(col("vec_id") % 5 =!= 0)
+      val delta = e.filter(col("vec_id") % 5 === 0)
+      Pq.buildPqIndex(seed, cat, "pq", m, k, dim, iters = 2)
+      Pq.appendToPqIndex(delta, cat, "pq", m, dim)
+      val cb = cat.read(spark, "pq_codebooks")
+      val got = cat.read(spark, "pq_codes")
+        .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+      val want = Pq.encode(e, cb, m, dim)
+        .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+      assert(got == want) // frozen codebooks: append path is bit-neutral
+      assert(got.size == 50)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("IVFPQ probing ALL lists ≡ the unpruned shortlist rerank") {
+    val e = corpus(40)
+    val q = e.filter(col("vec_id") < 2)
+    val cb = Pq.trainCodebooks(e, m, k, dim, iters = 1)
+    val codes = Pq.encode(e, cb, m, dim)
+    val cents = e.limit(4).select(col("vec_id").as("cid"),
+      graft.sim.Vectors.asDouble(col("embedding")).as("cv"))
+    // probe EVERY list → candidates = whole corpus → must equal the
+    // plain shortlist+rerank path
+    val probes = graft.sim.Ann.probeLists(q, cents, nProbe = 4)
+    val lists = graft.sim.Ann.probeLists(e, cents, nProbe = 1)
+      .select(col("qid").as("vec_id"), col("list_id"))
+    val cand = lists.join(probes, Seq("list_id"))
+    val ivfpq = Pq.ivfAdcRerankTopK(e, cand, codes, q, cb, m, dim,
+        shortlist = 10, topK = 3)
+      .select("qid", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val plain = Pq.adcRerankTopK(e, codes, q, cb, m, dim,
+        shortlist = 10, topK = 3)
+      .select("qid", "vec_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivfpq == plain)
+  }
+
   test("refuses a dim not divisible into blocks") {
     val e = corpus(10)
     val ex = intercept[IllegalArgumentException](

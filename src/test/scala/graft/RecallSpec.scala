@@ -70,9 +70,15 @@ class RecallSpec extends SparkTestBase {
       // cluster structure to quantize onto), which is exactly why the
       // declared production shape is q97's rerank; the raw-ADC floor
       // pins the shortlist's candidate quality, not end recall
-      val Seq(adc, rer) = RecallReport.annPq(emb)
+      val Seq(adc, rer, ivfpq) = RecallReport.annPq(emb)
       assert(adc.recall >= 0.4, s"ADC recall ${adc.recall} (${adc.hit}/${adc.truth})")
       assert(rer.recall >= 0.95, s"rerank recall ${rer.recall} (${rer.hit}/${rer.truth})")
+      // IVFPQ's ceiling is the probes': 4/16 lists bounds which true
+      // neighbors are even visible (q42 measured 0.85-0.925 at the
+      // same probe fraction); measured 0.900/0.875 — the ADC
+      // shortlist-20 loses almost nothing below the probe ceiling
+      assert(ivfpq.recall >= 0.85,
+        s"IVFPQ recall ${ivfpq.recall} (${ivfpq.hit}/${ivfpq.truth})")
     }
 
     test(s"[$tag] self k-NN graph recall >= 0.95 (q92 vs exact q65)") {
