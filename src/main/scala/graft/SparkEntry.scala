@@ -679,6 +679,12 @@ object SparkEntry {
     "q94_repetition_stats" -> ((s, dir) =>
       graft.text.Repetition.stats(documents(s, dir), "doc_id", "text")),
 
+    // The published Gopher repetition GATE over those stats — the
+    // corpus-filter decision itself, cross-engine exact because every
+    // threshold compares identically-computed doubles.
+    "q100_gopher_filter" -> ((s, dir) =>
+      graft.text.Repetition.gopherFilter(documents(s, dir), "doc_id", "text")),
+
     // Concat-and-chunk sequence packing (ops.Packing): every doc's
     // position in the per-shard training-token stream — one shuffle on
     // the shard key, per-shard cumsum, layout reproduced bit-for-bit
@@ -2290,6 +2296,9 @@ object SparkEntry {
     // split rules, tie-breaks, and zero-fills cannot drift.
     "q94_repetition_stats" ->
       graft.text.Repetition.statsOracleSql("documents", "doc_id", "text"),
+
+    "q100_gopher_filter" ->
+      graft.text.Repetition.gopherFilterOracleSql("documents", "doc_id", "text"),
 
     "q64_incremental_pairs" -> incrementalPairsOracleSql,
 

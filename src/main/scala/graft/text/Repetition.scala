@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *     first of each distinct unit counted;
   *   - top n-gram character fraction
   *       = count(most frequent n-gram) × len(n-gram) / len(text)
-  *     — tie-broken deterministically (count DESC, gram DESC — the
+  *     over n-grams occurring ≥ 2 times (a singleton gram is not
+  *     repetition — docs with no repeated n-gram score 0.0);
+  *     tie-broken deterministically (count DESC, gram DESC — the
   *     struct-max order, replayed as a window in SQL).
   * Lines split on `\n`, paragraphs on `\n{2,}`, empty pieces dropped;
   * n-grams are ALL overlapping word k-grams with multiplicity
@@ -74,14 +76,18 @@ object Repetition {
     }
 
     // top n-gram: count per (doc, gram), take the struct-max (count
-    // DESC, gram DESC — deterministic), weigh by gram length over
-    // doc length
+    // DESC, gram DESC — deterministic) over grams occurring ≥ 2
+    // times — a singleton gram is not repetition, and without the
+    // floor every short document scores its own longest n-gram
+    // (len(gram)/len(text), tripping the Gopher gate on clean prose);
+    // weigh by gram length over doc length
     def topGram(n: Int): DataFrame = {
       val grams = base.select(id,
         explode(graft.functions.exprs.word_grams(
           TextFunctions.tokens(col("__text")), n)).as("__g"))
       grams.groupBy(id, col("__g"))
         .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2)
         .groupBy(id)
         .agg(max(struct(col("__c"), col("__g"))).as("__top"))
         .select(id,
@@ -116,6 +122,37 @@ object Repetition {
         coalesce(col("dup_para_char_frac"), lit(0.0)))
   }
 
+  /** The published Gopher repetition GATE (Rae et al. 2021, Table A1)
+    * applied over [[stats]]: keep a document only if every structural
+    * repetition signal sits under its threshold — duplicate
+    * line/paragraph fraction ≤ 0.30, duplicate line/paragraph
+    * CHARACTER fraction ≤ 0.20, top 2-/3-/4-gram character fraction
+    * ≤ 0.20/0.18/0.16. Thresholds compare doubles both engines
+    * compute identically, so the kept set is cross-engine exact.
+    * Returns the surviving rows with their stats (compose with
+    * [[graft.dedup.Curation]]'s lang/quality gates upstream of
+    * dedup). */
+  def gopherFilter(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    stats(docs, idCol, textCol).filter(
+      col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+        col("dup_line_char_frac") <= 0.20 &&
+        col("dup_para_char_frac") <= 0.20 &&
+        col("top_2gram_char_frac") <= 0.20 &&
+        col("top_3gram_char_frac") <= 0.18 &&
+        col("top_4gram_char_frac") <= 0.16)
+
+  /** DuckDB oracle twin of [[gopherFilter]] — [[statsOracleSql]]
+    * wrapped in the same threshold predicate. */
+  def gopherFilterOracleSql(table: String, idCol: String,
+                            textCol: String): String =
+    s"""SELECT * FROM (
+       |${statsOracleSql(table, idCol, textCol)}
+       |) WHERE dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+       |  AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+       |  AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+       |  AND top_4gram_char_frac <= 0.16""".stripMargin
+
   /** DuckDB oracle twin of [[stats]] — full query over `table`; kept
     * adjacent so split rules, tie-breaks, and zero-fills cannot drift. */
   def statsOracleSql(table: String, idCol: String, textCol: String,
@@ -147,7 +184,7 @@ object Repetition {
          |  SELECT $idCol, c * CAST(length(g) AS BIGINT) AS topchars
          |  FROM (SELECT *, row_number() OVER
          |    (PARTITION BY $idCol ORDER BY c DESC, g DESC) AS rnk
-         |    FROM gcnt_$n) WHERE rnk = 1)""".stripMargin
+         |    FROM gcnt_$n WHERE c >= 2) WHERE rnk = 1)""".stripMargin
     val gramCols = gramNs.map(n =>
       s"""  CASE WHEN length(d.$textCol) > 0
          |    THEN coalesce(CAST(g$n.topchars AS DOUBLE), 0.0) /

@@ -74,6 +74,17 @@ class RepetitionSpec extends SparkTestBase {
     assert(m.size == 3) // frame is total over the corpus
   }
 
+  test("gopher filter drops a repeated-paragraph doc, keeps clean prose") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over one lazy dog near the river"),
+      (2L, "spam spam spam spam spam spam spam spam"), // top-2gram ≫ 0.20
+      (3L, "copy me\n\ncopy me\n\ncopy me") // dup_para_char_frac = 2/3
+    ).toDF("doc_id", "text")
+    val kept = Repetition.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("word-gram kernel: all occurrences, order kept, short arrays empty") {
     val df = Seq("a b a b a", "a", "").toDF("t")
     val out = df.select(graft.functions.exprs.word_grams(
