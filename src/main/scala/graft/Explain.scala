@@ -34,7 +34,8 @@ object Explain {
     "q91_canonical_docs", "q92_knn_graph_lsh", "q20_minhash_pairs",
     "q21_simhash_pairs", "q93_quality_classifier",
     "q94_repetition_stats", "q95_shared_line_dedup", "q96_pq_adc",
-    "q97_pq_rerank", "q98_pq_append", "q99_ivfpq", "q100_gopher_filter")
+    "q97_pq_rerank", "q98_pq_append", "q99_ivfpq", "q100_gopher_filter",
+    "q101_perplexity_band", "q102_source_gate", "q103_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

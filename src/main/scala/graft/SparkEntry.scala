@@ -685,6 +685,34 @@ object SparkEntry {
     "q100_gopher_filter" -> ((s, dir) =>
       graft.text.Repetition.gopherFilter(documents(s, dir), "doc_id", "text")),
 
+    // Corpus unigram-LM perplexity-band filter (text.UnigramLm): the
+    // CCNet keep-the-middle decision with WHOLE-BIT quantized
+    // surprisal — floor-log2 via integer bit length, no libm log, so
+    // per-doc sums are exact longs and the band decision hash-gates
+    // cross-engine. Band picked to split this corpus around its
+    // median mean-surprisal (~4.03 bits/token).
+    "q101_perplexity_band" -> ((s, dir) =>
+      graft.text.UnigramLm.perplexityBand(documents(s, dir), "doc_id",
+        "text", lo = 4.0, hi = 4.04)),
+
+    // Domain-level curation gate (ops.DomainGate): RefinedWeb-style
+    // per-source stats — within-domain duplicate mass, mean length,
+    // modal-language share — and the wholesale keep/drop decision.
+    "q102_source_gate" -> ((s, dir) =>
+      graft.ops.DomainGate.sourceGate(documents(s, dir), "source",
+        "text", "lang", "n_chars", maxDupFrac = 0.1,
+        minMeanChars = 290.0, minModalFrac = 0.40)),
+
+    // DSIR-style importance selection (text.UnigramLm): deterministic
+    // top-200 raw docs by quantized log-likelihood ratio toward the
+    // English-document target domain (add-one-smoothed unigram LMs on
+    // both sides, whole-bit arithmetic as q101).
+    "q103_dsir_select" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.text.UnigramLm.importanceRank(d,
+        d.filter(col("lang") === "en"), "doc_id", "text", topN = 200)
+    }),
+
     // Concat-and-chunk sequence packing (ops.Packing): every doc's
     // position in the per-shard training-token stream — one shuffle on
     // the shard key, per-shard cumsum, layout reproduced bit-for-bit
@@ -2299,6 +2327,91 @@ object SparkEntry {
 
     "q100_gopher_filter" ->
       graft.text.Repetition.gopherFilterOracleSql("documents", "doc_id", "text"),
+
+    // Whole-bit surprisal replay: floor(log2 q) as length(bin(q))-1 —
+    // pure integer arithmetic, identical in both engines; the mean is
+    // the one IEEE division.
+    "q101_perplexity_band" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+         |s AS (SELECT token, CAST(length(bin(n_total // c)) - 1 AS INTEGER)
+         |    AS s FROM cnt, tot),
+         |agg AS (SELECT doc_id, count(*) AS n_toks,
+         |    CAST(sum(s.s) AS BIGINT) AS sum_s
+         |  FROM toks JOIN s USING (token) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(a.sum_s, 0) AS sum_surprisal,
+         |  CASE WHEN a.n_toks IS NOT NULL
+         |    THEN CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE)
+         |  END AS mean_surprisal,
+         |  CAST(CASE WHEN a.n_toks IS NOT NULL
+         |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) >= 4.0
+         |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) <= 4.04
+         |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q102_source_gate" ->
+      """WITH base AS (SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT text) AS n_distinct,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |modal AS (SELECT source, lang AS modal_lang, lc AS modal_cnt
+        |  FROM (SELECT source, lang, lc, row_number() OVER (
+        |      PARTITION BY source ORDER BY lc DESC, lang ASC) AS rn
+        |    FROM (SELECT source, lang, count(*) AS lc FROM documents
+        |      GROUP BY 1, 2)) WHERE rn = 1)
+        |SELECT b.source, b.n_docs,
+        |  b.n_docs - b.n_distinct AS n_dup,
+        |  CAST(b.n_docs - b.n_distinct AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |    AS dup_frac,
+        |  CAST(b.sum_chars AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |    AS mean_chars,
+        |  m.modal_lang,
+        |  CAST(m.modal_cnt AS DOUBLE) / CAST(b.n_docs AS DOUBLE)
+        |    AS modal_frac,
+        |  CAST(CASE WHEN
+        |      CAST(b.n_docs - b.n_distinct AS DOUBLE)
+        |        / CAST(b.n_docs AS DOUBLE) <= 0.1
+        |      AND CAST(b.sum_chars AS DOUBLE)
+        |        / CAST(b.n_docs AS DOUBLE) >= 290.0
+        |      AND CAST(m.modal_cnt AS DOUBLE)
+        |        / CAST(b.n_docs AS DOUBLE) >= 0.40
+        |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM base b JOIN modal m USING (source)""".stripMargin,
+
+    // q101's bit-length arithmetic, add-one smoothed on both LMs;
+    // raw tokens unseen in the target fall to the target's OOV
+    // surprisal floor(log2(N_t + V_t)).
+    "q103_dsir_select" ->
+      s"""WITH rtoks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS token FROM documents),
+         |ttoks AS (SELECT unnest(${TF.sql.tokens("text")}) AS token
+         |  FROM documents WHERE lang = 'en'),
+         |rcnt AS (SELECT token, count(*) AS c_r FROM rtoks GROUP BY 1),
+         |tcnt AS (SELECT token, count(*) AS c_t FROM ttoks GROUP BY 1),
+         |rtot AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |  CAST(count(*) AS BIGINT) AS v_r FROM rcnt),
+         |ttot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+         |  CAST(count(*) AS BIGINT) AS v_t FROM tcnt),
+         |sr AS (SELECT token,
+         |  CAST(length(bin((n_r + v_r) // (c_r + 1))) - 1 AS INTEGER)
+         |    AS s_r FROM rcnt, rtot),
+         |st AS (SELECT token,
+         |  CAST(length(bin((n_t + v_t) // (c_t + 1))) - 1 AS INTEGER)
+         |    AS s_t FROM tcnt, ttot),
+         |scored AS (SELECT r.doc_id, count(*) AS n_tokens,
+         |    CAST(sum(sr.s_r - coalesce(st.s_t,
+         |      (SELECT CAST(length(bin(n_t + v_t)) - 1 AS INTEGER)
+         |       FROM ttot))) AS BIGINT) AS llr_q
+         |  FROM rtoks r JOIN sr USING (token)
+         |  LEFT JOIN st USING (token) GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, llr_q,
+         |  CAST(row_number() OVER (ORDER BY llr_q DESC, doc_id ASC)
+         |    AS INTEGER) AS rank
+         |FROM scored ORDER BY llr_q DESC, doc_id ASC LIMIT 200""".stripMargin,
 
     "q64_incremental_pairs" -> incrementalPairsOracleSql,
 
