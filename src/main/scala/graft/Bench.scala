@@ -55,7 +55,8 @@ object Bench {
       "q77_build" -> (() => SparkEntry.ivfIndexTable(spark, sfDir)),
       "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir)),
       "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)),
-      "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)))
+      "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)),
+      "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)))
     val buildRows = builds.map { case (name, build) =>
       try {
         val t0 = System.nanoTime()

@@ -35,7 +35,9 @@ object Explain {
     "q21_simhash_pairs", "q93_quality_classifier",
     "q94_repetition_stats", "q95_shared_line_dedup", "q96_pq_adc",
     "q97_pq_rerank", "q98_pq_append", "q99_ivfpq", "q100_gopher_filter",
-    "q101_perplexity_band", "q102_source_gate", "q103_dsir_select")
+    "q101_perplexity_band", "q102_source_gate", "q103_dsir_select",
+    "q104_jl_topk", "q105_jl_rerank", "q106_keyword_search",
+    "q107_keyword_indexed", "q108_curriculum")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.etl.{Cleanse, DateDim, Reports, Star}
 import graft.mm.Multimodal
 import graft.ops.Exact
-import graft.sim.Ann
+import graft.sim.{Ann, Jl}
 import graft.text.{TextFunctions => TF}
 
 /** Driver contract — one entry per implemented operator class from
@@ -27,6 +27,78 @@ object SparkEntry {
   // ---------------------------------------------------------------- helpers
 
   private def centsSum(c: Column) = Exact.sumMoney(c)
+
+  /** q104/q105's pinned JL sign matrix (64-d → 32-d): one driver-side
+    * splitmix64 sweep, inlined as literals into the Spark plan and
+    * the DuckDB oracle alike. Half the input dimensionality — the
+    * measured ranking-fidelity ceiling on this NEAR-ISOTROPIC
+    * synthetic corpus (median pairwise cosine ≈ 0, docs/RECALL.md
+    * notes) already binds at 32; deeper cuts are for corpora with low
+    * intrinsic dimension. */
+  private[graft] val jlSigns: Array[Array[Int]] =
+    Jl.signMatrix(seed = 0x6a1L, kDims = 32, dim = 64)
+
+  /** q106/q107's literal query workload — terms drawn from the
+    * synthetic corpus vocabulary, rare+common mixes so idf weighting
+    * has something to decide. ONE definition feeds the Spark frame
+    * and the oracle's VALUES list. */
+  private[graft] val keywordQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark shuffle join",
+    1L -> "window sort order",
+    2L -> "customer query plan",
+    3L -> "vector hash batch",
+    4L -> "slow scan filter",
+    5L -> "table merge")
+  private[graft] def keywordQueryFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    keywordQueries.toDF("qid", "qtext")
+  }
+
+  /** q106/q107's shared oracle: the integer BM25-shaped ranking
+    * replayed end to end (tf and df from the same tokenizer, idf as
+    * the q101 bit-length quotient, (score DESC, id ASC) ties). */
+  private lazy val keywordSearchOracleSql: String = {
+    val values = keywordQueries
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+       |    AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+       |  GROUP BY 1, 2),
+       |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |meta AS (SELECT count(*) AS n_docs FROM documents),
+       |qs AS (SELECT * FROM (VALUES $values) AS t(qid, qtext)),
+       |qt AS (SELECT DISTINCT qid, unnest(${TF.sql.tokens("qtext")})
+       |    AS token FROM qs),
+       |w AS (SELECT qt.qid, qt.token,
+       |    CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf
+       |  FROM qt JOIN dfr USING (token), meta),
+       |sc AS (SELECT w.qid, tf.doc_id,
+       |    CAST(sum(tf.tf * w.idf) AS BIGINT) AS score
+       |  FROM w JOIN tf USING (token) GROUP BY 1, 2)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score,
+       |  CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+       |      AS rnk
+       |  FROM sc) WHERE rnk <= 10""".stripMargin
+  }
+
+  /** Shared q104/q105 oracle CTEs: the Pq entry normalization (one
+    * sqrt + one division per element, both single IEEE ops), q75's
+    * ties-away round into 2^14 fixed point, then the projection under
+    * [[jlSigns]]. */
+  private lazy val jlProjectionCtes: String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+       |  FROM embeddings),
+       |nv AS (SELECT vec_id,
+       |  CASE WHEN sqrt(list_dot_product(v0, v0)) = 0 THEN v0
+       |       ELSE list_transform(v0,
+       |         x -> x / sqrt(list_dot_product(v0, v0))) END AS v
+       |  FROM e0),
+       |ql AS (SELECT vec_id,
+       |  list_transform(v, x -> CAST(round(x * 16384.0) AS INTEGER)) AS q
+       |  FROM nv),
+       |p AS (${Jl.projectionSql(jlSigns, "ql")})""".stripMargin
 
   /** Per-JVM artifact catalog for queries that demonstrate the
     * medallion materialize-once shape: the similarity-pair graph is an
@@ -711,6 +783,63 @@ object SparkEntry {
       val d = documents(s, dir)
       graft.text.UnigramLm.importanceRank(d,
         d.filter(col("lang") === "en"), "doc_id", "text", topN = 200)
+    }),
+
+    // JL signed-random-projection ANN (sim.Jl): 64-d floats →
+    // L2-normalized 2^14 fixed-point codes → 32 small-int components
+    // via a pinned-seed ±1 matrix inlined into plan AND oracle.
+    // Projected squared-L2 ranking is exact-integer end to end, so
+    // the approximate operator itself hash-gates; fidelity vs the
+    // float cosine is the RECALL.md measurement (modest HERE by
+    // design — this corpus is near-isotropic, JL's worst ranking
+    // regime; see the RECALL.md note).
+    "q104_jl_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Jl.topK(e, e.filter(col("vec_id") < 8), k = 5, jlSigns)
+    }),
+
+    // JL shortlist-100 + exact cosine rerank — the production
+    // composition (q97's shape with a JL scan instead of ADC): prune
+    // with k-int distances at half width, reorder the shortlist with
+    // the true cosine. Both stages replayable, so the whole pipe
+    // hash-gates.
+    "q105_jl_rerank" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      Jl.rerankTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        shortlist = 100, jlSigns)
+    }),
+
+    // Keyword retrieval (text.Retrieval): BM25-shaped top-k with
+    // WHOLE-BIT idf — tf·floor(log2(N div df)) exact-long scores, so
+    // the ranking replays in DuckDB (the q101 bit-length discipline).
+    // The decontamination/corpus-forensics search primitive.
+    "q106_keyword_search" -> ((s, dir) =>
+      graft.text.Retrieval.searchTopKInline(documents(s, dir), "doc_id",
+        "text", keywordQueryFrame(s), k = 10)),
+
+    // The same workload through the PERSISTED token-bucket-partitioned
+    // inverted index — scans only the query terms' buckets (static
+    // partition IN-list → file-level pruning). Shares q106's oracle:
+    // persistence and pruning are proven bit-neutral, the q77/q90
+    // discipline.
+    "q107_keyword_indexed" -> ((s, dir) => {
+      val (cat, prefix) = invertedIndexTable(s, dir)
+      graft.text.Retrieval.searchTopKFromCatalog(s, cat, prefix,
+        keywordQueryFrame(s), k = 10)
+    }),
+
+    // Sequence-length-warmup curriculum (ops.Curriculum): whole-bit
+    // length stages ascending, the q87 seeded-md5 permutation within
+    // each stage, one global `pos` — ranked by the parallel two-phase
+    // form the oracle's naive global window replays exactly.
+    "q108_curriculum" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("n_tokens", TF.tokenCount(col("text")))
+        .withColumn("stage",
+          graft.ops.Curriculum.lengthStage(col("n_tokens")))
+        .select(col("doc_id"), col("n_tokens"), col("stage"))
+      graft.ops.Curriculum.stagedOrder(d, "doc_id", "stage",
+        seed = "cur42", nBuckets = 16)
     }),
 
     // Concat-and-chunk sequence packing (ops.Packing): every doc's
@@ -1525,6 +1654,20 @@ object SparkEntry {
         prefix, m = 16, dim = 64)
       ready.createNewFile()
     }
+    (cat, prefix)
+  }
+
+  /** q107's persisted inverted index, memoized per (JVM, dir) like
+    * every index artifact here. Meta is written AFTER postings, so
+    * its _SUCCESS implies the whole index committed. */
+  private[graft] def invertedIndexTable(s: SparkSession,
+                                        dir: String): (graft.catalog.ParquetCatalog, String) = {
+    val cat = new graft.catalog.ParquetCatalog(artifactRoot)
+    val prefix = "inv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    if (!new java.io.File(
+        new java.io.File(artifactRoot, s"${prefix}_meta"), "_SUCCESS").exists())
+      graft.text.Retrieval.buildIndex(documents(s, dir), "doc_id", "text",
+        cat, prefix, nBuckets = 64)
     (cat, prefix)
   }
 
@@ -2412,6 +2555,71 @@ object SparkEntry {
          |  CAST(row_number() OVER (ORDER BY llr_q DESC, doc_id ASC)
          |    AS INTEGER) AS rank
          |FROM scored ORDER BY llr_q DESC, doc_id ASC LIMIT 200""".stripMargin,
+
+    // q75's quantization in list form + the pinned ±1 matrix rendered
+    // as list literals (Jl.projectionSql — the same driver-side array
+    // the Spark plan inlines). All-integer distances, one CAST each.
+    "q104_jl_topk" ->
+      s"""WITH $jlProjectionCtes,
+         |pq AS (SELECT vec_id AS qid, p AS qp FROM p WHERE vec_id < 8),
+         |scored AS (SELECT c.vec_id, pq.qid,
+         |  CAST(list_dot_product(c.p, c.p)
+         |    - 2*list_dot_product(c.p, pq.qp)
+         |    + list_dot_product(pq.qp, pq.qp) AS BIGINT) AS dist2
+         |  FROM p c, pq WHERE c.vec_id <> pq.qid)
+         |SELECT qid, vec_id, dist2, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qid, vec_id, dist2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist2, vec_id)
+         |      AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // The composition: q104's integer shortlist (50), then q19's
+    // float-cosine arithmetic on shortlist rows only.
+    "q105_jl_rerank" ->
+      s"""WITH $jlProjectionCtes,
+         |pq AS (SELECT vec_id AS qid, p AS qp FROM p WHERE vec_id < 8),
+         |sl AS (SELECT qid, vec_id FROM (
+         |  SELECT pq.qid, c.vec_id,
+         |    row_number() OVER (PARTITION BY pq.qid ORDER BY
+         |      CAST(list_dot_product(c.p, c.p)
+         |        - 2*list_dot_product(c.p, pq.qp)
+         |        + list_dot_product(pq.qp, pq.qp) AS BIGINT),
+         |      c.vec_id) AS rnk
+         |  FROM p c, pq WHERE c.vec_id <> pq.qid) WHERE rnk <= 100),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+         |scored AS (SELECT sl.qid, sl.vec_id,
+         |  list_dot_product(q.qv, e.v) /
+         |    (sqrt(list_dot_product(q.qv, q.qv))
+         |      * sqrt(list_dot_product(e.v, e.v))) AS sim
+         |  FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN q ON q.qid = sl.qid)
+         |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |      AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // tf · whole-bit idf, every score an exact BIGINT; the VALUES
+    // list renders from the same keywordQueries constant the Spark
+    // frame uses. q107 shares it verbatim: the persisted bucket-
+    // partitioned index must reproduce the inline search bit-for-bit.
+    "q106_keyword_search" -> keywordSearchOracleSql,
+    "q107_keyword_indexed" -> keywordSearchOracleSql,
+
+    // The two-phase staged rank replayed by the one naive window it
+    // is provably equal to (q87's md5 order, prefixed by the stage).
+    "q108_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, ${TF.sql.tokenCount("text")}
+         |    AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, n_tokens,
+         |  CAST(length(bin(n_tokens + 1)) - 1 AS INTEGER) AS stage
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stage,
+         |  CAST(row_number() OVER (ORDER BY stage,
+         |      md5('cur42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+         |    AS BIGINT) AS pos
+         |FROM s""".stripMargin,
 
     "q64_incremental_pairs" -> incrementalPairsOracleSql,
 

@@ -39,8 +39,9 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
-  /** floor(log2(q)) for a positive integral column, as whole bits. */
-  private def floorLog2(q: Column): Column =
+  /** floor(log2(q)) for a positive integral column, as whole bits.
+    * Shared with [[Retrieval]]'s idf weighting. */
+  private[text] def floorLog2(q: Column): Column =
     (length(bin(q.cast("long"))) - 1).cast("int")
 
   /** Vocabulary-sized (token, c) counts over `docs`' text. */

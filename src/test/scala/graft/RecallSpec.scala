@@ -81,6 +81,22 @@ class RecallSpec extends SparkTestBase {
         s"IVFPQ recall ${ivfpq.recall} (${ivfpq.hit}/${ivfpq.truth})")
     }
 
+    test(s"[$tag] JL rerank recall@5 >= 0.7; raw projection >= 0.05 (q104/q105)") {
+      // measured 0.125/0.150 raw and 0.825/0.775 after the
+      // shortlist-100 exact rerank (64d -> 32d ±1). Low ON PURPOSE:
+      // this corpus is near-isotropic (median pairwise cosine ≈ 0),
+      // so neighbor gaps sit far below the JL distortion at any
+      // useful compression — the worst ranking regime the method has.
+      // JlSpec pins the >=0.9 recall JL delivers on clustered data;
+      // PQ (q96-q99) is this library's high-fidelity path for
+      // structureless corpora.
+      val Seq(raw, rer) = RecallReport.annJl(emb)
+      assert(raw.recall >= 0.05,
+        s"raw JL recall ${raw.recall} (${raw.hit}/${raw.truth})")
+      assert(rer.recall >= 0.7,
+        s"JL rerank recall ${rer.recall} (${rer.hit}/${rer.truth})")
+    }
+
     test(s"[$tag] self k-NN graph recall >= 0.95 (q92 vs exact q65)") {
       // measured 0.980/0.986 at the r=3 × L=16 default over ALL
       // (vector, neighbor) edges — every vector is a query. The

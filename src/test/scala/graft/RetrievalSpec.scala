@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Retrieval
+
+/** text.Retrieval: inverted-index keyword search with whole-bit idf
+  * (q106 inline, q107 persisted + bucket-pruned). */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs4 = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "banana banana durian"),
+    (4L, "cherry durian apple")).toDF("doc_id", "text")
+
+  test("postings carry per-(token, doc) tf") {
+    val p = Retrieval.postings(docs4, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(p(("apple", 1L, 2L)) && p(("banana", 3L, 2L)) &&
+      p(("durian", 4L, 1L)))
+    assert(p.size == 9)
+  }
+
+  test("hand-computed whole-bit idf ranking with ties") {
+    // N=4; df: apple=3 banana=2 cherry=2 durian=2
+    // idf: apple floor(log2(4 div 3))=0; others floor(log2 2)=1
+    // query "apple banana": d1 = 2*0+1*1 = 1; d3 = 2*1 = 2; d2 = 0; d4 = 0
+    // docs 2 and 4 DO match 'apple' (score 0) - candidates, tie by id
+    val q = Seq((7L, "apple banana")).toDF("qid", "qtext")
+    val got = Retrieval.searchTopKInline(docs4, "doc_id", "text", q, k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sortBy(_._4)
+    assert(got == Seq((7L, 3L, 2L, 1), (7L, 1L, 1L, 2),
+      (7L, 2L, 0L, 3), (7L, 4L, 0L, 4)))
+  }
+
+  test("query terms are set-valued; unknown terms and queries drop out") {
+    val q = Seq((1L, "banana banana banana"), (2L, "zzz qqq"))
+      .toDF("qid", "qtext")
+    val got = Retrieval.searchTopKInline(docs4, "doc_id", "text", q, k = 2)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    // banana counted once: d1 tf=1 idf=1 -> 1; d3 tf=2 -> 2; qid 2 gone
+    assert(got == Seq((1L, 1L, 1L, 2), (1L, 3L, 2L, 1)).sorted)
+  }
+
+  test("persisted index reproduces the inline search bit-for-bit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inv_").toString
+    val cat = new graft.catalog.ParquetCatalog(tmp)
+    val docs = Tables.documents(spark, sf)
+    Retrieval.buildIndex(docs, "doc_id", "text", cat, "ix", nBuckets = 16)
+    val q = SparkEntry.keywordQueryFrame(spark)
+    val inline = Retrieval.searchTopKInline(docs, "doc_id", "text", q, 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    val persisted = Retrieval.searchTopKFromCatalog(spark, cat, "ix", q, 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    assert(inline == persisted)
+    // the pruned scan touches only the query terms' buckets
+    val bucketDirs = new java.io.File(tmp, "ix_postings")
+      .listFiles().count(_.getName.startsWith("bucket="))
+    assert(bucketDirs > 1, "bucketing did not partition the postings")
+  }
+
+  test("appendToIndex(seed, delta) ≡ buildIndex(all)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inv_").toString
+    val cat = new graft.catalog.ParquetCatalog(tmp)
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    Retrieval.buildIndex(seed, "doc_id", "text", cat, "ix", nBuckets = 16)
+    Retrieval.appendToIndex(delta, "doc_id", "text", cat, "ix")
+    val q = SparkEntry.keywordQueryFrame(spark)
+    val appended = Retrieval.searchTopKFromCatalog(spark, cat, "ix", q, 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    val inline = Retrieval.searchTopKInline(docs, "doc_id", "text", q, 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    assert(appended == inline)
+  }
+
+  test("search is partition-independent on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val q = SparkEntry.keywordQueryFrame(spark)
+    val a = Retrieval.searchTopKInline(docs, "doc_id", "text", q, 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    val b = Retrieval.searchTopKInline(docs.repartition(13), "doc_id",
+      "text", q, 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    assert(a == b && a.nonEmpty)
+  }
+}
