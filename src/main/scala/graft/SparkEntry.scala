@@ -54,6 +54,32 @@ object SparkEntry {
     keywordQueries.toDF("qid", "qtext")
   }
 
+  /** q101/q109's whole-bit surprisal replay, parameterized by the
+    * keep band: floor(log2 q) as length(bin(q))-1 — pure integer
+    * arithmetic, identical in both engines; the mean is the one IEEE
+    * division. */
+  private def perplexityBandOracleSql(lo: Double, hi: Double): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+       |    AS token FROM documents),
+       |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+       |s AS (SELECT token, CAST(length(bin(n_total // c)) - 1 AS INTEGER)
+       |    AS s FROM cnt, tot),
+       |agg AS (SELECT doc_id, count(*) AS n_toks,
+       |    CAST(sum(s.s) AS BIGINT) AS sum_s
+       |  FROM toks JOIN s USING (token) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(a.sum_s, 0) AS sum_surprisal,
+       |  CASE WHEN a.n_toks IS NOT NULL
+       |    THEN CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE)
+       |  END AS mean_surprisal,
+       |  CAST(CASE WHEN a.n_toks IS NOT NULL
+       |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) >= $lo
+       |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) <= $hi
+       |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** q106/q107's shared oracle: the integer BM25-shaped ranking
     * replayed end to end (tf and df from the same tokenizer, idf as
     * the q101 bit-length quotient, (score DESC, id ASC) ties). */
@@ -841,6 +867,15 @@ object SparkEntry {
       graft.ops.Curriculum.stagedOrder(d, "doc_id", "stage",
         seed = "cur42", nBuckets = 16)
     }),
+
+    // The modern filter stack end to end (text.FilterStack): Gopher
+    // repetition + CCNet perplexity band + classifier + exact-dedup
+    // keeper, per-gate verdicts AND the conjunction — the funnel-
+    // accounting frame a curation run consumes. Every leg reuses an
+    // operator already oracle-gated alone (q100/q101/q93/q15).
+    "q109_filter_stack" -> ((s, dir) =>
+      graft.text.FilterStack.modernGates(documents(s, dir), "doc_id",
+        "text", pplLo = 3.95, pplHi = 4.15)),
 
     // Concat-and-chunk sequence packing (ops.Packing): every doc's
     // position in the per-shard training-token stream — one shuffle on
@@ -1933,6 +1968,22 @@ object SparkEntry {
         s"(h, cp) -> $fold)")
   }
 
+  /** q93/q109's classifier replay: Fnv64Sql.tokHash → 2^20 feature
+    * bucket → integer weight mix → exact-long sum, keep iff > 0. */
+  private lazy val oracleSqlClassifier: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS (SELECT doc_id,
+       |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+       |    - 32768 AS w FROM toks),
+       |s AS (SELECT doc_id, sum(w) AS score, count(*) AS n FROM w GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(s.score, 0) AS BIGINT) AS clf_score,
+       |  CAST(coalesce(s.n, 0) AS INTEGER) AS n_tokens,
+       |  CAST(coalesce(s.score, 0) > 0 AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL""".stripMargin
+
   /** The 64 SimHash signature bits reconstruct by sign of the per-bit
     * vote sums over [[Fnv64Sql.tokHash]], exactly as the Spark
     * expression does. */
@@ -2449,19 +2500,7 @@ object SparkEntry {
     // < 2^52, so the arithmetic is exact in both engines; the LEFT
     // JOIN + coalesce covers zero-token docs (Spark's empty token
     // array scores 0).
-    "q93_quality_classifier" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
-         |  FROM documents WHERE text IS NOT NULL),
-         |w AS (SELECT doc_id,
-         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
-         |    - 32768 AS w FROM toks),
-         |s AS (SELECT doc_id, sum(w) AS score, count(*) AS n FROM w GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(s.score, 0) AS BIGINT) AS clf_score,
-         |  CAST(coalesce(s.n, 0) AS INTEGER) AS n_tokens,
-         |  CAST(coalesce(s.score, 0) > 0 AS INTEGER) AS keep
-         |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-         |WHERE d.text IS NOT NULL""".stripMargin,
+    "q93_quality_classifier" -> oracleSqlClassifier,
 
     // Oracle built by the operator itself (graft.text.Repetition) so
     // split rules, tie-breaks, and zero-fills cannot drift.
@@ -2474,27 +2513,7 @@ object SparkEntry {
     // Whole-bit surprisal replay: floor(log2 q) as length(bin(q))-1 —
     // pure integer arithmetic, identical in both engines; the mean is
     // the one IEEE division.
-    "q101_perplexity_band" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
-         |    AS token FROM documents),
-         |cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
-         |s AS (SELECT token, CAST(length(bin(n_total // c)) - 1 AS INTEGER)
-         |    AS s FROM cnt, tot),
-         |agg AS (SELECT doc_id, count(*) AS n_toks,
-         |    CAST(sum(s.s) AS BIGINT) AS sum_s
-         |  FROM toks JOIN s USING (token) GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(a.n_toks, 0) AS BIGINT) AS n_tokens,
-         |  coalesce(a.sum_s, 0) AS sum_surprisal,
-         |  CASE WHEN a.n_toks IS NOT NULL
-         |    THEN CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE)
-         |  END AS mean_surprisal,
-         |  CAST(CASE WHEN a.n_toks IS NOT NULL
-         |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) >= 4.0
-         |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) <= 4.04
-         |    THEN 1 ELSE 0 END AS INTEGER) AS kept
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q101_perplexity_band" -> perplexityBandOracleSql(4.0, 4.04),
 
     "q102_source_gate" ->
       """WITH base AS (SELECT source, count(*) AS n_docs,
@@ -2606,6 +2625,40 @@ object SparkEntry {
     // partitioned index must reproduce the inline search bit-for-bit.
     "q106_keyword_search" -> keywordSearchOracleSql,
     "q107_keyword_indexed" -> keywordSearchOracleSql,
+
+    // Each leg's proven oracle nested as a CTE (DuckDB allows WITH
+    // inside a CTE body), flags by id-keyed left joins — drift
+    // between the stack and its constituent gates is impossible
+    // because the SQL IS the constituents'.
+    "q109_filter_stack" ->
+      s"""WITH rep AS (
+         |${graft.text.Repetition.gopherFilterOracleSql("documents", "doc_id", "text")}
+         |),
+         |ppl AS (
+         |${perplexityBandOracleSql(3.95, 4.15)}
+         |),
+         |clf AS (
+         |${oracleSqlClassifier}
+         |),
+         |fp AS (SELECT doc_id, ${TF.sql.fingerprint("text")} AS fp
+         |  FROM documents),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END
+         |    AS INTEGER) AS rep_pass,
+         |  CAST(coalesce(p.kept, 0) AS INTEGER) AS ppl_pass,
+         |  CAST(coalesce(c.keep, 0) AS INTEGER) AS clf_pass,
+         |  CAST(CASE WHEN k.keeper = d.doc_id THEN 1 ELSE 0 END
+         |    AS INTEGER) AS uniq_pass,
+         |  CAST(CASE WHEN r.doc_id IS NOT NULL AND p.kept = 1
+         |    AND c.keep = 1 AND k.keeper = d.doc_id
+         |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+         |FROM documents d
+         |LEFT JOIN rep r ON r.doc_id = d.doc_id
+         |LEFT JOIN ppl p ON p.doc_id = d.doc_id
+         |LEFT JOIN clf c ON c.doc_id = d.doc_id
+         |LEFT JOIN fp f ON f.doc_id = d.doc_id
+         |LEFT JOIN keepers k ON k.fp = f.fp""".stripMargin,
 
     // The two-phase staged rank replayed by the one naive window it
     // is provably equal to (q87's md5 order, prefixed by the stage).
