@@ -37,7 +37,9 @@ object Explain {
     "q97_pq_rerank", "q98_pq_append", "q99_ivfpq", "q100_gopher_filter",
     "q101_perplexity_band", "q102_source_gate", "q103_dsir_select",
     "q104_jl_topk", "q105_jl_rerank", "q106_keyword_search",
-    "q107_keyword_indexed", "q108_curriculum", "q109_filter_stack")
+    "q107_keyword_indexed", "q108_curriculum", "q109_filter_stack",
+    "q111_phrase_indexed", "q112_phrase_decon", "q113_hybrid_rrf",
+    "q114_vocab_oov")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -54,6 +54,21 @@ object SparkEntry {
     keywordQueries.toDF("qid", "qtext")
   }
 
+  /** q110/q111's literal phrase workload: verbatim n-grams at several
+    * frequencies (common bigrams, rare trigrams, one absent phrase —
+    * the no-hit semantic is part of the contract). */
+  private[graft] val phraseQueries: Seq[(Long, String)] = Seq(
+    0L -> "table hash",
+    1L -> "part filter",
+    2L -> "slow hash batch",
+    3L -> "window fast query",
+    4L -> "part filter scan",
+    5L -> "zz absent phrase")
+  private[graft] def phraseQueryFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    phraseQueries.toDF("qid", "qtext")
+  }
+
   /** q101/q109's whole-bit surprisal replay, parameterized by the
     * keep band: floor(log2 q) as length(bin(q))-1 — pure integer
     * arithmetic, identical in both engines; the mean is the one IEEE
@@ -79,6 +94,34 @@ object SparkEntry {
        |    AND CAST(a.sum_s AS DOUBLE) / CAST(a.n_toks AS DOUBLE) <= $hi
        |    THEN 1 ELSE 0 END AS INTEGER) AS kept
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q110/q111's shared oracle: positional tokens → per-(qid, doc,
+    * start) vote counts → starts with exactly m votes are verbatim
+    * matches. */
+  private lazy val phraseSearchOracleSql: String = {
+    val values = phraseQueries
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""WITH ptoks AS (SELECT doc_id, unnest(tk) AS token,
+       |    generate_subscripts(tk, 1) - 1 AS pos
+       |  FROM (SELECT doc_id, ${TF.sql.tokens("text")} AS tk
+       |        FROM documents)),
+       |qs AS (SELECT * FROM (VALUES $values) AS t(qid, qtext)),
+       |qt AS (SELECT qid, unnest(tk) AS token,
+       |    generate_subscripts(tk, 1) - 1 AS off
+       |  FROM (SELECT qid, ${TF.sql.tokens("qtext")} AS tk FROM qs)),
+       |qlen AS (SELECT qid, count(*) AS m FROM qt GROUP BY 1),
+       |votes AS (SELECT qt.qid, p.doc_id, p.pos - qt.off AS start
+       |  FROM qt JOIN ptoks p USING (token)),
+       |starts AS (SELECT qid, doc_id, start, count(*) AS c
+       |  FROM votes GROUP BY 1, 2, 3),
+       |hits AS (SELECT s.qid, s.doc_id, s.start
+       |  FROM starts s JOIN qlen l ON l.qid = s.qid
+       |  WHERE s.c = l.m AND s.start >= 0)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(min(start) AS BIGINT) AS first_pos
+       |FROM hits GROUP BY 1, 2""".stripMargin
+  }
 
   /** q106/q107's shared oracle: the integer BM25-shaped ranking
     * replayed end to end (tf and df from the same tokenizer, idf as
@@ -108,6 +151,54 @@ object SparkEntry {
        |      AS rnk
        |  FROM sc) WHERE rnk <= 10""".stripMargin
   }
+
+  /** q112's oracle: the PROVEN q110 phrase replay nested as a CTE,
+    * rolled up per document and left-joined back to the corpus —
+    * gate-vs-primitive drift is impossible by construction (the q109
+    * discipline). */
+  private lazy val phraseDeconOracleSql: String =
+    s"""WITH hits0 AS ($phraseSearchOracleSql),
+       |h AS (SELECT doc_id, count(DISTINCT qid) AS nh
+       |  FROM hits0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_phrases,
+       |  CAST(CASE WHEN coalesce(h.nh, 0) = 0 THEN 1 ELSE 0 END
+       |    AS INTEGER) AS kept
+       |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin
+
+  /** q113's oracle: the PROVEN q106 keyword ranking and the PROVEN
+    * q65-form exact cosine ranking (probes = vec_id 0..5, the
+    * keyword qids) fused by reciprocal ranks. Each RRF term is one
+    * IEEE division of exact integers, the sum is two doubles in
+    * fixed (kw, dense) order — hash-replayable end to end. */
+  private lazy val hybridRrfOracleSql: String =
+    s"""WITH kw AS ($keywordSearchOracleSql),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |dsc AS (SELECT q.vec_id AS qid, e.vec_id,
+       |    list_dot_product(q.v, e.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) *
+       |       sqrt(list_dot_product(e.v, e.v))) AS sim
+       |  FROM e q, e WHERE e.vec_id <> q.vec_id AND q.vec_id < 6),
+       |dense AS (SELECT qid, vec_id AS doc_id, rnk FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM dsc) WHERE rnk <= 10),
+       |fused AS (SELECT qid, doc_id,
+       |    CAST(coalesce(kw.rank, 0) AS BIGINT) AS r_kw,
+       |    CAST(coalesce(dense.rnk, 0) AS BIGINT) AS r_dense
+       |  FROM kw FULL JOIN dense USING (qid, doc_id)),
+       |sc AS (SELECT qid, doc_id, r_kw, r_dense,
+       |    (CASE WHEN r_kw = 0 THEN 0.0
+       |      ELSE 1.0 / (60 + r_kw) END) +
+       |    (CASE WHEN r_dense = 0 THEN 0.0
+       |      ELSE 1.0 / (60 + r_dense) END) AS rrf
+       |  FROM fused)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id, r_kw, r_dense, rrf,
+       |  CAST(rnk AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM sc) WHERE rnk <= 10""".stripMargin
 
   /** Shared q104/q105 oracle CTEs: the Pq entry normalization (one
     * sqrt + one division per element, both single IEEE ops), q75's
@@ -853,6 +944,66 @@ object SparkEntry {
       graft.text.Retrieval.searchTopKFromCatalog(s, cat, prefix,
         keywordQueryFrame(s), k = 10)
     }),
+
+    // Exact phrase search (text.Retrieval.phraseSearch): verbatim
+    // n-gram occurrence per (query, doc) via the votes-per-start
+    // reformulation — one token join + one aggregate, no m-way
+    // self-join. The "does this benchmark phrase appear" primitive.
+    "q110_phrase_search" -> ((s, dir) =>
+      graft.text.Retrieval.phraseSearchInline(documents(s, dir),
+        "doc_id", "text", phraseQueryFrame(s))),
+
+    // The same phrase workload through the persisted POSITIONAL index
+    // (q107's bucket pruning on the positions table); shares q110's
+    // oracle — persistence and pruning proven bit-neutral.
+    "q111_phrase_indexed" -> ((s, dir) => {
+      val (cat, prefix) = invertedIndexTable(s, dir)
+      graft.text.Retrieval.phraseSearchFromCatalog(s, cat, prefix,
+        phraseQueryFrame(s))
+    }),
+
+    // The decontamination GATE on the phrase primitive
+    // (text.Retrieval.phraseDecontaminate): every doc scored by how
+    // many benchmark phrases it carries verbatim, kept iff none —
+    // funnel-total frame, zero rows included.
+    "q112_phrase_decon" -> ((s, dir) =>
+      graft.text.Retrieval.phraseDecontaminate(documents(s, dir),
+        "doc_id", "text", phraseQueryFrame(s))),
+
+    // Hybrid retrieval (text.Retrieval.hybridRrf): the q106 BM25 leg
+    // and an exact dense cosine leg (probes = the keyword qids' own
+    // embeddings, q65's scoring) fused by reciprocal ranks — rank-only
+    // fusion needs no score calibration and stays hash-replayable
+    // (each term one IEEE division, fixed-order two-double sum).
+    "q113_hybrid_rrf" -> ((s, dir) => {
+      val kw = graft.text.Retrieval.searchTopKInline(documents(s, dir),
+        "doc_id", "text", keywordQueryFrame(s), k = 10)
+      val dense = graft.sim.Ann.bruteForceTopK(embeddings(s, dir),
+          embeddings(s, dir).filter(col("vec_id") < 6), k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.text.Retrieval.hybridRrf(kw, dense, k = 10)
+    }),
+
+    // Vocabulary coverage (text.Vocab.oovProfile): top-100 frequency
+    // vocabulary (broadcast), per-doc OOV mass against it — the
+    // tokenizer-coverage screen; corpus never shuffles for the probe.
+    "q114_vocab_oov" -> ((s, dir) =>
+      graft.text.Vocab.oovProfile(documents(s, dir), "doc_id", "text",
+        topV = 100)),
+
+    // Per-source lexical diversity (text.Vocab.diversityProfile):
+    // unigram + bigram type-token ratios — the templated-source
+    // screen per-doc stats can't see.
+    "q115_diversity" -> ((s, dir) =>
+      graft.text.Vocab.diversityProfile(documents(s, dir), "source",
+        "text")),
+
+    // BPE merge-candidate statistics (text.Vocab.mergePairStats):
+    // top-20 adjacent token pairs by corpus count — iteration one of
+    // merge learning, map-side-combined then sort-limited.
+    "q116_merge_pairs" -> ((s, dir) =>
+      graft.text.Vocab.mergePairStats(documents(s, dir), "text",
+        topK = 20)),
 
     // Sequence-length-warmup curriculum (ops.Curriculum): whole-bit
     // length stages ascending, the q87 seeded-md5 permutation within
@@ -2625,6 +2776,82 @@ object SparkEntry {
     // partitioned index must reproduce the inline search bit-for-bit.
     "q106_keyword_search" -> keywordSearchOracleSql,
     "q107_keyword_indexed" -> keywordSearchOracleSql,
+
+    // The votes-per-start reformulation replayed as GROUP BY …
+    // HAVING-count — all-integer, and the absent-phrase query
+    // (qid 5) is proven absent by both engines.
+    "q110_phrase_search" -> phraseSearchOracleSql,
+    "q111_phrase_indexed" -> phraseSearchOracleSql,
+
+    "q112_phrase_decon" -> phraseDeconOracleSql,
+    "q113_hybrid_rrf" -> hybridRrfOracleSql,
+
+    // Frequency-cut vocabulary replay: the same (cnt DESC, token ASC)
+    // total order decides the top-100 boundary in both engines; per-
+    // value arithmetic is exact longs until the one rate division.
+    "q114_vocab_oov" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |vocab AS (SELECT token FROM (
+         |    SELECT token, row_number() OVER (
+         |      ORDER BY cnt DESC, token ASC) AS vr FROM cnt)
+         |  WHERE vr <= 100),
+         |per AS (SELECT t.doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE CAST(p.n_oov AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+         |  END AS oov_rate
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // The q94 gram CTE shape (array slice over token positions) at
+    // n = 2, rolled up per source with exact distinct counts.
+    "q115_diversity" ->
+      s"""WITH base AS (SELECT source, ${TF.sql.tokens("text")} AS tk
+         |  FROM documents),
+         |toks AS (SELECT source, unnest(tk) AS token FROM base),
+         |ta AS (SELECT source, count(*) AS n_tokens,
+         |    count(DISTINCT token) AS n_distinct_tokens
+         |  FROM toks GROUP BY 1),
+         |bi AS (SELECT source, array_to_string(tk[i:i+1], ' ') AS g
+         |  FROM (SELECT source, tk,
+         |      CAST(unnest(range(1, len(tk))) AS INTEGER) AS i
+         |    FROM base WHERE len(tk) >= 2)),
+         |ba AS (SELECT source, count(*) AS n_bigrams,
+         |    count(DISTINCT g) AS n_distinct_bigrams
+         |  FROM bi GROUP BY 1)
+         |SELECT ta.source,
+         |  CAST(ta.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(ta.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+         |  CAST(ta.n_distinct_tokens AS DOUBLE) /
+         |    CAST(ta.n_tokens AS DOUBLE) AS ttr,
+         |  CAST(coalesce(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(ba.n_distinct_bigrams, 0) AS BIGINT)
+         |    AS n_distinct_bigrams,
+         |  CASE WHEN coalesce(ba.n_bigrams, 0) = 0 THEN 0.0
+         |    ELSE CAST(ba.n_distinct_bigrams AS DOUBLE) /
+         |      CAST(ba.n_bigrams AS DOUBLE)
+         |  END AS bigram_ttr
+         |FROM ta LEFT JOIN ba USING (source)""".stripMargin,
+
+    "q116_merge_pairs" ->
+      s"""WITH base AS (SELECT ${TF.sql.tokens("text")} AS tk
+         |  FROM documents),
+         |bi AS (SELECT array_to_string(tk[i:i+1], ' ') AS pair
+         |  FROM (SELECT tk,
+         |      CAST(unnest(range(1, len(tk))) AS INTEGER) AS i
+         |    FROM base WHERE len(tk) >= 2)),
+         |cnt AS (SELECT pair, count(*) AS cnt FROM bi GROUP BY 1)
+         |SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(mr AS INTEGER) AS mrank FROM (
+         |  SELECT pair, cnt, row_number() OVER (
+         |    ORDER BY cnt DESC, pair ASC) AS mr FROM cnt)
+         |WHERE mr <= 20""".stripMargin,
 
     // Each leg's proven oracle nested as a CTE (DuckDB allows WITH
     // inside a CTE body), flags by id-keyed left joins — drift

@@ -67,6 +67,10 @@ object Retrieval {
     val post = postings(docs, idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
     catalog.overwrite(post, s"${prefix}_postings", partitionBy = Seq("bucket"))
+    val positions = positionalPostings(docs, idCol, textCol)
+      .withColumn("bucket", bucketOf(col("token"), nBuckets))
+    catalog.overwrite(positions, s"${prefix}_positions",
+      partitionBy = Seq("bucket"))
     val spark = docs.sparkSession
     import spark.implicits._
     catalog.overwrite(
@@ -90,6 +94,10 @@ object Retrieval {
       postings(delta, idCol, textCol)
         .withColumn("bucket", bucketOf(col("token"), nBuckets)),
       s"${prefix}_postings", partitionBy = Seq("bucket"))
+    catalog.append(
+      positionalPostings(delta, idCol, textCol)
+        .withColumn("bucket", bucketOf(col("token"), nBuckets)),
+      s"${prefix}_positions", partitionBy = Seq("bucket"))
     catalog.overwrite(
       Seq((meta.getAs[Long]("n_docs") + delta.count(), nBuckets.toLong))
         .toDF("n_docs", "n_buckets"),
@@ -135,6 +143,122 @@ object Retrieval {
       docs.agg(count(lit(1)).as("n_docs")), queries, k,
       idCol, qidCol, qtextCol)
 
+  /** (token, idCol, pos) — POSITIONAL postings (0-based token index),
+    * the phrase-search sibling of [[postings]]. Bigger than the tf
+    * form by the duplicate-token factor, still one row per token
+    * occurrence — the same cardinality as the token stream. */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "token")))
+      .select(col("token"), col(idCol), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase occurrences per (query, document) — the
+    * decontamination primitive ("which documents carry this benchmark
+    * phrase VERBATIM"). A phrase p_0..p_{m-1} matches at start s iff
+    * token p_i sits at position s+i for every i; equivalently every
+    * matched (token, off) pair votes for start = pos − off, and a
+    * start with exactly m votes is a match (repeated phrase tokens
+    * cannot double-vote a start: pos = s + off pins one row per off).
+    * That reformulation is the whole algorithm — one token-key join
+    * against the broadcast (qid, token, off) frame, one (qid, doc,
+    * start) count — so the plan has a single aggregate exchange
+    * bounded by the matched postings, no m-way self-join, no per-doc
+    * string scan; and the oracle replays it as the same GROUP BY …
+    * HAVING. Output: (qidCol, idCol, n_occurrences, first_pos), only
+    * documents containing the phrase at least once. */
+  def phraseSearch(positional: DataFrame, queries: DataFrame,
+                   idCol: String = "doc_id", qidCol: String = "qid",
+                   qtextCol: String = "qtext"): DataFrame = {
+    val qt = queries.select(col(qidCol),
+      posexplode(TextFunctions.tokens(col(qtextCol)))
+        .as(Seq("off", "token")))
+    val qlen = qt.groupBy(col(qidCol)).agg(count(lit(1)).as("m"))
+    val votes = positional.join(broadcast(qt), Seq("token"))
+      .select(col(qidCol), col(idCol),
+        (col("pos") - col("off")).as("start"))
+    votes.groupBy(col(qidCol), col(idCol), col("start"))
+      .agg(count(lit(1)).as("votes"))
+      .join(broadcast(qlen), Seq(qidCol))
+      .filter(col("votes") === col("m") && col("start") >= 0)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).as("first_pos"))
+  }
+
+  /** [[phraseSearch]] straight off documents (transient positional
+    * postings — the q110 oracle's form). */
+  def phraseSearchInline(docs: DataFrame, idCol: String, textCol: String,
+                         queries: DataFrame, qidCol: String = "qid",
+                         qtextCol: String = "qtext"): DataFrame =
+    phraseSearch(positionalPostings(docs, idCol, textCol), queries,
+      idCol, qidCol, qtextCol)
+
+  /** The decontamination GATE built on [[phraseSearch]]: every
+    * document scored by how many of the benchmark phrases it carries
+    * verbatim, kept iff it carries none (the n-gram-overlap
+    * decontamination rule of GPT-3 appendix C / PaLM — here with
+    * exact positional matching, not just shingle overlap). Output is
+    * the TOTAL frame (idCol, n_hit_phrases, kept) — funnel
+    * accounting needs the zero rows, so the hit aggregate left-joins
+    * back to the corpus rather than the corpus filtering through it.
+    * Scale: [[phraseSearch]]'s cost (the phrase terms' posting mass)
+    * plus one doc-keyed left join of a hits frame bounded by the
+    * matching docs. */
+  def phraseDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                          phrases: DataFrame, qidCol: String = "qid",
+                          qtextCol: String = "qtext"): DataFrame = {
+    val hits = phraseSearch(positionalPostings(docs, idCol, textCol),
+        phrases, idCol, qidCol, qtextCol)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col(qidCol)).as("n_hit_phrases"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_phrases"), lit(0L)).as("n_hit_phrases"))
+      .withColumn("kept",
+        when(col("n_hit_phrases") === 0L, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Reciprocal-rank-fusion of two ranked retrieval legs (Cormack et
+    * al. 2009) — the HYBRID-search combiner: a sparse (BM25) and a
+    * dense (embedding) ranking fuse into one list without score
+    * calibration, because RRF consumes only RANKS:
+    *
+    *   rrf(d) = Σ_legs 1 / (k0 + rank_leg(d)),  absent leg → 0
+    *
+    * over the UNION of both top-k lists. Each term is one IEEE
+    * division of exact integers and the sum is two doubles in fixed
+    * (kw, dense) order, so the fused ranking hash-replays cross-
+    * engine (the repo-wide determinism discipline); ties break by
+    * document id. Inputs are the (qidCol, idCol, rank) frames the
+    * retrieval operators already emit. Output: (qidCol, idCol,
+    * r_kw, r_dense — 0 where absent — rrf, rank), top-k per query.
+    * Scale: both legs are top-k-bounded (|queries|·k rows), so the
+    * fusion join, window, and output are all query-workload-sized —
+    * nothing corpus-scale happens here. */
+  def hybridRrf(kwRanked: DataFrame, denseRanked: DataFrame, k: Int,
+                k0: Int = 60, idCol: String = "doc_id",
+                qidCol: String = "qid"): DataFrame = {
+    def leg(df: DataFrame, as: String): DataFrame =
+      df.select(col(qidCol), col(idCol), col("rank").cast("long").as(as))
+    val fused = leg(kwRanked, "r_kw")
+      .join(leg(denseRanked, "r_dense"), Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), col(idCol),
+        coalesce(col("r_kw"), lit(0L)).as("r_kw"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .withColumn("rrf",
+        when(col("r_kw") === 0L, lit(0.0))
+          .otherwise(lit(1.0) / (lit(k0.toLong) + col("r_kw"))) +
+        when(col("r_dense") === 0L, lit(0.0))
+          .otherwise(lit(1.0) / (lit(k0.toLong) + col("r_dense"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** [[searchTopK]] over a persisted index, scanning ONLY the buckets
     * the query terms hash into: one tiny action over the literal
     * query workload (|terms| rows — not the corpus) yields the bucket
@@ -149,19 +273,44 @@ object Retrieval {
                             qidCol: String = "qid",
                             qtextCol: String = "qtext"): DataFrame = {
     val meta = catalog.read(spark, s"${prefix}_meta")
-    val post0 = catalog.read(spark, s"${prefix}_postings")
-    // static bucket pruning from the (small, literal) query workload:
-    // one local action over the tiny query frame, never the corpus
+    val post = prunedToQueryBuckets(spark, catalog, prefix, "postings",
+      queries, qtextCol, meta)
+    searchTopK(post, meta.select(col("n_docs")), queries, k,
+      idCol, qidCol, qtextCol)
+  }
+
+  /** [[phraseSearch]] over the persisted POSITIONAL postings with the
+    * same static bucket pruning — phrase lookups against a 100 TB
+    * index read only the phrase terms' buckets. */
+  def phraseSearchFromCatalog(spark: SparkSession, catalog: TableCatalog,
+                              prefix: String, queries: DataFrame,
+                              idCol: String = "doc_id",
+                              qidCol: String = "qid",
+                              qtextCol: String = "qtext"): DataFrame = {
+    val meta = catalog.read(spark, s"${prefix}_meta")
+    val positional = prunedToQueryBuckets(spark, catalog, prefix,
+      "positions", queries, qtextCol, meta)
+    phraseSearch(positional, queries, idCol, qidCol, qtextCol)
+  }
+
+  /** Static bucket pruning from the (small, literal) query workload:
+    * one local action over the tiny query frame — never the corpus —
+    * yields a partition-value IN-list the parquet scan prunes files
+    * by. */
+  private def prunedToQueryBuckets(spark: SparkSession,
+                                   catalog: TableCatalog, prefix: String,
+                                   table: String, queries: DataFrame,
+                                   qtextCol: String,
+                                   meta: DataFrame): DataFrame = {
     val nBuckets = meta.head().getAs[Long]("n_buckets").toInt
-    val terms = queries
+    val buckets = queries
       .select(explode(TextFunctions.tokens(col(qtextCol))).as("token"))
       .distinct()
-    val buckets = terms
       .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong))
         .cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val post = post0.filter(col("bucket").isin(buckets: _*))
-    searchTopK(post.drop("bucket"),
-      meta.select(col("n_docs")), queries, k, idCol, qidCol, qtextCol)
+    catalog.read(spark, s"${prefix}_$table")
+      .filter(col("bucket").isin(buckets: _*))
+      .drop("bucket")
   }
 }

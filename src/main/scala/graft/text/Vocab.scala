@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary analytics — the tokenizer-facing triple every
+  * training-data pipeline runs before (and after) a tokenizer is
+  * trained: frequency-ranked vocabulary selection, per-document
+  * out-of-vocabulary rates against that vocabulary (coverage — the
+  * WordPiece/BPE vocabulary-size decision input, Wu et al. 2016), and
+  * adjacent-pair merge statistics (the first iteration of BPE
+  * learning, Sennrich et al. 2016 — the candidate list the merge loop
+  * consumes). Plus per-group type-token-ratio diversity profiles
+  * (distinct/total for unigrams and bigrams), the classic lexical-
+  * diversity screen for TEMPLATED or machine-generated sources whose
+  * per-document stats look fine while the SOURCE repeats itself.
+  *
+  * Every number is an exact Long count until at most one IEEE
+  * division per emitted value (the repo-wide oracle discipline), so
+  * all outputs hash-replay in DuckDB.
+  *
+  * Scale shape: vocabulary/merge-pair selection is a map-side-combined
+  * token (or gram) count — ONE shuffle at vocabulary cardinality, far
+  * below corpus cardinality — followed by a distributed sort-limit
+  * (TakeOrderedAndProject: per-partition top-V heaps, V rows to the
+  * driver-side take, never a global sort materialization). OOV rating
+  * then BROADCASTS the V-row vocabulary against the token stream — the
+  * corpus never shuffles for coverage, only the per-doc count
+  * aggregate moves. Diversity profiles are two-level distinct
+  * aggregates (partial distinct on (group, unit) then the group
+  * rollup), the standard exact-distinct plan.
+  */
+object Vocab {
+
+  /** Top-V tokens by corpus frequency, ties token ASC — (token, cnt,
+    * vrank). The frequency-cut vocabulary every coverage question is
+    * asked against. */
+  def topVocabulary(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    // the window runs AFTER the limit: V rows, one partition — bounded
+    counts.withColumn("vrank", row_number().over(w))
+  }
+
+  /** Per-document coverage against the top-V vocabulary: (idCol,
+    * n_tokens, n_oov, oov_rate). Token-less documents rate 0.0 (no
+    * evidence of OOV mass — the conservative direction for a
+    * keep/drop gate built on top). */
+  def oovProfile(docs: DataFrame, idCol: String, textCol: String,
+                 topV: Int): DataFrame = {
+    val vocab = topVocabulary(docs, textCol, topV)
+      .select(col("token"), lit(1).as("iv"))
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val per = toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_oov").cast("double") /
+            col("n_tokens").cast("double")))
+  }
+
+  /** Per-group lexical diversity: (groupCol, n_tokens,
+    * n_distinct_tokens, ttr, n_bigrams, n_distinct_bigrams,
+    * bigram_ttr). Groups appear iff they carry ≥1 token; a group
+    * whose documents are all too short for bigrams rates 0.0 on the
+    * bigram axis. */
+  def diversityProfile(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val tk: Column = TextFunctions.tokens(col(textCol))
+    val tokAgg = docs.select(col(groupCol), explode(tk).as("token"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct_tokens"))
+    val biAgg = docs.select(col(groupCol),
+        explode(graft.functions.exprs.word_grams(tk, 2)).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("g")).as("n_distinct_bigrams"))
+    tokAgg.join(biAgg, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_tokens"), col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("ttr"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L))
+          .as("n_distinct_bigrams"))
+      .withColumn("bigram_ttr",
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams").cast("double")))
+  }
+
+  /** Top-K adjacent token pairs by corpus count, ties pair ASC —
+    * (pair, cnt, mrank). The BPE merge-candidate list: iteration one
+    * of merge learning picks `mrank = 1`; the full loop re-runs this
+    * after applying each merge. Pairs carry multiplicity (the
+    * [[graft.functions.WordGrams]] kernel — all overlapping bigrams,
+    * space-joined). */
+  def mergePairStats(docs: DataFrame, textCol: String,
+                     topK: Int): DataFrame = {
+    val counts = docs
+      .select(explode(graft.functions.exprs.word_grams(
+        TextFunctions.tokens(col(textCol)), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    counts.withColumn("mrank", row_number().over(w))
+  }
+}

@@ -137,4 +137,34 @@ object PropertySuite extends Properties("graft") {
           _.map(x => (x._2, x._3)).sorted.reverse.take(k).toList).toMap
       got == want
     }
+
+  // Soundness armor for the votes-per-start phrase matcher: on random
+  // corpora over a 3-token alphabet (dense with repeats and overlaps —
+  // the adversarial regime for positional logic) the join+aggregate
+  // must equal a literal sliding-window scan exactly.
+  property("phraseSearch == sliding-window scan on random corpora") = {
+    val word = Gen.oneOf("a", "b", "c")
+    val genDoc = Gen.listOfN(12, word)
+    Prop.forAll(Gen.listOfN(5, genDoc),
+        Gen.choose(1, 3).flatMap(m => Gen.listOfN(m, word))) {
+      (docs, phrase) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val q = Seq((0L, phrase.mkString(" "))).toDF("qid", "qtext")
+      val got = graft.text.Retrieval
+        .phraseSearchInline(df, "doc_id", "text", q)
+        .select("doc_id", "n_occurrences", "first_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = docs.zipWithIndex.flatMap { case (ws, i) =>
+        val starts = ws.indices
+          .filter(s => s + phrase.length <= ws.length &&
+            ws.slice(s, s + phrase.length) == phrase)
+        if (starts.isEmpty) None
+        else Some((i.toLong, starts.length.toLong, starts.min.toLong))
+      }.toSet
+      got == want
+    }
+  }
 }

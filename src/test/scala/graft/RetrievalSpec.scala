@@ -76,6 +76,71 @@ class RetrievalSpec extends SparkTestBase {
     assert(appended == inline)
   }
 
+  test("phrase search: hand-computed occurrences, overlaps, no-hits") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b" at 0,2; "b a" at 1,3; "a b a" at 0,2
+      (2L, "b a b"),
+      (3L, "c c c")).toDF("doc_id", "text")
+    val q = Seq((0L, "a b"), (1L, "a b a"), (2L, "c c"), (3L, "a c"))
+      .toDF("qid", "qtext")
+    val got = Retrieval.phraseSearchInline(docs, "doc_id", "text", q)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 1L, 2L, 0L), (0L, 2L, 1L, 1L),  // "a b"
+      (1L, 1L, 2L, 0L),                    // overlapping "a b a" x2
+      (2L, 3L, 2L, 0L)))                   // repeated-token "c c"; "a c" absent
+  }
+
+  test("phrase search: single-token phrase counts every occurrence") {
+    val docs = Seq((1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    val q = Seq((0L, "x")).toDF("qid", "qtext")
+    val got = Retrieval.phraseSearchInline(docs, "doc_id", "text", q)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 2L, 0L)))
+  }
+
+  test("persisted positional index reproduces inline phrase search") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inv_").toString
+    val cat = new graft.catalog.ParquetCatalog(tmp)
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    Retrieval.buildIndex(seed, "doc_id", "text", cat, "ix", nBuckets = 16)
+    Retrieval.appendToIndex(delta, "doc_id", "text", cat, "ix")
+    val q = SparkEntry.phraseQueryFrame(spark)
+    val persisted = Retrieval.phraseSearchFromCatalog(spark, cat, "ix", q)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val inline = Retrieval.phraseSearchInline(docs, "doc_id", "text", q)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(persisted == inline && inline.nonEmpty)
+  }
+
+  test("phraseDecontaminate keeps only phrase-free docs, total frame") {
+    val docs = Seq((1L, "a b c"), (2L, "x y"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val phrases = Seq((0L, "a b"), (1L, "y z")).toDF("qid", "qtext")
+    val got = Retrieval
+      .phraseDecontaminate(docs, "doc_id", "text", phrases)
+      .as[(Long, Long, Int)].collect().toSet
+    // docs 1 and 3 carry phrase 0; nothing carries "y z"; doc 2 clean
+    assert(got == Set((1L, 1L, 0), (2L, 0L, 1), (3L, 1L, 0)))
+  }
+
+  test("hybridRrf fuses ranks over the union with absent-leg zeros") {
+    val kw = Seq((0L, 10L, 5L, 1), (0L, 11L, 3L, 2))
+      .toDF("qid", "doc_id", "score", "rank")
+    val dense = Seq((0L, 11L, 0.9, 1), (0L, 12L, 0.8, 2))
+      .toDF("qid", "doc_id", "sim", "rank")
+    val got = Retrieval.hybridRrf(kw, dense, k = 10)
+      .as[(Long, Long, Long, Long, Double, Int)].collect().toSeq
+      .sortBy(_._6)
+    // doc 11 in both legs wins; 10 (kw only) beats 12 (dense r=2)
+    assert(got == Seq(
+      (0L, 11L, 2L, 1L, 1.0 / 62 + 1.0 / 61, 1),
+      (0L, 10L, 1L, 0L, 1.0 / 61, 2),
+      (0L, 12L, 0L, 2L, 1.0 / 62, 3)))
+  }
+
   test("search is partition-independent on real docs") {
     val docs = Tables.documents(spark, sf)
     val q = SparkEntry.keywordQueryFrame(spark)

@@ -1,0 +1,54 @@
+package graft
+
+import graft.text.Vocab
+
+/** text.Vocab: frequency vocabulary + OOV coverage (q114), per-group
+  * diversity (q115), BPE merge-pair stats (q116). */
+class VocabSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs3 = Seq(
+    (1L, "a b a", "x"),
+    (2L, "b c", "x"),
+    (3L, "a", "y")).toDF("doc_id", "text", "source")
+
+  test("topVocabulary ranks by count then token") {
+    val v = Vocab.topVocabulary(docs3, "text", topV = 2)
+      .as[(String, Long, Int)].collect().toSet
+    assert(v == Set(("a", 3L, 1), ("b", 2L, 2)))
+    // pure tie: count 1 each, token ASC decides
+    val t = Vocab.topVocabulary(Seq((1L, "b a")).toDF("doc_id", "text"),
+        "text", topV = 1)
+      .as[(String, Long, Int)].collect().toSet
+    assert(t == Set(("a", 1L, 1)))
+  }
+
+  test("oovProfile counts against the top-V vocabulary; empty text rates 0") {
+    val docs = docs3.union(Seq((4L, "", "y")).toDF("doc_id", "text", "source"))
+    val got = Vocab.oovProfile(docs, "doc_id", "text", topV = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 0L, 0.0),        // "a b a" fully in {a, b}
+      (2L, 2L, 1L, 0.5),        // "c" is OOV
+      (3L, 1L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))       // token-less doc present, rate 0
+  }
+
+  test("diversityProfile: unigram + bigram TTR per group, short-doc zeros") {
+    val got = Vocab.diversityProfile(docs3, "source", "text")
+      .as[(String, Long, Long, Double, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // x: tokens a,b,a,b,c (5; 3 distinct); bigrams "a b","b a","b c" (3; 3 distinct)
+    assert(got("x") == ("x", 5L, 3L, 3.0 / 5.0, 3L, 3L, 1.0))
+    // y: one token, no bigrams -> zero bigram axis, not a dropped group
+    assert(got("y") == ("y", 1L, 1L, 1.0, 0L, 0L, 0.0))
+  }
+
+  test("mergePairStats: adjacent-pair counts with multiplicity, ties ASC") {
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = Vocab.mergePairStats(docs, "text", topK = 2)
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    // pairs: "a b" x2, "b a" x1, "c d" x1 -> tie at 1 broken by pair ASC
+    assert(got == Seq(("a b", 2L, 1), ("b a", 1L, 2)))
+  }
+}
