@@ -98,10 +98,13 @@ object SparkEntry {
   /** q110/q111's shared oracle: positional tokens → per-(qid, doc,
     * start) vote counts → starts with exactly m votes are verbatim
     * matches. */
-  private lazy val phraseSearchOracleSql: String = {
+  /** Shared phrase-matching CTEs (q110/q111/q112/q117): positional
+    * tokens → per-(qid, doc, start) vote counts → `occ` carries every
+    * verbatim occurrence with its phrase length m. */
+  private lazy val phraseMatchCtes: String = {
     val values = phraseQueries
       .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
-    s"""WITH ptoks AS (SELECT doc_id, unnest(tk) AS token,
+    s"""ptoks AS (SELECT doc_id, unnest(tk) AS token,
        |    generate_subscripts(tk, 1) - 1 AS pos
        |  FROM (SELECT doc_id, ${TF.sql.tokens("text")} AS tk
        |        FROM documents)),
@@ -114,14 +117,72 @@ object SparkEntry {
        |  FROM qt JOIN ptoks p USING (token)),
        |starts AS (SELECT qid, doc_id, start, count(*) AS c
        |  FROM votes GROUP BY 1, 2, 3),
-       |hits AS (SELECT s.qid, s.doc_id, s.start
+       |occ AS (SELECT s.qid, s.doc_id, s.start, l.m
        |  FROM starts s JOIN qlen l ON l.qid = s.qid
-       |  WHERE s.c = l.m AND s.start >= 0)
+       |  WHERE s.c = l.m AND s.start >= 0)""".stripMargin
+  }
+
+  private lazy val phraseSearchOracleSql: String =
+    s"""WITH $phraseMatchCtes
        |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
        |  CAST(count(*) AS BIGINT) AS n_occurrences,
        |  CAST(min(start) AS BIGINT) AS first_pos
-       |FROM hits GROUP BY 1, 2""".stripMargin
-  }
+       |FROM occ GROUP BY 1, 2""".stripMargin
+
+  /** q117's oracle: the occurrence positions union into a drop set,
+    * survivors reassemble by position — same whitespace-normalized
+    * join as the Spark side. */
+  private lazy val phraseScrubOracleSql: String =
+    s"""WITH $phraseMatchCtes,
+       |drops AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT doc_id, start + unnest(range(0, m)) AS pos FROM occ)),
+       |keptt AS (SELECT p.doc_id, p.pos, p.token
+       |  FROM ptoks p LEFT JOIN drops d
+       |    ON p.doc_id = d.doc_id AND p.pos = d.pos
+       |  WHERE d.pos IS NULL),
+       |reb AS (SELECT doc_id,
+       |    string_agg(token, ' ' ORDER BY pos) AS text_clean,
+       |    count(*) AS n_kept
+       |  FROM keptt GROUP BY 1)
+       |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+       |  CAST(${TF.sql.tokenCount("text")} - coalesce(r.n_kept, 0)
+       |    AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin
+
+  /** q118's oracle: the PROVEN q113 fusion nested as a CTE, evaluated
+    * against the exact dense top-3 ground truth — MRR / hit count /
+    * recall@10 per query, each emitted value at most one IEEE
+    * division of exact integers. */
+  private lazy val rankEvalOracleSql: String =
+    s"""WITH hy AS ($hybridRrfOracleSql),
+       |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |dsc2 AS (SELECT q.vec_id AS qid, e2.vec_id,
+       |    list_dot_product(q.v, e2.v) /
+       |      (sqrt(list_dot_product(q.v, q.v)) *
+       |       sqrt(list_dot_product(e2.v, e2.v))) AS sim
+       |  FROM e2 q, e2 WHERE e2.vec_id <> q.vec_id AND q.vec_id < 6),
+       |rel AS (SELECT qid, vec_id AS doc_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM dsc2) WHERE rnk <= 3),
+       |nr AS (SELECT qid, count(*) AS n_relevant FROM rel GROUP BY 1),
+       |j AS (SELECT h.qid, h.rank,
+       |    (r.doc_id IS NOT NULL) AS is_rel
+       |  FROM hy h LEFT JOIN rel r
+       |    ON r.qid = h.qid AND r.doc_id = h.doc_id
+       |  WHERE h.rank <= 10),
+       |per AS (SELECT qid,
+       |    min(CASE WHEN is_rel THEN rank END) AS frr,
+       |    sum(CASE WHEN is_rel THEN 1 ELSE 0 END) AS n_hits
+       |  FROM j GROUP BY 1)
+       |SELECT CAST(nr.qid AS BIGINT) AS qid,
+       |  CAST(nr.n_relevant AS BIGINT) AS n_relevant,
+       |  CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN p.frr IS NULL THEN 0.0 ELSE 1.0 / p.frr END AS rr,
+       |  CAST(coalesce(p.n_hits, 0) AS DOUBLE) /
+       |    CAST(nr.n_relevant AS DOUBLE) AS recall_at_k
+       |FROM nr LEFT JOIN per p USING (qid)""".stripMargin
 
   /** q106/q107's shared oracle: the integer BM25-shaped ranking
     * replayed end to end (tf and df from the same tokenizer, idf as
@@ -1004,6 +1065,38 @@ object SparkEntry {
     "q116_merge_pairs" -> ((s, dir) =>
       graft.text.Vocab.mergePairStats(documents(s, dir), "text",
         topK = 20)),
+
+    // Tokenizer APPLY (text.Vocab.encode): corpus encoded against the
+    // top-100 vocabulary — rank ids 1..V, OOV -> 0, per doc in
+    // position order (comma-joined fixed image, the q53 convention).
+    "q119_vocab_encode" -> ((s, dir) =>
+      graft.text.Vocab.encode(documents(s, dir), "doc_id", "text",
+        topV = 100)),
+
+    // Surgical decontamination (text.Retrieval.phraseScrub): remove
+    // exactly the verbatim phrase occurrences, keep the document —
+    // position-union drops, survivors rejoined in order; total frame.
+    "q117_phrase_scrub" -> ((s, dir) =>
+      graft.text.Retrieval.phraseScrub(documents(s, dir), "doc_id",
+        "text", phraseQueryFrame(s))),
+
+    // Retrieval evaluation (text.Retrieval.rankEval): the q113 hybrid
+    // ranking scored against the exact dense top-3 ground truth —
+    // MRR / hits / recall@10 per query, the offline eval loop.
+    "q118_rank_eval" -> ((s, dir) => {
+      val kw = graft.text.Retrieval.searchTopKInline(documents(s, dir),
+        "doc_id", "text", keywordQueryFrame(s), k = 10)
+      val probes = embeddings(s, dir).filter(col("vec_id") < 6)
+      val dense = graft.sim.Ann.bruteForceTopK(embeddings(s, dir),
+          probes, k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val hybrid = graft.text.Retrieval.hybridRrf(kw, dense, k = 10)
+      val rel = graft.sim.Ann.bruteForceTopK(embeddings(s, dir),
+          probes, k = 3)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select(col("qid"), col("doc_id"))
+      graft.text.Retrieval.rankEval(hybrid, rel, k = 10)
+    }),
 
     // Sequence-length-warmup curriculum (ops.Curriculum): whole-bit
     // length stages ascending, the q87 seeded-md5 permutation within
@@ -2785,6 +2878,33 @@ object SparkEntry {
 
     "q112_phrase_decon" -> phraseDeconOracleSql,
     "q113_hybrid_rrf" -> hybridRrfOracleSql,
+    "q117_phrase_scrub" -> phraseScrubOracleSql,
+    "q118_rank_eval" -> rankEvalOracleSql,
+
+    // The q114 vocabulary boundary replayed, then per-position rank
+    // lookup reassembled in order — same comma-joined fixed image.
+    "q119_vocab_encode" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS token,
+         |    generate_subscripts(tk, 1) - 1 AS pos
+         |  FROM (SELECT doc_id, ${TF.sql.tokens("text")} AS tk
+         |        FROM documents)),
+         |cnt AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |vocab AS (SELECT token, vr FROM (
+         |    SELECT token, row_number() OVER (
+         |      ORDER BY cnt DESC, token ASC) AS vr FROM cnt)
+         |  WHERE vr <= 100),
+         |mapped AS (SELECT t.doc_id, t.pos,
+         |    CAST(coalesce(v.vr, 0) AS INTEGER) AS tid
+         |  FROM toks t LEFT JOIN vocab v ON t.token = v.token),
+         |reb AS (SELECT doc_id,
+         |    string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)
+         |      AS token_ids,
+         |    count(*) AS n_tokens
+         |  FROM mapped GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(r.token_ids, '') AS token_ids,
+         |  CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     // Frequency-cut vocabulary replay: the same (cnt DESC, token ASC)
     // total order decides the top-100 boundary in both engines; per-

@@ -170,7 +170,20 @@ object Retrieval {
     * documents containing the phrase at least once. */
   def phraseSearch(positional: DataFrame, queries: DataFrame,
                    idCol: String = "doc_id", qidCol: String = "qid",
-                   qtextCol: String = "qtext"): DataFrame = {
+                   qtextCol: String = "qtext"): DataFrame =
+    phraseOccurrences(positional, queries, idCol, qidCol, qtextCol)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).as("first_pos"))
+
+  /** Every verbatim occurrence as its own row — (qidCol, idCol,
+    * start, m). OVERLAPPING occurrences all count ("a a" occurs at
+    * starts 0 AND 1 in "a a a"); consumers that must not double-use
+    * positions (the scrub) dedup the position union, not the
+    * occurrence list. */
+  def phraseOccurrences(positional: DataFrame, queries: DataFrame,
+                        idCol: String = "doc_id", qidCol: String = "qid",
+                        qtextCol: String = "qtext"): DataFrame = {
     val qt = queries.select(col(qidCol),
       posexplode(TextFunctions.tokens(col(qtextCol)))
         .as(Seq("off", "token")))
@@ -182,9 +195,7 @@ object Retrieval {
       .agg(count(lit(1)).as("votes"))
       .join(broadcast(qlen), Seq(qidCol))
       .filter(col("votes") === col("m") && col("start") >= 0)
-      .groupBy(col(qidCol), col(idCol))
-      .agg(count(lit(1)).as("n_occurrences"),
-        min(col("start")).as("first_pos"))
+      .select(col(qidCol), col(idCol), col("start"), col("m"))
   }
 
   /** [[phraseSearch]] straight off documents (transient positional
@@ -218,6 +229,76 @@ object Retrieval {
         coalesce(col("n_hit_phrases"), lit(0L)).as("n_hit_phrases"))
       .withColumn("kept",
         when(col("n_hit_phrases") === 0L, lit(1)).otherwise(lit(0)))
+  }
+
+  /** The SURGICAL decontamination variant: instead of dropping a
+    * document that carries a benchmark phrase ([[phraseDecontaminate]]),
+    * remove exactly the verbatim occurrences and keep the rest — the
+    * span-scrub discipline of [[CrossDoc]] applied to literal phrase
+    * hits. Every matched occurrence contributes its token positions
+    * (overlapping matches union — a run of "a a a" under phrase
+    * "a a" scrubs whole); the survivor text is the remaining tokens
+    * space-rejoined in position order (whitespace-normalized output,
+    * the [[TextFunctions.fingerprint]] convention). Output the TOTAL
+    * frame (idCol, text_clean, n_removed) — funnel accounting again.
+    * Scale: [[phraseOccurrences]]'s posting-mass cost, a position
+    * anti-join, and ONE per-doc reassembly aggregate (the same
+    * collect-sort shape as [[CrossDoc.removeSharedLines]] — bounded
+    * by document length, the row the pipeline already holds). */
+  def phraseScrub(docs: DataFrame, idCol: String, textCol: String,
+                  phrases: DataFrame, qidCol: String = "qid",
+                  qtextCol: String = "qtext"): DataFrame = {
+    val positional = positionalPostings(docs, idCol, textCol)
+    val occ = phraseOccurrences(positional, phrases, idCol, qidCol,
+      qtextCol)
+    val drops = occ.select(col(idCol),
+        explode(sequence(col("start"), col("start") + col("m") - 1))
+          .as("pos"))
+      .distinct()
+    val kept = positional.join(drops, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  /** Retrieval-quality evaluation of a ranked result against a
+    * relevance set — the offline eval loop (MRR / hit-count /
+    * recall@k) every retrieval change ships behind. `ranked` is a
+    * (qidCol, idCol, rank) frame; `relevant` the ground-truth
+    * (qidCol, idCol) pairs, which DEFINE the query set (a query with
+    * no ranked rows scores zero, it doesn't vanish). rr is the
+    * reciprocal of the first relevant rank (0.0 on a miss) and
+    * recall@k the hit fraction — each one IEEE division of exact
+    * integers. Scale: both inputs are top-k/ground-truth bounded, so
+    * everything is query-workload-sized. */
+  def rankEval(ranked: DataFrame, relevant: DataFrame, k: Int,
+               idCol: String = "doc_id",
+               qidCol: String = "qid"): DataFrame = {
+    val rel = relevant.select(col(qidCol), col(idCol), lit(1).as("is_rel"))
+    val nRel = rel.groupBy(col(qidCol))
+      .agg(count(lit(1)).as("n_relevant"))
+    val per = ranked.filter(col("rank") <= k)
+      .join(rel, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(min(when(col("is_rel") === 1, col("rank")))
+          .as("first_rel_rank"),
+        sum(when(col("is_rel") === 1, 1L).otherwise(0L)).as("n_hits"))
+    nRel.join(per, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank")).as("rr"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_relevant").cast("double")).as("recall_at_k"))
   }
 
   /** Reciprocal-rank-fusion of two ranked retrieval legs (Cormack et

@@ -101,6 +101,37 @@ object Vocab {
             col("n_bigrams").cast("double")))
   }
 
+  /** Encode the corpus against the top-V vocabulary — the tokenizer
+    * APPLY step ([[topVocabulary]] selects, this maps): every token
+    * becomes its vocabulary rank (1..V), out-of-vocabulary tokens the
+    * reserved id 0 (`<unk>`), per document in position order. Ids are
+    * emitted as a comma-joined string (the q53 fixed-image convention
+    * — cross-engine array equality without array hashing). Output:
+    * (idCol, token_ids, n_tokens); token-less docs keep an empty
+    * string. Scale: the V-row vocabulary broadcasts against the
+    * positional token stream; the only aggregate is the per-doc
+    * reassembly, bounded by document length. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             topV: Int): DataFrame = {
+    val vocab = topVocabulary(docs, textCol, topV)
+      .select(col("token"), col("vrank"))
+    val pos = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos", "token")))
+    val mapped = pos.join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("vrank"), lit(0)).as("tid"))
+    val reb = mapped.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), ",").as("token_ids"),
+        count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol)).join(reb, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), lit("")).as("token_ids"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Top-K adjacent token pairs by corpus count, ties pair ASC —
     * (pair, cnt, mrank). The BPE merge-candidate list: iteration one
     * of merge learning picks `mrank = 1`; the full loop re-runs this

@@ -141,6 +141,35 @@ class RetrievalSpec extends SparkTestBase {
       (0L, 12L, 0L, 2L, 1.0 / 62, 3)))
   }
 
+  test("phraseScrub removes exactly the matched spans, keeps the rest") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 0 and 3
+      (2L, "x"),           // untouched
+      (3L, "a a a"))       // overlapping "a a" at 0,1 -> whole run
+      .toDF("doc_id", "text")
+    val phrases = Seq((0L, "a b"), (1L, "a a")).toDF("qid", "qtext")
+    val got = Retrieval.phraseScrub(docs, "doc_id", "text", phrases)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "c", 4L),
+      (2L, "x", 0L),
+      (3L, "", 3L)))
+  }
+
+  test("rankEval: MRR / hits / recall with misses and absent queries") {
+    val ranked = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val rel = Seq((0L, 11L), (0L, 99L), (1L, 50L))
+      .toDF("qid", "doc_id")
+    val got = Retrieval.rankEval(ranked, rel, k = 10)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    // qid 0: first relevant at rank 2, 1 of 2 found
+    // qid 1: defined by ground truth, zero ranked rows -> all zeros
+    assert(got == Set(
+      (0L, 2L, 1L, 0.5, 0.5),
+      (1L, 1L, 0L, 0.0, 0.0)))
+  }
+
   test("search is partition-independent on real docs") {
     val docs = Tables.documents(spark, sf)
     val q = SparkEntry.keywordQueryFrame(spark)

@@ -44,6 +44,18 @@ class VocabSpec extends SparkTestBase {
     assert(got("y") == ("y", 1L, 1L, 1.0, 0L, 0L, 0.0))
   }
 
+  test("encode maps tokens to vocab ranks, OOV to 0, position order") {
+    val docs = Seq((1L, "a b a c"), (2L, ""), (3L, "c"))
+      .toDF("doc_id", "text")
+    // counts: a=2, b=1, c=2 -> topV=2 keeps a(1), c(2); b is OOV
+    val got = Vocab.encode(docs, "doc_id", "text", topV = 2)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "1,0,1,2", 4L),
+      (2L, "", 0L),
+      (3L, "2", 1L)))
+  }
+
   test("mergePairStats: adjacent-pair counts with multiplicity, ties ASC") {
     val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
     val got = Vocab.mergePairStats(docs, "text", topK = 2)
