@@ -39,7 +39,8 @@ object Explain {
     "q104_jl_topk", "q105_jl_rerank", "q106_keyword_search",
     "q107_keyword_indexed", "q108_curriculum", "q109_filter_stack",
     "q111_phrase_indexed", "q112_phrase_decon", "q113_hybrid_rrf",
-    "q114_vocab_oov", "q117_phrase_scrub")
+    "q114_vocab_oov", "q117_phrase_scrub", "q119_vocab_encode",
+    "q120_cm_freq", "q121_funnel")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

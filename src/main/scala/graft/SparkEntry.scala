@@ -1073,6 +1073,39 @@ object SparkEntry {
       graft.text.Vocab.encode(documents(s, dir), "doc_id", "text",
         topV = 100)),
 
+    // Strictly-ordered conversion funnel (etl.Funnels.funnel): per
+    // user, how deep the view -> click -> purchase chain got and when
+    // — conditional-min aggregates per stage, no stream-wide window.
+    "q121_funnel" -> ((s, dir) =>
+      graft.etl.Funnels.funnel(events(s, dir))),
+
+    // Weekly cohort retention (etl.Funnels.cohortRetention): first-
+    // seen ISO week x whole-week offset, distinct active users per
+    // cell — the standing retention table.
+    "q122_cohorts" -> ((s, dir) =>
+      graft.etl.Funnels.cohortRetention(events(s, dir))),
+
+    // Count-Min frequency sketch (ops.Sketches.freqSketch/cmEstimate):
+    // one 8 KiB mergeable counter grid over the corpus token stream,
+    // point estimates (min of d cells) for the keyword terms next to
+    // their exact counts — the mergeable-frequency twin of q62's HLL.
+    "q120_cm_freq" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val sk = toks.agg(
+        graft.functions.aggs.cm_sketch(col("token"), 4, 256).as("sk"))
+      val probes = keywordQueryFrame(s)
+        .select(explode(TF.tokens(col("qtext"))).as("token")).distinct()
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      probes.join(exact, Seq("token"), "left")
+        .crossJoin(broadcast(sk))
+        .select(col("token"),
+          coalesce(col("cnt"), lit(0L)).as("cnt_exact"),
+          graft.ops.Sketches.cmEstimate(col("sk"), col("token"), 4, 256)
+            .as("cnt_est"))
+    }),
+
     // Surgical decontamination (text.Retrieval.phraseScrub): remove
     // exactly the verbatim phrase occurrences, keep the document —
     // position-union drops, survivors rejoined in order; total frame.
@@ -2880,6 +2913,82 @@ object SparkEntry {
     "q113_hybrid_rrf" -> hybridRrfOracleSql,
     "q117_phrase_scrub" -> phraseScrubOracleSql,
     "q118_rank_eval" -> rankEvalOracleSql,
+
+    // Stage minima as chained conditional aggregates — the strict
+    // ordering (each stage strictly after the previous user minimum)
+    // replayed with the same joins.
+    "q121_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |    WHEN t2 IS NOT NULL THEN 2
+        |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage,
+        |  s1.t1 AS first_view, s2.t2 AS first_click,
+        |  s3.t3 AS first_purchase
+        |FROM u LEFT JOIN s1 USING (user_id)
+        |  LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // ISO-Monday week buckets in both engines; offsets are integer
+    // day-diffs // 7 (nonnegative by construction, so floor == the
+    // Spark cast-truncation).
+    "q122_cohorts" ->
+      """WITH fs AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT e.user_id, fs.cohort_week,
+        |    CAST(date_diff('day', fs.cohort_week, CAST(e.ts AS DATE)) // 7
+        |      AS INTEGER) AS week_offset
+        |  FROM events e JOIN fs ON fs.user_id = e.user_id)
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM act GROUP BY 1, 2""".stripMargin,
+
+    // The Count-Min grid replayed cell by cell: the same FNV-1a/fmix64
+    // token hash (Fnv64Sql, the q21/q93 machinery), row r's bucket as
+    // its disjoint byte window of the unsigned hash — (H // 256^r) %
+    // 256 on HUGEINT ≡ the Scala (h >>> 8r) & 255 — row sums as exact
+    // longs, estimate = min over rows. Bit-identical grid, estimates.
+    "q120_cm_freq" -> {
+      val qvalues = keywordQueries
+        .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+      def bucket(r: Int): String =
+        s"CAST((H // ${java.math.BigInteger.valueOf(256L).pow(r)}) " +
+          s"% 256 AS INTEGER)"
+      val cellSelects = (0 until 4)
+        .map(r => s"SELECT $r AS r, ${bucket(r)} AS b, cnt FROM th")
+        .mkString("\n  UNION ALL ")
+      val probeSelects = (0 until 4)
+        .map(r => s"SELECT tok, $r AS r, ${bucket(r)} AS b FROM ph")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |th AS (SELECT tok, cnt, ${Fnv64Sql.tokHash} AS H FROM tc),
+         |cells AS ($cellSelects),
+         |rowsum AS (SELECT r, b, sum(cnt) AS c FROM cells GROUP BY 1, 2),
+         |qs AS (SELECT * FROM (VALUES $qvalues) AS t(qid, qtext)),
+         |probes AS (SELECT DISTINCT unnest(${TF.sql.tokens("qtext")})
+         |    AS tok FROM qs),
+         |ph AS (SELECT tok, ${Fnv64Sql.tokHash} AS H FROM probes),
+         |pb AS ($probeSelects),
+         |est AS (SELECT pb.tok, min(coalesce(rs.c, 0)) AS est
+         |  FROM pb LEFT JOIN rowsum rs ON rs.r = pb.r AND rs.b = pb.b
+         |  GROUP BY 1)
+         |SELECT p.tok AS token,
+         |  CAST(coalesce(tc.cnt, 0) AS BIGINT) AS cnt_exact,
+         |  CAST(e.est AS BIGINT) AS cnt_est
+         |FROM probes p LEFT JOIN tc ON tc.tok = p.tok
+         |  JOIN est e ON e.tok = p.tok""".stripMargin
+    },
 
     // The q114 vocabulary boundary replayed, then per-position rank
     // lookup reassembled in order — same comma-joined fixed image.

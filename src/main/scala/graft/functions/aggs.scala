@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{lit, transform}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Grouped element-wise vector aggregation over `array<double>` columns
   * (mean-pooled embeddings per group, k-means centroid recomputation,
@@ -242,6 +242,99 @@ case class TopKOrdered(
     copy(child = newChild)
 }
 
+/** Count-Min frequency sketch of a string key (Cormode &
+  * Muthukrishnan 2005): a d×w grid of counters; each key increments
+  * one counter per row (bucket = low bits of an affine image of the
+  * key's 64-bit token hash), a point estimate reads the MINIMUM of
+  * its d cells — an upper bound on the true count that over-counts
+  * only when a key collides in EVERY row (probability ~(1/w)^d).
+  * The mergeable-frequency twin of the HLL distinct sketch
+  * ([[graft.ops.Sketches]]): counters are plain long sums, so merge
+  * is element-wise addition — order-independent, partitioning-proof,
+  * and a persisted sketch column rolls up by addition forever.
+  *
+  * Determinism discipline: buckets derive from the SQL-replayable
+  * FNV-1a/fmix64 token hash ([[TokenHash64]]): row r reads its own
+  * DISJOINT log2(w)-bit window, `(h >>> r·log2(w)) & (w−1)` — a
+  * well-mixed 64-bit hash split into independent row functions (an
+  * affine family `h·(2r+1) mod w` would NOT work: mod a power of two
+  * it depends only on `h mod w`, so one collision is a collision in
+  * every row). Unsigned shift-and-mask is `(H // w^r) % w` on the
+  * unsigned HUGEINT image, so the DuckDB oracle replays the exact
+  * grid and the sketch (hence every estimate) is bit-identical
+  * cross-engine. Requires d·log2(w) ≤ 64.
+  *
+  * One d·w-long buffer per group per partition (map-side partials via
+  * ObjectHashAggregate); the shuffle carries skinny buffers, never
+  * rows. Output: `array<long>` of length d·w, row-major. */
+case class CmSketch(
+    child: Expression,
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  require(d >= 1 && d <= 16, s"cm_sketch: d must be in [1, 16], got $d")
+  require(w >= 2 && (w & (w - 1)) == 0,
+    s"cm_sketch: w must be a power of two >= 2, got $w")
+  private val shift = java.lang.Integer.numberOfTrailingZeros(w)
+  require(d * shift <= 64,
+    s"cm_sketch: d*log2(w) must be <= 64 (disjoint hash windows), " +
+      s"got $d*$shift")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val h = ExprOps.tokenHash64(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      var r = 0
+      while (r < d) {
+        val b = ((h >>> (r * shift)) & (w - 1)).toInt
+        buf(r * w + b) = Math.addExact(buf(r * w + b), 1L)
+        r += 1
+      }
+      buf
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): CmSketch =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom aggregates. */
 object aggs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -251,6 +344,13 @@ object aggs {
   def vec_sum_fixed(c: Column, scale: Int = 9): Column =
     ColumnBridge.column(
       VectorSumFixed(ColumnBridge.expression(c), scale).toAggregateExpression())
+
+  /** Count-Min frequency sketch: `array<long>` of length d·w,
+    * row-major (see [[CmSketch]]); estimate with
+    * [[graft.ops.Sketches.cmEstimate]], merge by element-wise sum. */
+  def cm_sketch(c: Column, d: Int = 4, w: Int = 256): Column =
+    ColumnBridge.column(
+      CmSketch(ColumnBridge.expression(c), d, w).toAggregateExpression())
 
   /** Bounded grouped top-k (see [[TopKOrdered]]): the `k` greatest
     * (`asc=false`) or smallest values of `c` per group, best-first. */

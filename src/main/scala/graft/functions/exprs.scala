@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
 /** Static (Java-callable from generated code) kernels shared by the
   * interpreted and codegen paths of the expressions below. */
 object ExprOps {
+  /** Codegen entry for [[TokenHash64]] (delegates to the shared
+    * FNV-1a/fmix64 kernel in [[SimHash64]]). */
+  def tokenHash64(u: org.apache.spark.unsafe.types.UTF8String): Long =
+    SimHash64.tokenHashUtf8(u)
+
   def dotD(x: ArrayData, y: ArrayData): Double = {
     val m = x.numElements()
     // fail loudly: a silent min-length truncation would mask dimension
@@ -408,6 +413,31 @@ object SimHash64 {
     h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
     h ^ (h >>> 33)
   }
+}
+
+/** The 64-bit token hash as a scalar COLUMN (FNV-1a over codepoints +
+  * murmur3 fmix64 — [[SimHash64.tokenHashUtf8]], the one token hash
+  * every oracle replays in HUGEINT): sketch bucket derivations
+  * (Count-Min rows, classifier features) hang off this so the Spark
+  * plan and the SQL twin share one hash by construction. */
+case class TokenHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprOps.tokenHash64(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.tokenHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression)
@@ -849,6 +879,7 @@ object exprs {
   def minhash_signature(c: Column, n: Int): Column =
     toCol(MinHashSignature(toExpr(c), n))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+  def token_hash64(c: Column): Column = toCol(TokenHash64(toExpr(c)))
   def ws_tokens(c: Column): Column = toCol(WhitespaceTokens(toExpr(c)))
   def classifier_score(c: Column): Column = toCol(ClassifierScore64(toExpr(c)))
   /** Trained-weights form; load `weights` via [[ClassifierWeights.fromFrame]]. */

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.etl.Funnels
+
+/** etl.Funnels: strictly-ordered conversion funnel (q121) and weekly
+  * cohort retention (q122). */
+class FunnelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel honors strict event order, not mere presence") {
+    val events = Seq(
+      // user 1: full ordered chain
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: click BEFORE the first view never counts
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: purchase alone is stage 0 (chain starts at view)
+      (3L, "purchase", ts("2024-01-01 10:00:00")),
+      // user 4: purchase before its click -> stage 2
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-01 10:30:00")),
+      (4L, "click", ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnels.funnel(events)
+      .select("user_id", "stage").as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 3), (2L, 1), (3L, 0), (4L, 2)))
+    val u1 = Funnels.funnel(events).filter($"user_id" === 1L)
+      .select("first_view", "first_click", "first_purchase")
+      .as[(Timestamp, Timestamp, Timestamp)].head()
+    assert(u1 == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"),
+      ts("2024-01-01 12:00:00"))))
+  }
+
+  test("cohort retention: offset-0 equals cohort size; later weeks counted") {
+    val events = Seq(
+      // 2024-01-01 is a Monday: cohort week for users 1, 2
+      (1L, "view", ts("2024-01-02 10:00:00")),
+      (1L, "click", ts("2024-01-09 10:00:00")),   // week offset 1
+      (2L, "view", ts("2024-01-03 10:00:00")),
+      // user 3 first appears the following week
+      (3L, "view", ts("2024-01-10 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnels.cohortRetention(events)
+      .as[(java.sql.Date, Int, Long)].collect().toSet
+    val w1 = java.sql.Date.valueOf("2024-01-01")
+    val w2 = java.sql.Date.valueOf("2024-01-08")
+    assert(got == Set((w1, 0, 2L), (w1, 1, 1L), (w2, 0, 1L)))
+  }
+}

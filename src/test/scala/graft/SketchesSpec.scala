@@ -53,4 +53,45 @@ class SketchesSpec extends SparkTestBase {
     val n = byType.agg(sum("n_rows")).head().getLong(0)
     assert(n == events.count())
   }
+
+  // ---- Count-Min frequency sketches ----
+
+  private def toks = Tables.documents(spark, sf)
+    .select(col("source"),
+      explode(graft.text.TextFunctions.tokens(col("text"))).as("token"))
+
+  test("cm: estimates upper-bound exact counts; sketch mass is conserved") {
+    val sk = toks.agg(graft.functions.aggs.cm_sketch(col("token"), 4, 256)
+      .as("sk"))
+    val exact = toks.groupBy("token").count()
+    val est = exact.crossJoin(broadcast(sk))
+      .select(col("token"), col("count"),
+        Sketches.cmEstimate(col("sk"), col("token"), 4, 256).as("est"))
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall { case (_, c, e) => e >= c })
+    // every row of the grid holds the full stream mass
+    val total = toks.count()
+    val grid = sk.select(col("sk")).as[Seq[Long]].head()
+    (0 until 4).foreach { r =>
+      assert(grid.slice(r * 256, (r + 1) * 256).sum == total)
+    }
+  }
+
+  test("cm: merged per-source sketches equal the global sketch, bit-exactly") {
+    val perSource = Sketches.freqSketch(toks, col("token"), Seq("source"))
+    val merged = Sketches.rollupFreq(perSource, Seq.empty)
+      .select("sketch").as[Seq[Long]].head()
+    val direct = toks.agg(graft.functions.aggs.cm_sketch(col("token"), 4, 256)
+      .as("sk")).select("sk").as[Seq[Long]].head()
+    assert(merged == direct)
+  }
+
+  test("cm: sketch is partition-independent") {
+    val a = toks.agg(graft.functions.aggs.cm_sketch(col("token"), 4, 256)
+      .as("sk")).select("sk").as[Seq[Long]].head()
+    val b = toks.repartition(13)
+      .agg(graft.functions.aggs.cm_sketch(col("token"), 4, 256)
+        .as("sk")).select("sk").as[Seq[Long]].head()
+    assert(a == b)
+  }
 }
