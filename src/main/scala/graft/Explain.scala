@@ -40,7 +40,7 @@ object Explain {
     "q107_keyword_indexed", "q108_curriculum", "q109_filter_stack",
     "q111_phrase_indexed", "q112_phrase_decon", "q113_hybrid_rrf",
     "q114_vocab_oov", "q117_phrase_scrub", "q119_vocab_encode",
-    "q120_cm_freq", "q121_funnel")
+    "q120_cm_freq", "q121_funnel", "q123_pagerank")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1073,6 +1073,16 @@ object SparkEntry {
       graft.text.Vocab.encode(documents(s, dir), "doc_id", "text",
         topV = 100)),
 
+    // Fixed-point PageRank over the materialized near-dup pair graph
+    // (ops.LinkAnalysis.pageRankFixed): which docs sit at the CENTER
+    // of duplication mass — integer damped power iteration, 3 rounds,
+    // every op exact and SQL-replayable; shares q47's artifact.
+    "q123_pagerank" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      graft.ops.LinkAnalysis.pageRankFixed(cat.read(s, table))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Strictly-ordered conversion funnel (etl.Funnels.funnel): per
     // user, how deep the view -> click -> purchase chain got and when
     // — conditional-min aggregates per stage, no stream-wide window.
@@ -2913,6 +2923,28 @@ object SparkEntry {
     "q113_hybrid_rrf" -> hybridRrfOracleSql,
     "q117_phrase_scrub" -> phraseScrubOracleSql,
     "q118_rank_eval" -> rankEvalOracleSql,
+
+    // The q47 pair CTEs (ONE shared definition) + the integer damped
+    // update unrolled three rounds — Spark's `div` and DuckDB's `//`
+    // agree on the nonnegative operands, sums are exact longs.
+    "q123_pagerank" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst, r${i - 1}.r // d.deg AS c
+           |  FROM ed e JOIN deg d ON d.src = e.src
+           |  JOIN r${i - 1} ON r${i - 1}.id = e.src),
+           |r$i AS (SELECT dst AS id, 150000 + (85 * sum(c)) // 100 AS r
+           |  FROM c$i GROUP BY 1)""".stripMargin
+      s"""WITH ${charPairsCte(0.4)},
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fixed
+         |FROM r3""".stripMargin
+    },
 
     // Stage minima as chained conditional aggregates — the strict
     // ordering (each stage strictly after the previous user minimum)
