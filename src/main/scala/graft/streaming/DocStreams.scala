@@ -53,4 +53,37 @@ object DocStreams {
       else Dedup.exactDedup(filtered, idCol, textCol)
     deduped.withColumn(textCol, TextFunctions.redactPii(col(textCol)))
   }
+
+  /** Benchmark decontamination AT INGEST: drop any document carrying
+    * one of the `phrases` VERBATIM — q112's gate
+    * ([[graft.text.Retrieval.phraseDecontaminate]]) in the STATELESS
+    * per-row form a stream needs. Against a FIXED literal phrase set
+    * the positional-postings join is unnecessary: a phrase of m
+    * tokens occurs verbatim iff the document's all-occurrence m-gram
+    * array contains it (`array_contains(word_grams(tokens(text), m),
+    * phrase)` — the codegen'd [[graft.functions.WordGrams]] kernel,
+    * space-joined exactly like the driver-side normalization here),
+    * so the gate is a row filter: no state, no watermark, identical
+    * on stream and batch by construction (StreamingDocSpec pins
+    * stream ≡ q112's kept set). Phrases tokenize with the corpus
+    * rule (whitespace split); empty phrases are refused rather than
+    * silently matching everything or nothing. */
+  def decontaminateFilter(textCol: String,
+                          phrases: Seq[String]): org.apache.spark.sql.Column = {
+    require(phrases.nonEmpty, "decontaminateFilter: no phrases")
+    val tk = TextFunctions.tokens(col(textCol))
+    val hits = phrases.map { p =>
+      val toks = p.trim.split("\\s+").filter(_.nonEmpty)
+      require(toks.nonEmpty, s"decontaminateFilter: empty phrase '$p'")
+      array_contains(
+        graft.functions.exprs.word_grams(tk, toks.length),
+        toks.mkString(" "))
+    }
+    !hits.reduce(_ || _)
+  }
+
+  /** [[decontaminateFilter]] applied: the surviving documents. */
+  def decontaminateStream(docs: DataFrame, phrases: Seq[String],
+                          textCol: String = "text"): DataFrame =
+    docs.filter(decontaminateFilter(textCol, phrases))
 }

@@ -110,4 +110,27 @@ class StreamingDocSpec extends SparkTestBase {
     assert(batch.select("doc_id").as[Long].collect().sorted.toSeq ==
       expect.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("streamed phrase decontamination equals q112's kept set") {
+    val docs = Tables.documents(spark, sf)
+    val phrases = SparkEntry.phraseQueries.map(_._2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = DocStreams.decontaminateStream(stream, phrases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decon_docs").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decon_docs")
+        .select("doc_id").as[Long].collect().toSet
+      val batchKept = graft.text.Retrieval
+        .phraseDecontaminate(docs, "doc_id", "text",
+          SparkEntry.phraseQueryFrame(spark))
+        .filter(col("kept") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchKept && streamed.nonEmpty)
+      assert(streamed.size < docs.count()) // the gate actually bites
+    } finally q.stop()
+  }
 }
