@@ -340,6 +340,43 @@ object Retrieval {
       .filter(col("rank") <= k)
   }
 
+  /** The persisted index as a STREAMING SINK: each micro-batch of
+    * documents lands in the index (bootstrap [[buildIndex]] on the
+    * first batch, [[appendToIndex]] after), so retrieval state stays
+    * current as a corpus ingests. A `<prefix>_commits` row records
+    * the last applied batch id and replayed batches are skipped —
+    * the at-least-once `foreachBatch` contract would otherwise
+    * double-append postings on recovery. (A crash BETWEEN the append
+    * and its commit row still replays that one batch; the fully
+    * fenced staged-marker discipline for that window lives in
+    * [[graft.streaming.IngestLoop]] — this sink is the lightweight
+    * path for rebuildable retrieval state, where the recovery is
+    * "rebuild the index", not "lose corpus truth".) */
+  def indexSink(stream: DataFrame, idCol: String, textCol: String,
+                catalog: TableCatalog, prefix: String,
+                checkpoint: String, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val committed =
+          if (catalog.exists(s, s"${prefix}_commits"))
+            catalog.read(s, s"${prefix}_commits").head().getAs[Long]("batch_id")
+          else -1L
+        if (batchId > committed && !batch.isEmpty) {
+          if (catalog.exists(s, s"${prefix}_meta"))
+            appendToIndex(batch, idCol, textCol, catalog, prefix)
+          else
+            buildIndex(batch, idCol, textCol, catalog, prefix, nBuckets)
+          catalog.overwrite(Seq(batchId).toDF("batch_id"),
+            s"${prefix}_commits")
+        }
+        ()
+      }
+      .start()
+
   /** [[searchTopK]] over a persisted index, scanning ONLY the buckets
     * the query terms hash into: one tiny action over the literal
     * query workload (|terms| rows — not the corpus) yields the bucket

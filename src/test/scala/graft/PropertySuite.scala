@@ -138,6 +138,50 @@ object PropertySuite extends Properties("graft") {
       got == want
     }
 
+  // Count-Min soundness on random token streams: every estimate
+  // upper-bounds its exact count (the sketch's one-sided guarantee),
+  // and the grid is invariant under repartitioning (merge order).
+  property("cm sketch estimates upper-bound exact counts") = {
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "f", "g", "h")
+    Prop.forAll(Gen.listOfN(60, word), Gen.choose(1, 5)) { (ws, parts) =>
+      val df = ws.toDF("token")
+      val sk = df.repartition(parts)
+        .agg(graft.functions.aggs.cm_sketch(col("token"), 4, 256).as("sk"))
+      val got = df.distinct().crossJoin(broadcast(sk))
+        .select(col("token"),
+          graft.ops.Sketches.cmEstimate(col("sk"), col("token"), 4, 256))
+        .as[(String, Long)].collect().toMap
+      val exact = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.forall { case (t, c) => got(t) >= c }
+    }
+  }
+
+  // phraseScrub soundness vs a literal reference model: remove the
+  // union of all matched spans, rejoin the rest — on dense repeating
+  // corpora where overlaps are the norm.
+  property("phraseScrub == reference span-removal on random corpora") = {
+    val word = Gen.oneOf("a", "b", "c")
+    Prop.forAll(Gen.listOfN(4, Gen.listOfN(10, word)),
+        Gen.choose(1, 3).flatMap(m => Gen.listOfN(m, word))) {
+      (docs, phrase) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val q = Seq((0L, phrase.mkString(" "))).toDF("qid", "qtext")
+      val got = graft.text.Retrieval.phraseScrub(df, "doc_id", "text", q)
+        .as[(Long, String, Long)].collect().toSet
+      val want = docs.zipWithIndex.map { case (ws, i) =>
+        val starts = ws.indices.filter(s =>
+          s + phrase.length <= ws.length &&
+            ws.slice(s, s + phrase.length) == phrase)
+        val drop = starts.flatMap(s => s until s + phrase.length).toSet
+        val keep = ws.indices.filterNot(drop).map(ws)
+        (i.toLong, keep.mkString(" "), drop.size.toLong)
+      }.toSet
+      got == want
+    }
+  }
+
   // Soundness armor for the votes-per-start phrase matcher: on random
   // corpora over a 3-token alphabet (dense with repeats and overlaps —
   // the adversarial regime for positional logic) the join+aggregate

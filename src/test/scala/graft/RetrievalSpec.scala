@@ -170,6 +170,38 @@ class RetrievalSpec extends SparkTestBase {
       (1L, 1L, 0L, 0.0, 0.0)))
   }
 
+  test("streaming index sink: two micro-batches == one batch build") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ixs_").toString
+    val cat = new graft.catalog.ParquetCatalog(root + "/cat")
+    val docs = Tables.documents(spark, sf)
+    val dir = root + "/in"
+    // batch 1 lands before the stream starts; batch 2 mid-stream
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = Retrieval.indexSink(stream, "doc_id", "text", cat, "six",
+      checkpoint = root + "/chk", nBuckets = 16)
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = SparkEntry.keywordQueryFrame(spark)
+    val streamed = Retrieval
+      .searchTopKFromCatalog(spark, cat, "six", queries, k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    val inline = Retrieval
+      .searchTopKInline(docs, "doc_id", "text", queries, k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    assert(streamed == inline && streamed.nonEmpty)
+    // a phrase lookup off the same streamed index also agrees
+    val pq = SparkEntry.phraseQueryFrame(spark)
+    val sp = Retrieval.phraseSearchFromCatalog(spark, cat, "six", pq)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val ip = Retrieval.phraseSearchInline(docs, "doc_id", "text", pq)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(sp == ip)
+  }
+
   test("search is partition-independent on real docs") {
     val docs = Tables.documents(spark, sf)
     val q = SparkEntry.keywordQueryFrame(spark)
