@@ -1083,6 +1083,49 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Semantic eval-set decontamination (sim.Ann.semanticDecon): the
+    // embedding-side leakage gate — every train vector's hit count
+    // against the held-out probe set at cosine >= 0.35, kept = zero
+    // hits. Probes (vec_id % 10 == 0) broadcast; one corpus pass;
+    // total frame with verdicts (funnel accounting).
+    "q124_semantic_decon" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.sim.Ann.semanticDecon(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0), threshold = 0.35)
+    }),
+
+    // C4-style line-level quality filter (text.LineQuality.c4Filter):
+    // per-line prose gates + doc-level gates ("lorem ipsum", '{'),
+    // cleaned text rejoined in line order; one projection pass, zero
+    // shuffles. This corpus is a single-line token stream with no
+    // terminal punctuation, so the query runs the transcript
+    // configuration (requirePunct=false, >=12 words, >=1 kept line)
+    // — the verdict discriminates by the word-count rule; the full
+    // published gate incl. punctuation is pinned in LineQualitySpec.
+    "q125_line_filter" -> ((s, dir) =>
+      graft.text.LineQuality.c4Filter(documents(s, dir), "doc_id",
+        "text", minKeptLines = 1, minWords = 12, requirePunct = false)),
+
+    // Hard-negative mining (sim.Ann.hardNegatives): per anchor vector
+    // the top-5 most-similar vectors with a DIFFERENT label — the
+    // contrastive-training negatives. Anchors (vec_id % 10 == 0)
+    // broadcast; label inequality pre-filters BEFORE the k-bounded
+    // heap, so groups never under-fill.
+    "q126_hard_negatives" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.sim.Ann.hardNegatives(e,
+        e.filter(col("vec_id") % 10 === 0), k = 5)
+    }),
+
+    // Centroid-distance outlier pruning (sim.Outliers
+    // .centroidOutliers): top-3 farthest vectors from their label
+    // centroid, ranked by the division-free integer key
+    // n*<x,x> - 2*<x,s> over fixed-point codes — exact cross-engine,
+    // two corpus scans, centroids broadcast.
+    "q127_centroid_outliers" -> ((s, dir) =>
+      graft.sim.Outliers.centroidOutliers(embeddings(s, dir), topN = 3)),
+
     // Strictly-ordered conversion funnel (etl.Funnels.funnel): per
     // user, how deep the view -> click -> purchase chain got and when
     // — conditional-min aggregates per stage, no stream-wide window.
@@ -2923,6 +2966,82 @@ object SparkEntry {
     "q113_hybrid_rrf" -> hybridRrfOracleSql,
     "q117_phrase_scrub" -> phraseScrubOracleSql,
     "q118_rank_eval" -> rankEvalOracleSql,
+
+    // The q65 cosine replay split train/probe: hit counts against
+    // the held-out side, left-joined back so zero-hit rows survive.
+    "q124_semantic_decon" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+        |h AS (
+        |  SELECT c.vec_id, count(*) AS n
+        |  FROM c, t
+        |  WHERE list_dot_product(c.v, t.v) /
+        |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(t.v, t.v)))
+        |    >= 0.35
+        |  GROUP BY c.vec_id)
+        |SELECT c.vec_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n, 0) = 0 AS kept
+        |FROM c LEFT JOIN h ON h.vec_id = c.vec_id""".stripMargin,
+
+    // The C4 line + doc gates replayed over the same split pieces
+    // (string_split keeps empties exactly like Spark's limit -1).
+    "q125_line_filter" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS L FROM documents),
+        |x AS (SELECT doc_id, text, L,
+        |  list_filter(L, l ->
+        |    len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 12
+        |    AND NOT contains(lower(l), 'javascript')) AS KL
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(L) AS INTEGER) AS n_lines,
+        |  CAST(len(KL) AS INTEGER) AS n_kept,
+        |  (len(KL) >= 1 AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS kept,
+        |  COALESCE(array_to_string(KL, chr(10)), '') AS text_clean
+        |FROM x""".stripMargin,
+
+    // q65's ranking with the label-inequality predicate — the exact
+    // hard-negative ground truth.
+    "q126_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    list_dot_product(q.v, e.v) /
+        |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+        |      AS sim
+        |  FROM q, e WHERE e.label <> q.label)
+        |SELECT qid, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // The division-free centroid-distance key in pure integer SQL:
+    // same fixed-point codes (floor(v*1e4)), exact sums, n*<x,x>-2<x,s>.
+    "q127_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |flat AS (SELECT vec_id, label,
+        |  unnest(generate_series(1, len(v))) AS pos, v FROM e),
+        |xf AS (SELECT vec_id, label, pos,
+        |  CAST(floor(v[pos] * 10000.0) AS BIGINT) AS xv FROM flat),
+        |sums AS (SELECT label, pos, sum(xv) AS sv FROM xf GROUP BY label, pos),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |per AS (
+        |  SELECT x.vec_id, x.label,
+        |    sum(x.xv * x.xv) AS xx, sum(x.xv * s.sv) AS xs
+        |  FROM xf x JOIN sums s ON s.label = x.label AND s.pos = x.pos
+        |  GROUP BY x.vec_id, x.label),
+        |sc AS (
+        |  SELECT p.label, p.vec_id, n.n * p.xx - 2 * p.xs AS score
+        |  FROM per p JOIN n ON n.label = p.label)
+        |SELECT label, vec_id, CAST(score AS BIGINT) AS score,
+        |  CAST(rnk AS INTEGER) AS rank
+        |FROM (SELECT label, vec_id, score,
+        |  row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3""".stripMargin,
 
     // The q47 pair CTEs (ONE shared definition) + the integer damped
     // update unrolled three rounds — Spark's `div` and DuckDB's `//`

@@ -418,6 +418,67 @@ object Ann {
         col("t.s").as("sim"), (col("r") + 1).cast("int").as("rank"))
   }
 
+  /** Semantic held-out-set decontamination gate: for every corpus
+    * vector, how many PROBE vectors (the benchmark / eval set) sit at
+    * cosine ≥ `threshold`, plus the kept verdict (zero hits). The
+    * embedding-side twin of the verbatim n-gram gates (Contamination /
+    * phraseDecontaminate): verbatim scrubbing misses paraphrases; a
+    * similarity gate catches "same content, different words" leakage.
+    * Exact by construction in precisely the regime the problem lives
+    * in — the probe side is an eval set, tiny relative to any corpus,
+    * so it BROADCASTS; the corpus scans once with per-row norms and
+    * the only shuffle is the per-id hit count. Funnel accounting keeps
+    * the zero-hit rows: the output is the TOTAL corpus frame with
+    * verdicts, which downstream mixture building consumes directly. */
+  def semanticDecon(corpus: DataFrame, probes: DataFrame,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val p = prep(probes, idCol, vecCol)
+      .select(col("id").as("pid"), col("v").as("pv"))
+      .withColumn("pnrm", Vectors.norm(col("pv")))
+    val hits = c.join(broadcast(p),
+        Vectors.dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))
+          >= threshold)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    c.select(col("id")).join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0L).as("kept"))
+  }
+
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each anchor (query) vector, the k most-similar corpus vectors
+    * carrying a DIFFERENT label — the near-miss negatives that hold
+    * the training signal (easy negatives are already far and teach
+    * nothing). Same exact regime as [[bruteForceTopK]] — anchors
+    * broadcast, one corpus pass — with the label-inequality predicate
+    * applied BEFORE the top-k, so groups can never under-fill the way
+    * post-filtering a label-blind top-k does. Output/tie rule mirror
+    * [[exactKnnGraph]] (k-bounded heap, ascending-id ties). */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    requireNumericId(emb, idCol, "hardNegatives")
+    val c = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        Vectors.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("qlbl"),
+        Vectors.asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", Vectors.norm(col("qv")))
+    val scored = c.join(broadcast(q), col("lbl") =!= col("qlbl"))
+      .select(col("qid"), col("id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("sim"))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.aggs.top_k(
+        struct(col("sim").as("s"), (-col("id")).as("ni")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("qid"), (-col("t.ni")).as(idCol),
+        col("t.s").as("sim"), (col("r") + 1).cast("int").as("rank"))
+  }
+
   def knnJoin(emb: DataFrame, k: Int, nPlanes: Int = 3, nTables: Int = 16,
               dim: Int = 64, maxBucket: Int = 10000,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

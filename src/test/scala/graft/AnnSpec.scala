@@ -115,4 +115,57 @@ class AnnSpec extends SparkTestBase {
     assert(err.getMessage.contains("numeric id column"), err.getMessage)
     assert(err.getMessage.contains("knnJoin"), err.getMessage)
   }
+
+  test("semanticDecon: total frame, exact hit counts, kept == zero hits") {
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val probes = e.filter(col("vec_id") % 10 === 0)
+    val r = Ann.semanticDecon(corpus, probes, threshold = 0.35)
+    assert(r.count() == corpus.count()) // funnel accounting: nothing dropped
+    val rows = r.collect().map(x => x.getAs[Long]("vec_id") ->
+      (x.getAs[Long]("n_hits"), x.getAs[Boolean]("kept"))).toMap
+    assert(rows.forall { case (_, (n, kept)) => kept == (n == 0L) })
+    // replay one corpus vector's hit count by brute force
+    val (someId, (someHits, _)) = rows.maxBy(_._2._1)
+    val v = corpus.filter(col("vec_id") === someId)
+      .select(sim.Vectors.asDouble(col("embedding"))).head().getSeq[Double](0).toArray
+    val brute = probes.select(sim.Vectors.asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray).count { p =>
+        val dot = v.zip(p).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(p.map(x => x * x).sum)) >= 0.35
+      }
+    assert(someHits == brute.toLong)
+  }
+
+  test("semanticDecon flags a vector identical to a probe") {
+    val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((100L, Array(2.0, 0.0))).toDF("vec_id", "embedding")
+    val byId = Ann.semanticDecon(corpus, probes, threshold = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("kept")).toMap
+    assert(!byId(1L) && byId(2L)) // colinear -> leaked; orthogonal -> kept
+  }
+
+  test("hardNegatives: never the anchor's label, ranked by true cosine") {
+    val e = Tables.embeddings(spark, sf)
+    val anchors = e.filter(col("vec_id") < 3)
+    val got = Ann.hardNegatives(e, anchors, k = 5)
+      .orderBy("qid", "rank").collect()
+    assert(got.length == 3 * 5)
+    val lbl = e.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    got.foreach { r =>
+      assert(lbl(r.getAs[Long]("vec_id")) != lbl(r.getAs[Long]("qid")))
+    }
+    // equals brute-force top-k over the pre-filtered different-label corpus
+    anchors.select("vec_id", "label").as[(Long, Int)].collect().foreach {
+      case (qid, ql) =>
+        val want = Ann.bruteForceTopK(
+          e.filter(col("label") =!= ql), e.filter(col("vec_id") === qid), k = 5)
+          .orderBy("rank").select("vec_id", "sim").collect().toSeq
+        val mine = got.filter(_.getAs[Long]("qid") == qid)
+          .sortBy(_.getAs[Int]("rank")).map(r =>
+            org.apache.spark.sql.Row(r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+        assert(mine == want, s"qid=$qid")
+    }
+  }
 }
