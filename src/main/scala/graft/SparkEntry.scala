@@ -1126,6 +1126,44 @@ object SparkEntry {
     "q127_centroid_outliers" -> ((s, dir) =>
       graft.sim.Outliers.centroidOutliers(embeddings(s, dir), topN = 3)),
 
+    // Sorted-neighborhood dedup (dedup.SortedNeighborhood): window-3
+    // pairs over the text-sorted corpus, Levenshtein-verified on the
+    // first 128 chars at threshold 40 (the corpus is cleanly bimodal:
+    // its 25 planted near-dup pairs sit at lev <= 20, background at
+    // 78+). Global rank via the parallel two-phase form, never a
+    // single-partition window.
+    "q128_sorted_neighborhood" -> ((s, dir) =>
+      graft.dedup.SortedNeighborhood.candidatePairs(
+        documents(s, dir), "doc_id", "text",
+        window = 3, levPrefix = 128, threshold = 40)),
+
+    // Length-balanced sampling weights (ops.Balance): NTILE(10) over
+    // token count, inverse-frequency fixed-point weight per stratum —
+    // the anti-length-skew reweighting in front of weighted sampling.
+    "q129_length_balance" -> ((s, dir) =>
+      graft.ops.Balance.lengthDecileWeights(
+        documents(s, dir), "doc_id", "text")),
+
+    // Per-dimension whitening moments (sim.Whitening.dimMoments):
+    // exact long (n, Σx, Σx²) over fixed-point codes, one corpus scan
+    // through the map-combinable vector aggregate — |partitions|
+    // buffers shuffle, never rows.
+    "q130_dim_moments" -> ((s, dir) =>
+      graft.sim.Whitening.dimMoments(embeddings(s, dir))),
+
+    // Unicode canonicalizer (functions.exprs.normalize_text, custom
+    // codegen'd Expression): NFC + ROOT lower + whitespace collapse +
+    // trim in one kernel pass — run over a deliberately messy concat
+    // (mixed-case segment, tab, double spaces) so every row exercises
+    // the collapse and case paths.
+    "q131_normalize_text" -> ((s, dir) => {
+      val src = concat(col("c_name"), lit("\t "), col("c_mktsegment"),
+        lit("  "), col("c_acctbal").cast("string"))
+      customer(s, dir).select(col("c_custkey"),
+        graft.functions.exprs.normalize_text(src).as("text_norm"),
+        (graft.functions.exprs.normalize_text(src) =!= src).as("changed"))
+    }),
+
     // Strictly-ordered conversion funnel (etl.Funnels.funnel): per
     // user, how deep the view -> click -> purchase chain got and when
     // — conditional-min aggregates per stage, no stream-wide window.
@@ -3042,6 +3080,58 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rnk
         |  FROM sc)
         |WHERE rnk <= 3""".stripMargin,
+
+    // The naive single-window form of the sorted-neighborhood rank —
+    // exactly the plan shape the operator's two-phase rank replaces.
+    "q128_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id, text,
+        |  row_number() OVER (ORDER BY text, doc_id) AS rn FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))
+        |    AS INTEGER) AS lev,
+        |  levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128)) <= 40
+        |    AS is_dup
+        |FROM r AS a JOIN r AS b ON b.rn - a.rn BETWEEN 1 AND 2""".stripMargin,
+
+    // NTILE + integer inverse-frequency weight, same fixed point.
+    "q129_length_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  ${graft.text.TextFunctions.sql.tokenCount("text")} AS n_tokens
+         |  FROM documents),
+         |d AS (SELECT doc_id, n_tokens,
+         |  CAST(ntile(10) OVER (ORDER BY n_tokens, doc_id) AS INTEGER)
+         |    AS decile,
+         |  count(*) OVER () AS n FROM t)
+         |SELECT doc_id, n_tokens, decile,
+         |  count(*) OVER (PARTITION BY decile) AS bucket_n,
+         |  CAST((n * 10000) // (10 * count(*) OVER (PARTITION BY decile))
+         |    AS BIGINT) AS weight_fp
+         |FROM d""".stripMargin,
+
+    // The q127 fixed-point codes, second moment added.
+    "q130_dim_moments" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |flat AS (SELECT vec_id,
+        |  unnest(generate_series(1, len(v))) AS pos, v FROM e),
+        |xf AS (SELECT pos, CAST(floor(v[pos] * 10000.0) AS BIGINT) AS xv
+        |  FROM flat)
+        |SELECT CAST(pos - 1 AS INTEGER) AS dim,
+        |  count(*) AS n, CAST(sum(xv) AS BIGINT) AS s,
+        |  CAST(sum(xv * xv) AS BIGINT) AS ss
+        |FROM xf GROUP BY pos""".stripMargin,
+
+    // The one-pass kernel's composition, spelled in built-ins:
+    // NFC -> lower -> collapse \s+ -> trim.
+    "q131_normalize_text" ->
+      """WITH c AS (SELECT c_custkey,
+        |  c_name || chr(9) || ' ' || c_mktsegment || '  ' ||
+        |    CAST(c_acctbal AS VARCHAR) AS src FROM customer)
+        |SELECT c_custkey,
+        |  trim(regexp_replace(lower(nfc_normalize(src)), '\s+', ' ', 'g'))
+        |    AS text_norm,
+        |  trim(regexp_replace(lower(nfc_normalize(src)), '\s+', ' ', 'g'))
+        |    <> src AS changed
+        |FROM c""".stripMargin,
 
     // The q47 pair CTEs (ONE shared definition) + the integer damped
     // update unrolled three rounds — Spark's `div` and DuckDB's `//`

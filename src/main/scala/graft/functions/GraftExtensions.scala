@@ -65,6 +65,9 @@ object GraftExtensions {
     (FunctionIdentifier("ws_tokens"),
       info("ws_tokens", "ws_tokens(str) - whitespace tokens, empties dropped (codegen'd twin of filter(split(str,'\\\\s+'), t -> t <> ''))"),
       (args: Seq[Expression]) => WhitespaceTokens(args.head)),
+    (FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(str) - NFC + lowercase + collapse whitespace + trim, one pass"),
+      (args: Seq[Expression]) => NormalizeText(args.head)),
     (FunctionIdentifier("classifier_score"),
       info("classifier_score", "classifier_score(arr) - hashed-linear quality-classifier score of a token array"),
       (args: Seq[Expression]) => ClassifierScore64(args.head)),

@@ -156,6 +156,36 @@ object ExprOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Canonical text form for [[NormalizeText]]: NFC normalization
+    * (skipped via the cheap `isNormalized` probe when the input — the
+    * common ASCII case — already is), ROOT-locale lowercase, then one
+    * pass that collapses ASCII whitespace runs (0x09-0x0D, 0x20) to
+    * single spaces and trims both ends. Composition order matches the
+    * SQL twin `trim(regexp_replace(lower(nfc_normalize(s)), '\s+',
+    * ' ', 'g'))` exactly. */
+  def normalizeText(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    var s = u.toString
+    if (!java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      s = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    s = s.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pending = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || (c >= '\t' && c <= '\r')) {
+        if (sb.length > 0) pending = true // leading ws never emits
+      } else {
+        if (pending) { sb.append(' '); pending = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** Exact integer dot product of two array<int> columns — the int8
     * rerank kernel (quantized ANN scores whole candidate pairs with
     * this; as a HOF chain `aggregate(zip_with(a,b,_*_),0L,_+_)` it ran
@@ -571,6 +601,35 @@ case class WhitespaceTokens(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode text canonicalizer — NFC normalize, ROOT-locale lower,
+  * collapse ASCII whitespace runs, trim — in one kernel call per row
+  * (see [[ExprOps.normalizeText]]). The canonical form in front of
+  * exact dedup / fingerprinting: byte-identical content that differs
+  * only in case, composition form, or spacing hashes identically
+  * after this. Composing the built-ins (`lower` + two
+  * `regexp_replace` + `trim`) walks the string four times and Spark
+  * has no NFC primitive at all; this stays one pass inside
+  * whole-stage codegen. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ExprOps.normalizeText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hashed-linear classifier score of a token array — see
   * [[ExprOps.classifierScore]] for the model shape and the
   * trained-weights seam. One row-level kernel call (vs an
@@ -881,6 +940,7 @@ object exprs {
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def token_hash64(c: Column): Column = toCol(TokenHash64(toExpr(c)))
   def ws_tokens(c: Column): Column = toCol(WhitespaceTokens(toExpr(c)))
+  def normalize_text(c: Column): Column = toCol(NormalizeText(toExpr(c)))
   def classifier_score(c: Column): Column = toCol(ClassifierScore64(toExpr(c)))
   /** Trained-weights form; load `weights` via [[ClassifierWeights.fromFrame]]. */
   def classifier_score(c: Column, weights: Array[Long]): Column =

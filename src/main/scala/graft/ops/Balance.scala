@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Length-balanced sampling weights — the "don't let short documents
+  * dominate the epoch" step of a mixture build. Training corpora are
+  * heavily length-skewed; uniform document sampling over-represents
+  * whatever length band is most numerous. The standard fix is
+  * inverse-frequency weighting over length strata: cut the corpus
+  * into k equal-population length buckets (SQL NTILE semantics) and
+  * weight each document by `total / (k · bucket_size)` — a bucket at
+  * exactly average population weighs 1.0, an underpopulated stratum
+  * gets up-weighted, and the weights feed [[Sampling.weightedSample]]
+  * / [[Mixture]] directly.
+  *
+  * Everything is integer: the decile comes from an exact global rank
+  * ([[Quantiles.segmentedRowNumber]] — parallel two-phase ranks, not
+  * a single-partition window) pushed through the NTILE formula
+  * (first `n mod k` buckets take `n div k + 1` rows), and the weight
+  * is fixed-point `(n · weightScale) div (k · bucket_size)` — no
+  * float division, so the output replays bit-for-bit in any engine.
+  */
+object Balance {
+  /** Per-document length stratum and balance weight:
+    * `(id, n_tokens, decile 1..k, bucket_n, weight_fp)` where
+    * `weight_fp` is the inverse-frequency weight at `weightScale`
+    * fixed-point (10000 = weight 1.0). Ranks order by
+    * `(n_tokens, id)` — total, deterministic, engine-portable. */
+  def lengthDecileWeights(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 10, weightScale: Int = 10000,
+                          nBuckets: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val t = docs.select(col(idCol).as("__id"),
+        graft.text.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__g", lit(0))
+    val ranked = Quantiles.segmentedRowNumber(t, "__g", "n_tokens",
+      Seq(col("n_tokens"), col("__id")), nBuckets)
+    // NTILE(k) from (rank, total): first r = n mod k buckets hold
+    // q+1 = n div k + 1 rows each; the rest hold q. All `div`s are
+    // long integer division; the q == 0 branch (n < k) never reaches
+    // the divide because rn <= r·(q+1) = n then holds for every row.
+    val rn = col("__rn")
+    val q = expr(s"__n DIV $k"); val r = expr(s"__n % $k")
+    val decile =
+      when(rn <= r * (q + 1), expr(s"(__rn - 1) DIV (__n DIV $k + 1)"))
+        .otherwise(expr(
+          s"__n % $k + (__rn - 1 - (__n % $k) * (__n DIV $k + 1)) DIV (__n DIV $k)")) + 1
+    ranked
+      .withColumn("decile", decile.cast("int"))
+      .withColumn("bucket_n",
+        when(col("decile") <= r, q + 1).otherwise(q).cast("long"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("decile"),
+        col("bucket_n"),
+        expr(s"(__n * $weightScale) DIV ($k * bucket_n)").cast("long")
+          .as("weight_fp"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-dimension moment statistics over an embedding column — the
+  * sufficient statistics for feature whitening / standardization
+  * (subtract the mean, divide by the standard deviation, the
+  * preprocessing step in front of PQ codebooks, linear probes, and
+  * any distance that assumes isotropic features). One pass computes
+  * `(n, Σx, Σx²)` for every dimension; mean and variance derive
+  * downstream as `Σx/n` and `(Σx² − (Σx)²/n)/n` at whatever precision
+  * the consumer wants.
+  *
+  * The moments are EXACT LONGS over fixed-point codes
+  * `x = floor(v·10^scale)` (one IEEE multiply + floor per element —
+  * deterministic everywhere), accumulated by the map-combinable
+  * [[graft.functions.aggs.vec_sum_fixed]] vector aggregate: the
+  * corpus scans ONCE, each task folds its partition into one
+  * dim-length buffer, and the shuffle moves |partitions| buffers —
+  * never rows. The naive form (explode to n·dim rows, groupBy dim)
+  * shuffles the whole corpus; this shape is what survives 10^9
+  * vectors. Magnitudes: Σx² ≤ n·dim·10^{2·scale} stays in long to
+  * n ≈ 9·10^9 at the default scale 4, and overflow past that throws
+  * (`Math.addExact` inside the aggregate) rather than wrapping.
+  */
+object Whitening {
+  /** Per-dimension `(dim, n, s, ss)`: population count, exact sum and
+    * sum-of-squares of the fixed-point codes. `dim` is 0-based. */
+  def dimMoments(emb: DataFrame, scale: Int = 4,
+                 vecCol: String = "embedding"): DataFrame = {
+    val pow = math.pow(10.0, scale)
+    // codes as integer-valued doubles: vec_sum_fixed(scale=0) floors
+    // them unchanged, and code² stays exactly representable (< 2^53)
+    val codes = transform(Vectors.asDouble(col(vecCol)),
+      e => floor(e * lit(pow)).cast("double"))
+    val sq = transform(codes, c => c * c)
+    emb.agg(
+        graft.functions.aggs.vec_sum_fixed(codes, scale = 0).as("s1"),
+        graft.functions.aggs.vec_sum_fixed(sq, scale = 0).as("s2"))
+      .select(col("s1.n").as("n"),
+        posexplode(arrays_zip(col("s1.sums").as("s"), col("s2.sums").as("ss")))
+          .as(Seq("dim", "z")))
+      .select(col("dim").cast("int").as("dim"), col("n"),
+        col("z.s").as("s"), col("z.ss").as("ss"))
+  }
+}
