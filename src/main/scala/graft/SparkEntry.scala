@@ -1151,6 +1151,16 @@ object SparkEntry {
     "q130_dim_moments" -> ((s, dir) =>
       graft.sim.Whitening.dimMoments(embeddings(s, dir))),
 
+    // Sorted-neighborhood duplicates only (dedup.SortedNeighborhood
+    // .duplicatePairs): the q128 scan with the below-threshold filter
+    // written in the NATURAL unbounded form — the plans
+    // .BoundedLevenshtein optimizer rule (installed by the operator)
+    // plans it as the banded levenshtein(a, b, t).
+    "q132_neighborhood_dups" -> ((s, dir) =>
+      graft.dedup.SortedNeighborhood.duplicatePairs(
+        documents(s, dir), "doc_id", "text",
+        window = 3, levPrefix = 128, threshold = 40)),
+
     // Unicode canonicalizer (functions.exprs.normalize_text, custom
     // codegen'd Expression): NFC + ROOT lower + whitespace collapse +
     // trim in one kernel pass — run over a deliberately messy concat
@@ -1163,6 +1173,43 @@ object SparkEntry {
         graft.functions.exprs.normalize_text(src).as("text_norm"),
         (graft.functions.exprs.normalize_text(src) =!= src).as("changed"))
     }),
+
+    // PMI-style collocation mining (text.Vocab.collocations): top-20
+    // bigrams by fixed-point lift (n_pair*10^6 div n1*n2 — orders as
+    // PMI for a fixed corpus), hapax-pruned before the joins.
+    "q133_collocations" -> ((s, dir) =>
+      graft.text.Vocab.collocations(documents(s, dir), "text",
+        topK = 20, minCount = 5)),
+
+    // Corpus snapshot reconciliation (ops.Snapshot.diff): two
+    // deterministically-derived snapshots of the documents table
+    // (old drops doc_id%7==0; new drops %5==0 and revises %11==0)
+    // diffed by content fingerprint — added/removed/changed/unchanged
+    // per id, digests move, bodies don't.
+    "q134_snapshot_diff" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
+    }),
+
+    // Burst detection (ops.Bursts.burstScore): hourly event-type
+    // volume vs its trailing-6-bin baseline, fixed-point ratio,
+    // bursts at 2.0x — the raw stream is touched once (the count);
+    // the window runs on the telemetry-scale bin frame.
+    "q135_burst_detect" -> ((s, dir) =>
+      graft.ops.Bursts.burstScore(events(s, dir), "ts", "event_type",
+        binSeconds = 3600, trail = 6, threshold = 20000)),
+
+    // Cross-source score calibration (text.FilterStack
+    // .calibratedScores): classifier score -> per-source percentile,
+    // so "keep each source's best X%" replaces a skew-blind global
+    // threshold; exact two-phase ranks, one IEEE division per row.
+    "q136_calibrated_quality" -> ((s, dir) =>
+      graft.text.FilterStack.calibratedScores(documents(s, dir),
+        "doc_id", "text", "source")),
 
     // Strictly-ordered conversion funnel (etl.Funnels.funnel): per
     // user, how deep the view -> click -> purchase chain got and when
@@ -3119,6 +3166,94 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(xv) AS BIGINT) AS s,
         |  CAST(sum(xv * xv) AS BIGINT) AS ss
         |FROM xf GROUP BY pos""".stripMargin,
+
+    // The q116 bigram slice + unigram counts + the same integer lift.
+    "q133_collocations" ->
+      s"""WITH base AS (SELECT ${TF.sql.tokens("text")} AS tk
+         |  FROM documents),
+         |uni AS (SELECT unnest(tk) AS token FROM base),
+         |uc AS (SELECT token, count(*) AS cnt FROM uni GROUP BY 1),
+         |bi AS (SELECT array_to_string(tk[i:i+1], ' ') AS pair
+         |  FROM (SELECT tk,
+         |      CAST(unnest(range(1, len(tk))) AS INTEGER) AS i
+         |    FROM base WHERE len(tk) >= 2)),
+         |bc AS (SELECT pair, count(*) AS n_pair FROM bi GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |sc AS (
+         |  SELECT b.pair, b.n_pair, u1.cnt AS n1, u2.cnt AS n2,
+         |    (b.n_pair * 1000000) // (u1.cnt * u2.cnt) AS lift_fp
+         |  FROM bc b
+         |  JOIN uc u1 ON u1.token = string_split(b.pair, ' ')[1]
+         |  JOIN uc u2 ON u2.token = string_split(b.pair, ' ')[2])
+         |SELECT pair, CAST(n_pair AS BIGINT) AS n_pair,
+         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(lift_fp AS BIGINT) AS lift_fp, CAST(cr AS INTEGER) AS crank
+         |FROM (SELECT *, row_number() OVER (
+         |    ORDER BY lift_fp DESC, n_pair DESC, pair ASC) AS cr FROM sc)
+         |WHERE cr <= 20""".stripMargin,
+
+    // The diff spelled as a FULL OUTER id join; text equality stands
+    // in for the md5-fingerprint equality (same verdict, no collision
+    // at oracle scale).
+    "q134_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END
+        |    AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // The q56 epoch-bin convention + a RANGE window baseline and the
+    // same integer ratio.
+    "q135_burst_detect" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS bin, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin
+        |    RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING) AS tn FROM b)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(COALESCE(tn, 0) AS BIGINT) AS trail_n,
+        |  CAST(CASE WHEN COALESCE(tn, 0) > 0 THEN (n * 6 * 10000) // tn
+        |    END AS BIGINT) AS burst_fp,
+        |  COALESCE((CASE WHEN COALESCE(tn, 0) > 0
+        |    THEN (n * 6 * 10000) // tn END) >= 20000, FALSE) AS is_burst
+        |FROM w""".stripMargin,
+
+    // The q93 score CTE + per-source percent_rank over the same
+    // (score, id) total order (rank == row_number there, so DuckDB's
+    // percent_rank is exactly (rn-1)/(n-1)).
+    "q136_calibrated_quality" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL)
+         |SELECT doc_id, source, score,
+         |  percent_rank() OVER (PARTITION BY source
+         |    ORDER BY score, doc_id) AS pct
+         |FROM sc""".stripMargin,
+
+    // The q128 window spec restricted to the verified duplicates.
+    "q132_neighborhood_dups" ->
+      """WITH r AS (SELECT doc_id, text,
+        |  row_number() OVER (ORDER BY text, doc_id) AS rn FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))
+        |    AS INTEGER) AS lev
+        |FROM r AS a JOIN r AS b ON b.rn - a.rn BETWEEN 1 AND 2
+        |WHERE levenshtein(substr(a.text, 1, 128), substr(b.text, 1, 128))
+        |  <= 40""".stripMargin,
 
     // The one-pass kernel's composition, spelled in built-ins:
     // NFC -> lower -> collapse \s+ -> trim.

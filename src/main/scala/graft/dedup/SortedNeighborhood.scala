@@ -63,4 +63,22 @@ object SortedNeighborhood {
           substring(col("__b_txt"), 1, levPrefix)).as("lev"))
       .withColumn("is_dup", col("lev") <= threshold)
   }
+
+  /** The verified duplicates only — [[candidatePairs]] with the
+    * below-threshold filter applied. The predicate is written in the
+    * NATURAL unbounded form and relies on
+    * [[graft.plans.BoundedLevenshtein]] (installed here, idempotent)
+    * to plan it as the banded `levenshtein(a, b, t)`: predicate
+    * pushdown inlines the alias into the filter, then the rule swaps
+    * the O(|a|·|b|) verify for the O(t·|a|) band — the dominant cost
+    * of the window scan once documents get long. */
+  def duplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 3, levPrefix: Int = 128,
+                     threshold: Int = 40, nBuckets: Int = 64): DataFrame = {
+    graft.plans.Rules.ensureRegistered(docs.sparkSession)
+    candidatePairs(docs, idCol, textCol, window, levPrefix, threshold,
+        nBuckets)
+      .filter(col("is_dup"))
+      .select(col("a_id"), col("b_id"), col("lev"))
+  }
 }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.registrations
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshtein)
+  }
 }
 
 /** Same registrations, applied directly to a live session (builder

@@ -66,4 +66,27 @@ object FilterStack {
         (col("rep_pass") === 1 && col("ppl_pass") === 1 &&
           col("clf_pass") === 1 && col("uniq_pass") === 1).cast("int"))
   }
+
+  /** Cross-source quality-score calibration: the classifier score is
+    * only comparable WITHIN a source (each source has its own score
+    * distribution — a web crawl's median differs from an academic
+    * dump's), so a single global threshold over- or under-prunes
+    * every source. The standard fix is rank calibration: convert each
+    * score to its percentile WITHIN its source, then threshold / mix
+    * on percentiles — "keep every source's best 40%" instead of "keep
+    * score > c". Output: (idCol, srcCol, score, pct) with `pct` the
+    * per-source percent_rank of `(score, id)` — exact ranks from the
+    * parallel two-phase form ([[graft.ops.Quantiles]], never one
+    * reducer per source), one IEEE division per row at the end. */
+  def calibratedScores(docs: DataFrame, idCol: String, textCol: String,
+                       srcCol: String): DataFrame = {
+    val scored = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), col(srcCol),
+        graft.functions.exprs.classifier_score(
+          TextFunctions.tokens(col(textCol))).as("score"))
+    graft.ops.Quantiles.distribution(scored, segCol = srcCol,
+        valCol = "score", tieCol = idCol)
+      .select(col(idCol), col(srcCol), col("score"),
+        col("balance_pct_rank").as("pct"))
+  }
 }

@@ -150,4 +150,50 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair").asc)
     counts.withColumn("mrank", row_number().over(w))
   }
+
+  /** PMI-style collocation mining: the top-K bigrams whose observed
+    * frequency most exceeds what their parts predict — multi-word
+    * expressions ("new york", "machine learning") that tokenizer
+    * vocabularies, stop-phrase lists, and boilerplate detectors all
+    * want surfaced. The ranking key is the fixed-point LIFT
+    * `lift_fp = (n_pair · 10^scale) div (n1 · n2)` — for a fixed
+    * corpus this orders exactly as PMI does (PMI adds the per-corpus
+    * constant log(N²/M)) while staying division-free-integer, so the
+    * full ranking replays bit-for-bit in SQL. Raw counts ride along
+    * so consumers needing true PMI values can finish the arithmetic
+    * at whatever precision they want. Ties: (n_pair DESC, pair ASC).
+    *
+    * Cost: the unigram and bigram counts (two map-side-combined
+    * aggregates, one shuffle each at vocabulary cardinality), two
+    * token-keyed joins of the bigram frame against the unigram frame,
+    * and a distributed sort-limit. `minCount` prunes the long tail of
+    * hapax bigrams BEFORE the joins — at web scale that filter is
+    * what keeps the joined frame vocabulary-sized. Long-range safety:
+    * `n1 · n2` stays exact below ~3·10⁹ occurrences per token;
+    * corpora beyond that should raise `minCount` and drop `scale`. */
+  def collocations(docs: DataFrame, textCol: String, topK: Int,
+                   minCount: Long = 5, scale: Int = 6): DataFrame = {
+    val uni = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val bi = docs
+      .select(explode(graft.functions.exprs.word_grams(
+        TextFunctions.tokens(col(textCol)), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val pow = math.pow(10, scale).toLong
+    val scored = bi
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .join(uni.select(col("token").as("w1"), col("cnt").as("n1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("cnt").as("n2")), Seq("w2"))
+      .withColumn("lift_fp", expr(s"(n_pair * ${pow}L) DIV (n1 * n2)"))
+      .orderBy(col("lift_fp").desc, col("n_pair").desc, col("pair").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_fp").desc, col("n_pair").desc, col("pair").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .select(col("pair"), col("n_pair"), col("n1"), col("n2"),
+        col("lift_fp"), col("crank"))
+  }
 }

@@ -63,4 +63,28 @@ class FilterStackSpec extends SparkTestBase {
         .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq.sorted
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("calibratedScores: per-source percentiles match the window form") {
+    val docs = Tables.documents(spark, sf)
+    val mine = FilterStack.calibratedScores(docs, "doc_id", "text", "source")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("source"))
+      .orderBy(org.apache.spark.sql.functions.col("score"),
+        org.apache.spark.sql.functions.col("doc_id"))
+    val want = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source"),
+        graft.functions.exprs.classifier_score(graft.text.TextFunctions
+          .tokens(org.apache.spark.sql.functions.col("text"))).as("score"))
+      .withColumn("pct", org.apache.spark.sql.functions.percent_rank().over(w))
+    assert(mine.collect().toSet == want.collect().toSet)
+    assert(mine.count() == docs.count())
+    // percentiles make sources comparable: every source spans [0, 1]
+    val spans = mine.groupBy("source")
+      .agg(org.apache.spark.sql.functions.min("pct"),
+        org.apache.spark.sql.functions.max("pct"))
+      .as[(String, Double, Double)].collect()
+    assert(spans.nonEmpty && spans.forall { case (_, lo, hi) =>
+      lo == 0.0 && hi == 1.0 })
+  }
 }

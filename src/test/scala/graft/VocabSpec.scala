@@ -63,4 +63,30 @@ class VocabSpec extends SparkTestBase {
     // pairs: "a b" x2, "b a" x1, "c d" x1 -> tie at 1 broken by pair ASC
     assert(got == Seq(("a b", 2L, 1), ("b a", 1L, 2)))
   }
+
+  test("collocations: lift ranks the bound pair over the frequent pair") {
+    // "x y" always co-occurs (2 of each, pair 2x); "a b" co-occurs 2x
+    // but a,b are everywhere (6 each) -> x y lifts far higher
+    val docs = Seq(
+      (1L, "x y a b a b a"), (2L, "x y b a b a b")).toDF("doc_id", "text")
+    val got = Vocab.collocations(docs, "text", topK = 3, minCount = 2)
+      .orderBy("crank")
+      .as[(String, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got.head._1 == "x y")
+    // exact integer lift: n_pair * 10^6 div (n1 * n2)
+    got.foreach { case (_, np, n1, n2, lift, _) =>
+      assert(lift == np * 1000000L / (n1 * n2))
+    }
+    // ranking is (lift DESC, n_pair DESC, pair ASC), strictly ordered
+    assert(got.map(g => (-g._5, -g._2, g._1)).sorted ==
+      got.map(g => (-g._5, -g._2, g._1)))
+  }
+
+  test("collocations: minCount prunes hapax bigrams before scoring") {
+    val docs = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    assert(Vocab.collocations(docs, "text", topK = 10, minCount = 2)
+      .count() == 0)
+    assert(Vocab.collocations(docs, "text", topK = 10, minCount = 1)
+      .count() == 3)
+  }
 }
