@@ -40,7 +40,13 @@ object Explain {
     "q107_keyword_indexed", "q108_curriculum", "q109_filter_stack",
     "q111_phrase_indexed", "q112_phrase_decon", "q113_hybrid_rrf",
     "q114_vocab_oov", "q117_phrase_scrub", "q119_vocab_encode",
-    "q120_cm_freq", "q121_funnel", "q123_pagerank")
+    "q120_cm_freq", "q121_funnel", "q123_pagerank",
+    "q124_semantic_decon", "q126_hard_negatives",
+    "q127_centroid_outliers", "q128_sorted_neighborhood",
+    "q129_length_balance", "q130_dim_moments",
+    "q132_neighborhood_dups", "q133_collocations",
+    "q134_snapshot_diff", "q135_burst_detect",
+    "q136_calibrated_quality", "q137_source_budget")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1211,6 +1211,19 @@ object SparkEntry {
       graft.text.FilterStack.calibratedScores(documents(s, dir),
         "doc_id", "text", "source")),
 
+    // Per-source budget cap (ops.Balance.sourceBudget): each source
+    // keeps its best 15 docs by (classifier score DESC, id ASC) —
+    // the C4/RefinedWeb anti-domination quota; bounded-heap per
+    // source, total frame with verdicts.
+    "q137_source_budget" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+      val scored = d.select(col("doc_id"), col("source"),
+        graft.functions.exprs.classifier_score(
+          TF.tokens(col("text"))).as("score"))
+      graft.ops.Balance.sourceBudget(scored, "doc_id", "source",
+        "score", k = 15)
+    }),
+
     // Strictly-ordered conversion funnel (etl.Funnels.funnel): per
     // user, how deep the view -> click -> purchase chain got and when
     // — conditional-min aggregates per stage, no stream-wide window.
@@ -3243,6 +3256,22 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY source
          |    ORDER BY score, doc_id) AS pct
          |FROM sc""".stripMargin,
+
+    // The q93 score CTE + the naive per-source rank gate.
+    "q137_source_budget" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, doc_id) AS rn FROM sc)
+         |SELECT doc_id, source, score, rn <= 15 AS kept FROM r""".stripMargin,
 
     // The q128 window spec restricted to the verified duplicates.
     "q132_neighborhood_dups" ->

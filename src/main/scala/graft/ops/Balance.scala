@@ -55,4 +55,30 @@ object Balance {
         expr(s"(__n * $weightScale) DIV ($k * bucket_n)").cast("long")
           .as("weight_fp"))
   }
+
+  /** Per-source document budget cap — the C4 / RefinedWeb-style
+    * per-domain quota: no source may contribute more than `k`
+    * documents, and when a source is over budget its BEST `k` by
+    * `(scoreCol DESC, id ASC)` survive. This is the anti-domination
+    * gate in front of mixture building (one gigantic crawl domain
+    * must not become the dataset).
+    *
+    * Shape: one bounded-heap `top_k` aggregate per source — the
+    * shuffle carries k-row heaps, never the corpus — then the keeper
+    * set (≤ |sources|·k rows) joins back id-keyed. Output is the
+    * TOTAL frame with verdicts (funnel accounting). Requires a
+    * numeric id for the heap's tie encoding. */
+  def sourceBudget(docs: DataFrame, idCol: String, srcCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    graft.sim.Ann.requireNumericId(docs, idCol, "sourceBudget")
+    val keepers = docs.groupBy(col(srcCol))
+      .agg(graft.functions.aggs.top_k(
+        struct(col(scoreCol).as("s"), (-col(idCol)).as("ni")), k).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select((-col("t.ni")).as("__keep_id"))
+    docs.select(col(idCol), col(srcCol), col(scoreCol))
+      .join(keepers, col(idCol) === col("__keep_id"), "left")
+      .select(col(idCol), col(srcCol), col(scoreCol),
+        col("__keep_id").isNotNull.as("kept"))
+  }
 }

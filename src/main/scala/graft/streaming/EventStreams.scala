@@ -179,6 +179,108 @@ object EventStreams {
       }
   }
 
+  // ---- burst detection (the streaming twin of ops.Bursts) ----
+
+  final case class TypedEvent(ts: java.sql.Timestamp, event_type: String)
+  final case class BinRow(event_type: String, bin: Long, n: Long,
+                          trail_n: Long, burst_fp: Option[Long],
+                          is_burst: Boolean)
+  /** `ring` holds the last `trail` CLOSED bins (bin → count) — the
+    * trailing baseline; `open` the still-accumulating bins;
+    * `lastClosed` fences late events for already-emitted bins. */
+  final case class BurstState(ring: Map[Long, Long], open: Map[Long, Long],
+                              lastClosed: Long)
+
+  /** Close one bin against the ring: the SAME integer arithmetic as
+    * [[graft.ops.Bursts.burstScore]] (`n·trail·10^4 div trail_sum`,
+    * no-history bins score null and never flag), plus the evicted
+    * ring for the next bin. One shared kernel keeps batch and stream
+    * verdicts incapable of diverging. */
+  private def closeBin(tpe: String, bin: Long, n: Long,
+                       ring: Map[Long, Long], trail: Int,
+                       threshold: Long): (BinRow, Map[Long, Long]) = {
+    val trailN = ring.iterator
+      .filter { case (b, _) => b >= bin - trail && b <= bin - 1 }
+      .map(_._2).sum
+    val fp = if (trailN > 0) Some(n * trail * 10000 / trailN) else None
+    val row = BinRow(tpe, bin, n, trailN, fp, fp.exists(_ >= threshold))
+    (row, (ring + (bin -> n)).filter { case (b, _) => b > bin - trail })
+  }
+
+  private def binOf(ts: java.sql.Timestamp, binSeconds: Long): Long =
+    Math.floorDiv(ts.getTime / 1000L, binSeconds)
+
+  /** Bounded (batch-style) burst fold: per type, bucket and close
+    * every bin in order — row-for-row the
+    * [[graft.ops.Bursts.burstScore]] result, through the stateful
+    * kernel the stream uses. Per-type bin state is telemetry-scale
+    * (|bins| of the key's time range), never event-scale. */
+  def burstFold(events: Dataset[TypedEvent], binSeconds: Long, trail: Int,
+                threshold: Long = 20000): Dataset[BinRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type).flatMapGroups {
+      (tpe: String, rows: Iterator[TypedEvent]) =>
+        val counts = scala.collection.mutable.TreeMap.empty[Long, Long]
+        rows.foreach { e =>
+          val b = binOf(e.ts, binSeconds)
+          counts.update(b, counts.getOrElse(b, 0L) + 1L)
+        }
+        var ring = Map.empty[Long, Long]
+        counts.iterator.map { case (b, n) =>
+          val (row, r2) = closeBin(tpe, b, n, ring, trail, threshold)
+          ring = r2
+          row
+        }.toSeq.iterator
+    }
+  }
+
+  /** Continuous burst detection with EVENT-TIME TIMEOUT: bins close
+    * and score when the watermark passes their end, so verdicts flow
+    * while the stream runs. State per type is the open-bin map plus
+    * the `trail`-bin ring — O(types · trail), independent of volume.
+    * Events later than the watermark for an ALREADY-CLOSED bin are
+    * dropped (the `lastClosed` fence): the admissible-lateness
+    * contract is the watermark, exactly as the windowed aggs'. */
+  def burstStream(events: Dataset[TypedEvent], binSeconds: Long, trail: Int,
+                  threshold: Long = 20000,
+                  watermark: String = "2 hours"): Dataset[BinRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, BinRow](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[TypedEvent], state: GroupState[BurstState]) =>
+          val st = state.getOption
+            .getOrElse(BurstState(Map.empty, Map.empty, Long.MinValue))
+          var open = st.open
+          rows.foreach { e =>
+            val b = binOf(e.ts, binSeconds)
+            if (b > st.lastClosed) open = open + (b -> (open.getOrElse(b, 0L) + 1L))
+          }
+          // close every open bin the watermark has passed, in order
+          val wmBin = if (state.getCurrentWatermarkMs() > 0)
+            Math.floorDiv(state.getCurrentWatermarkMs() / 1000L, binSeconds)
+          else Long.MinValue
+          val (closable, still) = open.partition(_._1 < wmBin)
+          var ring = st.ring
+          var last = st.lastClosed
+          val out = closable.toSeq.sortBy(_._1).map { case (b, n) =>
+            val (row, r2) = closeBin(tpe, b, n, ring, trail, threshold)
+            ring = r2; last = math.max(last, b)
+            row
+          }
+          state.update(BurstState(ring, still, last))
+          if (still.nonEmpty)
+            // earliest still-open bin closes when the watermark passes
+            // its end — wake up there
+            state.setTimeoutTimestamp((still.keys.min + 1) * binSeconds * 1000L)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the `flatMapGroupsWithState` form of q17's batch window query.
     * `emitOpen = true` (batch use) also emits each user's final,

@@ -45,4 +45,34 @@ class BalanceSpec extends SparkTestBase {
     val r = Balance.lengthDecileWeights(df, "doc_id", "text", k = 4)
     assert(r.select("weight_fp").distinct.as[Long].collect().toSeq == Seq(10000L))
   }
+
+  test("sourceBudget keeps each source's best k, total frame, score ties by id") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (9L, "b", 5L)).toDF("id", "src", "score")
+    val r = Balance.sourceBudget(df, "id", "src", "score", k = 2)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map { case (id, _, _, kept) => id -> kept }.toMap
+    // a: rank by (score desc, id asc) -> 2(30), 4(30), 3(20), 1(10)
+    assert(r == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      9L -> true)) // under-budget source keeps everything
+  }
+
+  test("sourceBudget == the window-rank form on the real corpus") {
+    val scored = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.exprs.classifier_score(
+          graft.text.TextFunctions.tokens(col("text"))).as("score"))
+    val mine = Balance.sourceBudget(scored, "doc_id", "source", "score", 15)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val want = scored.withColumn("kept",
+      org.apache.spark.sql.functions.row_number().over(w) <= 15)
+    assert(mine.collect().toSet == want.collect().toSet)
+    // the shuffle carries heaps, not rows: heap aggregate, no window
+    val plan = mine.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      plan.take(1500))
+  }
 }

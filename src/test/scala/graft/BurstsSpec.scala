@@ -50,4 +50,57 @@ class BurstsSpec extends SparkTestBase {
     assert(a.exists(_.getAs[Boolean]("is_burst")))
     assert(a.exists(r => !r.getAs[Boolean]("is_burst")))
   }
+
+  test("burstFold (the stream kernel, bounded) == the batch operator") {
+    import graft.streaming.EventStreams
+    val e = Tables.events(spark, sf)
+    val typed = e.select(col("ts").cast("timestamp").as("ts"),
+      col("event_type")).as[EventStreams.TypedEvent]
+    val fold = EventStreams.burstFold(typed, 3600, 6).collect()
+      .map(r => (r.event_type, r.bin, r.n, r.trail_n,
+        r.burst_fp.getOrElse(-1L), r.is_burst)).toSet
+    val batch = Bursts.burstScore(e, "ts", "event_type", 3600, 6)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("trail_n"),
+        if (r.isNullAt(r.fieldIndex("burst_fp"))) -1L
+        else r.getAs[Long]("burst_fp"),
+        r.getAs[Boolean]("is_burst"))).toSet
+    assert(fold == batch)
+  }
+
+  test("burstStream closes and scores bins as the watermark advances") {
+    import graft.streaming.EventStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    val all = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+    all.filter(col("ts") < "2024-01-10").write.parquet(s"$dir/b=1")
+    val schema = spark.read.parquet(s"$dir/b=1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*")
+      .as[EventStreams.TypedEvent]
+    val q = EventStreams.burstStream(stream, 3600, 6)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("burst_stream").start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("burst_stream").count()
+      all.filter(col("ts") >= "2024-01-10").write.parquet(s"$dir/b=2")
+      q.processAllAvailable()
+      val late = spark.table("burst_stream").count()
+      assert(late > early, s"watermark should close bins: $early -> $late")
+      // every emitted bin agrees exactly with the batch operator's row
+      val batch = Bursts.burstScore(Tables.events(spark, sf),
+          "ts", "event_type", 3600, 6).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("trail_n"),
+            r.getAs[Boolean]("is_burst"))).toMap
+      val emitted = spark.table("burst_stream").collect()
+      assert(emitted.nonEmpty)
+      emitted.foreach { r =>
+        val key = (r.getAs[String]("event_type"), r.getAs[Long]("bin"))
+        val want = batch(key)
+        assert((r.getAs[Long]("n"), r.getAs[Long]("trail_n"),
+          r.getAs[Boolean]("is_burst")) == want, s"bin $key")
+      }
+    } finally q.stop()
+  }
 }
