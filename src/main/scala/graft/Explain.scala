@@ -46,7 +46,8 @@ object Explain {
     "q129_length_balance", "q130_dim_moments",
     "q132_neighborhood_dups", "q133_collocations",
     "q134_snapshot_diff", "q135_burst_detect",
-    "q136_calibrated_quality", "q137_source_budget")
+    "q136_calibrated_quality", "q137_source_budget",
+    "q138_drift_report")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

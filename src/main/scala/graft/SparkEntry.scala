@@ -1195,6 +1195,22 @@ object SparkEntry {
       graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
     }),
 
+    // Inter-snapshot distribution drift (ops.Snapshot.driftReport):
+    // token-length bins (width 10) of the q134 snapshots, per-bin
+    // share ratio in fixed point — the population-shift monitor the
+    // id-level diff can't see; one-sided bins always flag.
+    "q138_drift_report" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+        .select(TF.tokenCount(col("text")).as("n_tokens"))
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .select(TF.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Snapshot.driftReport(oldSnap, newSnap, "n_tokens",
+        binWidth = 10, tolerance = 2000)
+    }),
+
     // Burst detection (ops.Bursts.burstScore): hourly event-type
     // volume vs its trailing-6-bin baseline, fixed-point ratio,
     // bursts at 2.0x — the raw stream is touched once (the count);
@@ -3220,6 +3236,32 @@ object SparkEntry {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // The q134 snapshots re-bucketed by token-length bin and the
+    // same fixed-point share ratio.
+    "q138_drift_report" ->
+      s"""WITH o AS (SELECT ${TF.sql.tokenCount("text")} AS v
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |n AS (SELECT CAST(len(list_filter(string_split_regex(
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END,
+         |    '\\s+'), t -> t <> '')) AS INTEGER) AS v
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |ob AS (SELECT v // 10 AS bucket, count(*) AS old_n FROM o GROUP BY 1),
+         |nb AS (SELECT v // 10 AS bucket, count(*) AS new_n FROM n GROUP BY 1),
+         |j AS (SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+         |  COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n
+         |  FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket),
+         |t AS (SELECT *, sum(old_n) OVER () AS ot, sum(new_n) OVER () AS nt
+         |  FROM j)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(old_n AS BIGINT) AS old_n, CAST(new_n AS BIGINT) AS new_n,
+         |  CAST(CASE WHEN old_n > 0 AND new_n > 0
+         |    THEN (new_n * ot * 10000) // (old_n * nt) END AS BIGINT)
+         |    AS ratio_fp,
+         |  COALESCE(abs((CASE WHEN old_n > 0 AND new_n > 0
+         |    THEN (new_n * ot * 10000) // (old_n * nt) END) - 10000) > 2000,
+         |    TRUE) AS drifted
+         |FROM t""".stripMargin,
 
     // The q56 epoch-bin convention + a RANGE window baseline and the
     // same integer ratio.

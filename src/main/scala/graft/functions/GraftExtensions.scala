@@ -19,7 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     registrations.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshtein)
+    graft.plans.Rules.all.foreach(r => ext.injectOptimizerRule(_ => r))
   }
 }
 

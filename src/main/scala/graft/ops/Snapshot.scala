@@ -35,4 +35,46 @@ object Snapshot {
           .when(col("__fp_old") === col("__fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Distribution drift between two snapshots of a numeric feature —
+    * the data-quality monitor that catches an upstream change
+    * [[diff]]'s id-level statuses can't see (same ids, same texts
+    * added/removed in the usual churn, but the POPULATION shifted:
+    * suddenly everything is short, or one length band vanished).
+    *
+    * The feature buckets into fixed-width bins (`value div binWidth`
+    * — absolute, not quantile, so the two sides bucket identically by
+    * construction and no boundary estimation can drift between them),
+    * each side aggregates to |bins| counts, and the report is the
+    * full-outer bin join with the RELATIVE RATE ratio in fixed point:
+    *
+    *   ratio_fp = (new_n · old_total · 10^4) div (old_n · new_total)
+    *
+    * — 10000 means the bin holds the same SHARE of its snapshot as
+    * before, independent of total volume change. Bins present on only
+    * one side get a null ratio and always flag. All integer; two
+    * corpus scans, bin-keyed aggregates, a |bins|-row join. */
+  def driftReport(oldSnap: DataFrame, newSnap: DataFrame,
+                  valueCol: String, binWidth: Long,
+                  tolerance: Long = 2000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(d: DataFrame, as: String) = d
+      .groupBy(call_function("div", col(valueCol).cast("long"),
+        lit(binWidth)).as("bucket"))
+      .agg(count(lit(1)).as(as))
+    val o = binned(oldSnap, "old_n")
+    val n = binned(newSnap, "new_n")
+    o.join(n, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("old_n"), lit(0L)).as("old_n"),
+        coalesce(col("new_n"), lit(0L)).as("new_n"))
+      .withColumn("__ot", sum(col("old_n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__nt", sum(col("new_n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bucket"), col("old_n"), col("new_n"),
+        when(col("old_n") > 0 && col("new_n") > 0,
+          expr("(new_n * __ot * 10000) DIV (old_n * __nt)")).as("ratio_fp"))
+      .withColumn("drifted", coalesce(
+        abs(col("ratio_fp") - 10000) > tolerance, lit(true)))
+  }
 }

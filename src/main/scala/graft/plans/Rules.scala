@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LambdaFunction, LessThan, LessThanOrEqual, Levenshtein, Literal, NamedLambdaVariable, Not, StringSplit}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst optimizer rule: rewrite threshold comparisons on the
   * UNBOUNDED Levenshtein into Spark's bounded three-argument form.
@@ -69,14 +70,63 @@ object BoundedLevenshtein extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: substitute the canonical whitespace
+  * tokenize HOF chain with the codegen'd kernel.
+  *
+  * The natural declarative spelling —
+  * `filter(split(text, '\\s+'), t -> t <> '')` — runs INTERPRETED:
+  * `ArrayFilter`/`ArrayTransform` have no codegen and re-enter the
+  * expression interpreter per element, which measured seconds per
+  * query in the similarity pipelines (see [[graft.functions.exprs]]).
+  * [[graft.functions.WhitespaceTokens]] is the proven byte-level twin
+  * (`ExprOps.wsTokens` documents the semantics proof: Java regex
+  * `\s` = ASCII 0x09-0x0D + 0x20 exactly, leading/trailing empties
+  * dropped by the filter) — one kernel call per row inside
+  * whole-stage codegen. This rule performs the substitution in the
+  * PLAN, so SQL users and DataFrame code that never heard of the
+  * kernel get it anyway; graft's own operators call the kernel
+  * directly and are untouched. Matches only the exact published
+  * pattern (that regex literal, limit -1, `<> ''` lambda in either
+  * operand order) — anything else is left alone. */
+object WsTokensSubstitution extends Rule[LogicalPlan] {
+  private def isEmptyLit(e: Expression): Boolean = e match {
+    case Literal(s: UTF8String, StringType) => s.numChars() == 0
+    case _ => false
+  }
+
+  private def dropsEmpties(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(Not(EqualTo(v: NamedLambdaVariable, lit)),
+        Seq(a: NamedLambdaVariable), _) =>
+      v.exprId == a.exprId && isEmptyLit(lit)
+    case LambdaFunction(Not(EqualTo(lit, v: NamedLambdaVariable)),
+        Seq(a: NamedLambdaVariable), _) =>
+      v.exprId == a.exprId && isEmptyLit(lit)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayFilter(
+          StringSplit(c, Literal(re: UTF8String, StringType),
+            Literal(-1, IntegerType)),
+          lf: LambdaFunction)
+          if re.toString == "\\s+" && dropsEmpties(lf) =>
+        graft.functions.WhitespaceTokens(c)
+    }
+}
+
 /** Live-session installation for the graft optimizer rules (builder
   * `withExtensions` only applies at session CREATION; operators that
   * want their rewrite guaranteed call [[ensureRegistered]] instead —
   * idempotent, so every operator entry point can call it). */
 object Rules {
+  val all: Seq[Rule[LogicalPlan]] =
+    Seq(BoundedLevenshtein, WsTokensSubstitution)
+
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
-    if (!spark.experimental.extraOptimizations.contains(BoundedLevenshtein))
+    val missing = all.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ BoundedLevenshtein
+        spark.experimental.extraOptimizations ++ missing
   }
 }

@@ -91,4 +91,40 @@ class BoundedLevenshteinSpec extends SparkTestBase {
     val once = BoundedLevenshtein(df.queryExecution.analyzed)
     assert(BoundedLevenshtein(once) fastEquals once)
   }
+
+  test("WsTokensSubstitution: the HOF tokenize plans as the kernel") {
+    Rules.ensureRegistered(spark)
+    graft.functions.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("ws_docs")
+    // SQL spelling a user would write, both lambda operand orders
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |  size(filter(split(text, '\\s+'), t -> t != '')) AS n1,
+        |  size(filter(split(text, '\\s+'), t -> '' != t)) AS n2
+        |FROM ws_docs""".stripMargin)
+    val subbed = sql.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect {
+        case w: graft.functions.WhitespaceTokens => w })
+    assert(subbed.size == 2, sql.queryExecution.optimizedPlan.toString)
+    // and the values are exactly the kernel's (== the HOF semantics)
+    val want = docs.select(col("doc_id"),
+      size(graft.functions.exprs.ws_tokens(col("text"))).as("n1"),
+      size(graft.functions.exprs.ws_tokens(col("text"))).as("n2"))
+    assert(sql.collect().toSet == want.collect().toSet)
+  }
+
+  test("WsTokensSubstitution leaves other regexes and lambdas alone") {
+    Rules.ensureRegistered(spark)
+    val docs = Tables.documents(spark, sf)
+    val other = docs.select(
+      filter(split(col("text"), ","), t => t =!= "").as("a"),
+      filter(split(col("text"), "\\s+"), t => length(t) > 1).as("b"))
+    val subbed = other.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect {
+        case w: graft.functions.WhitespaceTokens => w })
+    assert(subbed.isEmpty)
+  }
 }

@@ -211,4 +211,62 @@ object PropertySuite extends Properties("graft") {
       got == want
     }
   }
+
+  // The canonicalizer must be a PROJECTION onto its own image:
+  // normalizing twice changes nothing (dedup pipelines rely on this —
+  // a canonical form that isn't a fixed point re-dedups differently
+  // on re-ingest), and the output never carries the artifacts the
+  // kernel claims to remove.
+  property("normalize_text is idempotent; output has no uppercase/ws-runs") = {
+    val chunk = Gen.oneOf("Ab", "  ", "\t", "x", "Ý", "\n", "ZZ ")
+    Prop.forAll(Gen.listOfN(8, chunk)) { parts =>
+      val s = parts.mkString
+      val once = Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.exprs.normalize_text(col("t")))
+        .head().getString(0)
+      val twice = Seq(Tuple1(once)).toDF("t")
+        .select(graft.functions.exprs.normalize_text(col("t")))
+        .head().getString(0)
+      twice == once &&
+        !once.exists(c => c.isUpper) &&
+        !once.contains("  ") && once.trim == once
+    }
+  }
+
+  // Sorted-neighborhood completeness: every window pair and only
+  // window pairs — on random corpora the operator must equal the
+  // definition applied to the plainly-sorted list.
+  property("sortedNeighborhood pairs == definition on random corpora") = {
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    Prop.forAll(Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, word)),
+        Gen.choose(2, 4)) { (texts, w) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.SortedNeighborhood
+        .candidatePairs(df, "doc_id", "text", window = w, threshold = 2)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val sorted = texts.zipWithIndex
+        .sortBy { case (t, i) => (t, i.toLong) }.map(_._2.toLong)
+      val want = (for {
+        i <- sorted.indices; d <- 1 until w; if i + d < sorted.length
+      } yield (sorted(i), sorted(i + d))).toSet
+      got == want
+    }
+  }
+
+  // NTILE partition law: bucket sizes differ by at most one, larger
+  // buckets come first, and they sum to n — for ANY (n, k).
+  property("lengthDecileWeights buckets partition n with the NTILE law") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(2, 9)) { (n, k) =>
+      val df = (1 to n).map(i => (i.toLong, ("w " * i).trim)).toDF("doc_id", "text")
+      val rows = graft.ops.Balance
+        .lengthDecileWeights(df, "doc_id", "text", k = k)
+        .select("decile", "bucket_n").as[(Int, Long)].collect()
+      val sizes = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      rows.forall { case (d, bn) => sizes(d) == bn } &&
+        sizes.values.sum == n.toLong &&
+        sizes.values.forall(s => s == n / k || s == n / k + 1) &&
+        sizes.toSeq.sortBy(_._1).map(_._2).sliding(2)
+          .forall(p => p.length < 2 || p(0) >= p(1))
+    }
 }

@@ -38,4 +38,25 @@ class SnapshotSpec extends SparkTestBase {
     assert(diff.count() == union)
     assert(diff.select("doc_id").distinct.count() == union)
   }
+
+  test("driftReport: hand-built shift, volume-independence, one-sided bins") {
+    // old: 4 in bucket 0, 4 in bucket 1; new: 2 in bucket 0, 6 in
+    // bucket 1, 2 in bucket 3 (bucket 3 is new-only)
+    val oldS = Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L).toDF("v")
+    val newS = Seq(5L, 6L, 15L, 16L, 17L, 18L, 19L, 10L, 31L, 32L).toDF("v")
+    val r = Snapshot.driftReport(oldS, newS, "v", binWidth = 10,
+        tolerance = 2000)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3), x.getBoolean(4))).toMap
+    // bucket 0: share 4/8 -> 2/10 = ratio (2*8*10000)/(4*10) div = 4000
+    assert(r(0L) == ((4L, 2L, 4000L, true)))
+    // bucket 1: 4/8 -> 6/10 = (6*8*10000)/(4*10) = 12000, inside 2000
+    assert(r(1L) == ((4L, 6L, 12000L, false)))
+    // new-only bucket: null ratio, always drifted
+    assert(r(3L) == ((0L, 2L, -1L, true)))
+    // pure volume change, same shape -> ratio exactly 10000 everywhere
+    val doubled = Snapshot.driftReport(oldS, oldS.union(oldS), "v", 10)
+      .select("ratio_fp").distinct().as[Long].collect().toSeq
+    assert(doubled == Seq(10000L))
+  }
 }
