@@ -1195,6 +1195,27 @@ object SparkEntry {
       graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
     }),
 
+    // Table profile (ops.Profiler.profile): per-column volume, null
+    // count, exact distinct — one aggregate, one scan (Expand plan);
+    // the arrival-audit every ETL run fronts with.
+    "q139_profile" -> ((s, dir) =>
+      graft.ops.Profiler.profile(orders(s, dir), Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))),
+
+    // Expectation gate (ops.Profiler.expect): declarative contract
+    // clauses evaluated as conditional counts in ONE pass — the
+    // quantity range is deliberately tighter than the data (1..45 vs
+    // the actual 1..50) so the report carries real violations.
+    "q140_expectations" -> ((s, dir) => {
+      import graft.ops.Profiler.Expectation
+      graft.ops.Profiler.expect(lineitem(s, dir), Seq(
+        Expectation.notNull("l_orderkey"),
+        Expectation.between("l_quantity", 1, 45),
+        Expectation.between("l_discount", 0.0, 0.1),
+        Expectation.inSet("l_returnflag", Seq("A", "N", "R"))))
+    }),
+
     // Inter-snapshot distribution drift (ops.Snapshot.driftReport):
     // token-length bins (width 10) of the q134 snapshots, per-bin
     // share ratio in fixed point — the population-shift monitor the
@@ -3236,6 +3257,41 @@ object SparkEntry {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // One SELECT per profiled column, unioned in request order.
+    "q139_profile" -> {
+      def row(i: Int, c: String) =
+        s"""SELECT CAST($i AS INTEGER) AS ord, '$c' AS col_name,
+           |  count(*) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").zipWithIndex
+        .map { case (c, i) => row(i, c) }
+        .mkString("\nUNION ALL\n")
+    },
+
+    // One SELECT per contract clause; rule strings match the
+    // Expectation helpers' generated names byte-for-byte.
+    "q140_expectations" -> {
+      def row(i: Int, name: String, viol: String) =
+        s"""SELECT CAST($i AS INTEGER) AS ord, '$name' AS rule,
+           |  count(*) AS n,
+           |  CAST(sum(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations,
+           |  sum(CASE WHEN $viol THEN 1 ELSE 0 END) = 0 AS passed
+           |FROM lineitem""".stripMargin
+      Seq(
+        row(0, "l_orderkey is not null", "l_orderkey IS NULL"),
+        row(1, "l_quantity in [1.0,45.0]",
+          "NOT COALESCE(l_quantity IS NOT NULL AND l_quantity >= 1.0 AND l_quantity <= 45.0, FALSE)"),
+        row(2, "l_discount in [0.0,0.1]",
+          "NOT COALESCE(l_discount IS NOT NULL AND l_discount >= 0.0 AND l_discount <= 0.1, FALSE)"),
+        row(3, "l_returnflag in {A,N,R}",
+          "NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)")
+      ).mkString("\nUNION ALL\n")
+    },
 
     // The q134 snapshots re-bucketed by token-length bin and the
     // same fixed-point share ratio.

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling and expectation gating — the data-quality layer
+  * every ETL run fronts with: first PROFILE what arrived (per-column
+  * volumes, null rates, cardinalities), then ASSERT the contract
+  * (ranges, non-null keys, uniqueness) and fail or quarantine on
+  * violation. The ([[profile]], [[expect]]) pair is that layer as two
+  * operators whose outputs are small enough to log, diff round-over-
+  * round ([[Snapshot.driftReport]]'s tabular cousin), and alert on.
+  */
+object Profiler {
+  /** Per-column profile: `(col_name, n, n_null, n_distinct)` — one row
+    * per requested column, in request order (`ord` carries it).
+    *
+    * Scale shape: ONE aggregate over ONE scan. The exact
+    * multi-column `count(DISTINCT ...)` plans through Spark's Expand
+    * (each row fans to |cols| tagged rows before the partial
+    * aggregate) — the standard exact plan, costing |cols|× the scan
+    * in shuffled rows but distinct-exact, which the round-over-round
+    * diff needs (a sketch's ±2% noise would read as drift). Corpora
+    * where that multiplier hurts should profile column subsets per
+    * pass; the operator takes any subset. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("ord"), lit(c).as("col_name"),
+        col(s"__n_$c").as("n"), col(s"__nn_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.ord").cast("int").as("ord"), col("r.col_name"),
+        col("r.n"), col("r.n_null"), col("r.n_distinct"))
+  }
+
+  /** One declarative expectation over a table. `name` keys the report
+    * row; `holds` is the per-row predicate a VIOLATION negates. */
+  final case class Expectation(name: String, holds: Column)
+
+  /** Expectation helpers — the common contract clauses. */
+  object Expectation {
+    def notNull(c: String): Expectation =
+      Expectation(s"$c is not null", col(c).isNotNull)
+    def between(c: String, lo: Double, hi: Double): Expectation =
+      Expectation(s"$c in [$lo,$hi]", col(c).isNotNull &&
+        col(c) >= lo && col(c) <= hi)
+    def inSet(c: String, allowed: Seq[String]): Expectation =
+      Expectation(s"$c in {${allowed.mkString(",")}}",
+        col(c).isin(allowed.map(x => x: Any): _*))
+    def matches(c: String, regex: String): Expectation =
+      Expectation(s"$c matches $regex", col(c).rlike(regex))
+  }
+
+  /** Evaluate every expectation in ONE pass: `(ord, rule, n,
+    * n_violations, passed)` per rule. Each rule is a conditional
+    * count over the same scan — |rules| long counters per task, no
+    * extra shuffle, no per-rule jobs. A null predicate result counts
+    * as a violation (the conservative reading: an unevaluable
+    * contract is a broken contract). */
+  def expect(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case (r, i) =>
+        count(when(!coalesce(r.holds, lit(false)), 1)).as(s"__v_$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(i).as("ord"), lit(r.name).as("rule"),
+        col("__n").as("n"), col(s"__v_$i").as("n_violations"),
+        (col(s"__v_$i") === 0L).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.ord").cast("int").as("ord"), col("r.rule"),
+        col("r.n"), col("r.n_violations"), col("r.passed"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Profiler
+import graft.ops.Profiler.Expectation
+
+/** ops.Profiler: per-column profiles (q139) and expectation gates
+  * (q140). */
+class ProfilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile counts rows, nulls, exact distincts per column, in order") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")),
+      (None, Some("a"))).toDF("x", "y")
+    val r = Profiler.profile(df, Seq("y", "x")).orderBy("ord").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (0, "y", 4L, 1L, 2L),   // request order preserved: y first
+      (1, "x", 4L, 1L, 2L)))
+  }
+
+  test("profile is one job over one scan (single aggregate)") {
+    val plan = Profiler.profile(Tables.orders(spark, sf),
+        Seq("o_orderkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length == 2, plan.take(1500)) // exactly one scan
+  }
+
+  test("expect: violations counted, null predicate counts as violation") {
+    val df = Seq((Some(5.0), "A"), (Some(60.0), "B"), (None, "A"))
+      .toDF("q", "f")
+    val r = Profiler.expect(df, Seq(
+        Expectation.between("q", 1, 50),
+        Expectation.inSet("f", Seq("A")),
+        Expectation.notNull("f")))
+      .orderBy("ord").collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      ("q in [1.0,50.0]", 3L, 2L, false),  // 60 out of range, null q
+      ("f in {A}", 3L, 1L, false),
+      ("f is not null", 3L, 0L, true)))
+  }
+
+  test("the q140 contract on the real table: tight range fails, others hold") {
+    val r = Profiler.expect(Tables.lineitem(spark, sf), Seq(
+        Expectation.notNull("l_orderkey"),
+        Expectation.between("l_quantity", 1, 45),
+        Expectation.inSet("l_returnflag", Seq("A", "N", "R"))))
+      .orderBy("ord").collect()
+    assert(r(0).getAs[Boolean]("passed"))
+    assert(!r(1).getAs[Boolean]("passed") &&
+      r(1).getAs[Long]("n_violations") > 0)
+    assert(r(2).getAs[Boolean]("passed"))
+    // every rule saw the full table
+    assert(r.forall(_.getAs[Long]("n") == Tables.lineitem(spark, sf).count()))
+  }
+}
