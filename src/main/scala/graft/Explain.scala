@@ -47,7 +47,8 @@ object Explain {
     "q132_neighborhood_dups", "q133_collocations",
     "q134_snapshot_diff", "q135_burst_detect",
     "q136_calibrated_quality", "q137_source_budget",
-    "q138_drift_report", "q139_profile", "q140_expectations")
+    "q138_drift_report", "q139_profile", "q140_expectations",
+    "q141_group_split")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

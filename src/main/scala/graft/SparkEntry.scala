@@ -1195,6 +1195,20 @@ object SparkEntry {
       graft.ops.Snapshot.diff(oldSnap, newSnap, "doc_id", Seq("text"))
     }),
 
+    // Domain-grouped split (ops.Splits.leakageSafeSplit with source
+    // as the group): every doc of a source lands on the SAME side —
+    // the split that stops near-duplicate/domain leakage across
+    // train/val/test when the leak unit is the domain, not the dup
+    // cluster (q81's component form covers that one). Same operator,
+    // different group frame — the seam is the point.
+    "q141_group_split" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.ops.Splits.leakageSafeSplit(d, "doc_id",
+          d.select(col("doc_id"), col("source")), "doc_id", "source",
+          splitFractions)
+        .select(col("doc_id"), col("grp"), col("split"))
+    }),
+
     // Table profile (ops.Profiler.profile): per-column volume, null
     // count, exact distinct — one aggregate, one scan (Expand plan);
     // the arrival-audit every ETL run fronts with.
@@ -3258,6 +3272,13 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
+    // The q81 split CASE keyed on source instead of the dup group.
+    "q141_group_split" ->
+      s"""SELECT doc_id, source AS grp,
+         |  ${graft.ops.Splits.sql.splitCase("source", splitFractions)}
+         |    AS split
+         |FROM documents""".stripMargin,
+
     // One SELECT per profiled column, unioned in request order.
     "q139_profile" -> {
       def row(i: Int, c: String) =
@@ -4288,7 +4309,8 @@ object SparkEntry {
     "q81_leakage_split" ->
       s"""WITH RECURSIVE
          |${componentsCte(0.4)},
-         |grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+         |grp AS (SELECT d.doc_id,
+         |  CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS grp
          |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
          |SELECT doc_id, grp,
          |  ${graft.ops.Splits.sql.splitCase("grp", splitFractions)} AS split

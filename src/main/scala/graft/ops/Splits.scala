@@ -61,10 +61,16 @@ object Splits {
         "silently funnel the residual hex range into the last split")
     val g = groups.select(col(groupIdCol).as("__gid"),
       col(groupCol).as("__grp"))
+    // grp is canonically a STRING: group keys may be numeric
+    // (components) or textual (domains), and coalescing mixed types
+    // would otherwise coerce the textual arm to the id's numeric type
+    // and throw at runtime. The md5 assignment already hashes the
+    // string form, so the cast changes no assignment.
     val keyed = docs.join(g, docs(idCol) === col("__gid"), "left")
-      .withColumn("grp", coalesce(col("__grp"), col(idCol)))
+      .withColumn("grp",
+        coalesce(col("__grp").cast("string"), col(idCol).cast("string")))
       .drop("__gid", "__grp")
-    val u = substring(md5(col("grp").cast("string")), 1, 8)
+    val u = substring(md5(col("grp")), 1, 8)
     val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     // build the CASE low-to-high so each WHEN tests the cumulative cut
     val split = splits.init.zip(cuts.init).reverse.foldLeft(

@@ -85,6 +85,24 @@ class SplitsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("string group keys (domains) work; a source never straddles splits") {
+    val d = Tables.documents(spark, sf)
+    val out = Splits.leakageSafeSplit(d, "doc_id",
+      d.select(col("doc_id"), col("source")), "doc_id", "source",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == d.count())
+    // every source lands wholly on one side
+    val straddlers = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddlers == 0)
+    // grp carries the source key as a string
+    assert(out.schema("grp").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val grps = out.select("grp").distinct.as[String].collect().toSet
+    assert(grps == d.select("source").distinct.as[String].collect().toSet)
+  }
+
   test("bad fraction declarations fail loudly") {
     val comp = spark.emptyDataset[(Long, Long)].toDF("id", "component")
     intercept[IllegalArgumentException] {
