@@ -48,7 +48,8 @@ object Explain {
     "q134_snapshot_diff", "q135_burst_detect",
     "q136_calibrated_quality", "q137_source_budget",
     "q138_drift_report", "q139_profile", "q140_expectations",
-    "q141_group_split")
+    "q141_group_split", "q142_probe_leakage", "q143_bitext_margin",
+    "q144_snapshot_novelty", "q145_whiten_apply")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1095,6 +1095,17 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 0), threshold = 0.35)
     }),
 
+    // Per-probe leakage report (sim.Ann.probeLeakage): the q124 gate
+    // transposed — per EVAL item, its corpus near-neighbor count and
+    // the clean verdict; the report that drops compromised benchmark
+    // items instead of scrubbing the corpus.
+    "q142_probe_leakage" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      graft.sim.Ann.probeLeakage(
+        e.filter(col("vec_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 === 0), threshold = 0.35)
+    }),
+
     // C4-style line-level quality filter (text.LineQuality.c4Filter):
     // per-line prose gates + doc-level gates ("lorem ipsum", '{'),
     // cleaned text rejoined in line order; one projection pass, zero
@@ -1208,6 +1219,42 @@ object SparkEntry {
           splitFractions)
         .select(col("doc_id"), col("grp"), col("split"))
     }),
+
+    // Margin-based bitext mining (sim.Bitext.mine): each en doc's best
+    // de counterpart, kept only when the pair's cosine stands out
+    // against BOTH sides' top-4 neighborhoods (ratio margin >= 1.10) —
+    // the CCMatrix/LASER recipe; plain cosine thresholds drown in hub
+    // vectors. Langs come from documents (vec_id aligns with doc_id).
+    "q143_bitext_margin" -> ((s, dir) => {
+      val lang = documents(s, dir).select(col("doc_id"), col("lang"))
+      val byLang = embeddings(s, dir)
+        .join(lang, col("vec_id") === col("doc_id"))
+      def side(l: String) = byLang.filter(col("lang") === l)
+        .select(col("vec_id"), col("embedding"))
+      graft.sim.Bitext.mine(side("en"), side("de"), k = 4,
+        marginMin = 1.10)
+    }),
+
+    // Snapshot novelty (text.CrossDoc.snapshotNovelty): per fresh-crawl
+    // doc (doc_id % 7 == 0), the fraction of its distinct 5-shingles
+    // absent from the standing corpus — the new-crawl accounting run
+    // before paying for full dedup. Exact membership join here; the
+    // petabyte path is the bloom gate fed with reference shingles.
+    "q144_snapshot_novelty" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.text.CrossDoc.snapshotNovelty(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
+    }),
+
+    // Whitening APPLY (sim.Whitening.whiten): per (vec, dim), the
+    // z-score of the fixed-point code against q130's corpus moments,
+    // in fixed point — the standardization pass in front of PQ /
+    // linear probes / isotropic ANN. Moments broadcast (dim rows);
+    // apply side is explode → broadcast-join → project, zero
+    // exchanges after the one-scan moments aggregate.
+    "q145_whiten_apply" -> ((s, dir) =>
+      graft.sim.Whitening.whiten(embeddings(s, dir))),
 
     // Table profile (ops.Profiler.profile): per-column volume, null
     // count, exact distinct — one aggregate, one scan (Expand plan);
@@ -3133,6 +3180,22 @@ object SparkEntry {
         |  COALESCE(h.n, 0) = 0 AS kept
         |FROM c LEFT JOIN h ON h.vec_id = c.vec_id""".stripMargin,
 
+    // The q124 CTEs grouped by the PROBE side.
+    "q142_probe_leakage" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+        |h AS (
+        |  SELECT t.vec_id, count(*) AS n
+        |  FROM c, t
+        |  WHERE list_dot_product(c.v, t.v) /
+        |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(t.v, t.v)))
+        |    >= 0.35
+        |  GROUP BY t.vec_id)
+        |SELECT t.vec_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n, 0) = 0 AS clean
+        |FROM t LEFT JOIN h ON h.vec_id = t.vec_id""".stripMargin,
+
     // The C4 line + doc gates replayed over the same split pieces
     // (string_split keeps empties exactly like Spark's limit -1).
     "q125_line_filter" ->
@@ -3271,6 +3334,81 @@ object SparkEntry {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // The margin arithmetic replayed pairwise: fixed-point cosine
+    // codes, window-ranked top-4 neighborhood sums (exact integer),
+    // one division into the 2^14 margin code.
+    "q143_bitext_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT doc_id, lang FROM documents),
+        |s AS (SELECT vec_id AS sid, v FROM e JOIN d ON doc_id = vec_id WHERE lang = 'en'),
+        |t AS (SELECT vec_id AS tid, v FROM e JOIN d ON doc_id = vec_id WHERE lang = 'de'),
+        |p AS (SELECT sid, tid,
+        |        CAST(round(list_dot_product(s.v, t.v) /
+        |          (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(t.v, t.v)))
+        |          * 1048576) AS BIGINT) AS c
+        |      FROM s, t),
+        |fr AS (SELECT sid, tid, c,
+        |         row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS r
+        |       FROM p),
+        |f  AS (SELECT sid, sum(c) AS fsum FROM fr WHERE r <= 4 GROUP BY sid),
+        |bst AS (SELECT sid, tid, c FROM fr WHERE r = 1),
+        |br AS (SELECT tid, c,
+        |         row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS r
+        |       FROM p),
+        |b  AS (SELECT tid, sum(c) AS bsum FROM br WHERE r <= 4 GROUP BY tid)
+        |SELECT bst.sid AS src_id, bst.tid AS tgt_id,
+        |  CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
+        |    * 16384.0) AS BIGINT) AS margin_code,
+        |  CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
+        |    * 16384.0) AS BIGINT) >= 18022 AS mined
+        |FROM bst JOIN f ON f.sid = bst.sid JOIN b ON b.tid = bst.tid""".stripMargin,
+
+    // The q59 shingle CTE split into reference/fresh; novelty is a
+    // NOT-IN membership via left join on the shingle string.
+    "q144_snapshot_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  unnest(range(1, greatest(m-4, 1)+1)) AS i FROM base),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN m < 5 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+4), ' ')
+         |  END AS shingle FROM idx),
+         |seen AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 <> 0),
+         |f AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 = 0)
+         |SELECT f.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN seen.shingle IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN seen.shingle IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / count(*) AS novelty_fraction
+         |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
+         |GROUP BY 1""".stripMargin,
+
+    // q130's moments CTE extended by the literal IEEE op sequence
+    // (mean = s/n; std = sqrt((ss - s*mean)/n); z = (x - mean)/std).
+    "q145_whiten_apply" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |flat AS (SELECT vec_id,
+        |  unnest(generate_series(1, len(v))) AS pos, v FROM e),
+        |xf AS (SELECT vec_id, pos, floor(v[pos] * 10000.0) AS x FROM flat),
+        |mo AS (SELECT pos, count(*) AS n,
+        |  sum(CAST(x AS BIGINT)) AS s,
+        |  sum(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS ss
+        |  FROM xf GROUP BY pos),
+        |st AS (SELECT pos,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    / CAST(n AS DOUBLE)) AS std
+        |  FROM mo)
+        |SELECT xf.vec_id, CAST(xf.pos - 1 AS INTEGER) AS dim,
+        |  CASE WHEN st.std = 0 THEN 0
+        |       ELSE CAST(round((xf.x - st.mean) / st.std * 1024.0) AS BIGINT)
+        |  END AS z_code
+        |FROM xf JOIN st ON st.pos = xf.pos""".stripMargin,
 
     // The q81 split CASE keyed on source instead of the dup group.
     "q141_group_split" ->

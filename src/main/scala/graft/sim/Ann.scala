@@ -448,6 +448,33 @@ object Ann {
         (coalesce(col("n_hits"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** The probe-side transpose of [[semanticDecon]]: per EVAL item,
+    * how many corpus vectors sit at cosine ≥ `threshold` — the report
+    * an eval-set owner reads to decide which items are compromised
+    * (an item with thousands of near-neighbors in the training corpus
+    * measures memorization, not capability, and gets dropped from the
+    * benchmark rather than scrubbing the corpus). Same regime and
+    * cost as the decon gate — probes broadcast, one corpus pass — but
+    * grouped by PROBE, and zero-hit probes survive via the left join
+    * (they are the item-is-clean verdicts). */
+  def probeLeakage(corpus: DataFrame, probes: DataFrame,
+                   threshold: Double, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val c = prep(corpus, idCol, vecCol)
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val p = prep(probes, idCol, vecCol)
+      .select(col("id").as("pid"), col("v").as("pv"))
+      .withColumn("pnrm", Vectors.norm(col("pv")))
+    val hits = c.join(broadcast(p),
+        Vectors.dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))
+          >= threshold)
+      .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
+    p.select(col("pid")).join(hits, Seq("pid"), "left")
+      .select(col("pid").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0L).as("clean"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: for
     * each anchor (query) vector, the k most-similar corpus vectors
     * carrying a DIFFERENT label — the near-miss negatives that hold

@@ -44,4 +44,44 @@ object Whitening {
       .select(col("dim").cast("int").as("dim"), col("n"),
         col("z.s").as("s"), col("z.ss").as("ss"))
   }
+
+  /** Apply the standardization [[dimMoments]] parameterizes: per
+    * `(id, dim)`, the z-score of the fixed-point code against the
+    * corpus mean/std of that dimension, itself in fixed point
+    * (`z_code = round(z · zScale)`). The whitening step run in front
+    * of PQ codebooks, linear probes, and isotropic-distance ANN —
+    * kept as its own operator so the statistics pass (one corpus
+    * scan, dim-length buffers) and the apply pass (pure projection)
+    * compose with a standing moments table: at 100 TB you compute
+    * moments once per snapshot and re-apply them to every batch.
+    *
+    * Determinism: the moments are exact longs; mean, std, and the
+    * z-score derive through a FIXED IEEE op sequence
+    * (`mean = s/n; std = sqrt((ss − s·mean)/n); z = (x − mean)/std`)
+    * both engines replay literally, and the emitted value lands back
+    * in fixed point. Zero-variance dimensions emit `z_code = 0`.
+    *
+    * Scale shape: moments are `dim` rows — broadcast; the apply side
+    * is explode → broadcast-join → project, fully pipelined, ZERO
+    * exchanges after the moments aggregate (the explode inflates rows
+    * map-side only). No driver state, no corpus shuffle. */
+  def whiten(emb: DataFrame, scale: Int = 4, zScale: Int = 1024,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val pow = math.pow(10.0, scale)
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val m = dimMoments(emb, scale, vecCol)
+      .select(col("dim"), mean.as("mean"),
+        sqrt((col("ss").cast("double") - col("s").cast("double") * mean)
+          / col("n").cast("double")).as("std"))
+    val codes = emb.select(col(idCol),
+      posexplode(transform(Vectors.asDouble(col(vecCol)),
+        e => floor(e * lit(pow)))).as(Seq("dim", "x")))
+    codes.join(broadcast(m), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        when(col("std") === 0.0, lit(0L))
+          .otherwise(round((col("x") - col("mean")) / col("std")
+            * lit(zScale.toDouble)).cast("long"))
+          .as("z_code"))
+  }
 }

@@ -50,6 +50,42 @@ object CrossDoc {
         (col("n_shared") / col("n_shingles")).as("shared_fraction"))
   }
 
+  /** Snapshot novelty: per FRESH document, the fraction of its
+    * distinct k-shingles absent from the standing REFERENCE corpus —
+    * the "how much genuinely new text does this crawl add" accounting
+    * every recurring-crawl pipeline fronts before paying for full
+    * dedup (a snapshot that is 95% shingle-overlap with the standing
+    * corpus earns a shallower pipeline; the per-doc scores feed the
+    * crawl-selection mixture directly). Within-corpus sharing is
+    * [[duplicateShingleStats]]; this is the CROSS-snapshot form with
+    * the reference as a fixed probe set.
+    *
+    * Scale shape: the reference's distinct-shingle frame does NOT
+    * broadcast (corpus-derived, huge at 100 TB) — the membership
+    * probe is a plain shingle equi-join both sides hash-partition on,
+    * left-outer so zero-overlap docs score novelty 1. The one-pass
+    * approximate path at petabyte scale is the bloom gate
+    * ([[graft.ops.BloomGate]]) fed with the reference shingles; this
+    * exact form is its oracle. At that scale carry `xxhash64(shingle)`
+    * instead of the string (collision-tolerant for a score; the
+    * string keeps the DuckDB oracle exact). `novelty_fraction` is one
+    * IEEE division of exact longs — bit-deterministic. */
+  def snapshotNovelty(reference: DataFrame, fresh: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleK: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = df.select(col(idCol),
+      graft.functions.exprs.word_shingle_rows(
+        TextFunctions.tokens(col(textCol)), shingleK).as("shingle"))
+    val seen = shingles(reference).select(col("shingle")).distinct()
+      .withColumn("__seen", lit(1L))
+    shingles(fresh).join(seen, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("__seen").isNull.cast("long")).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel") / col("n_shingles")).as("novelty_fraction"))
+  }
+
   /** Cross-document repeated-span SCRUB — [[duplicateShingleStats]]'
     * acting sibling, the substring-level dedup of Lee et al. 2021:
     * every k-shingle carried by ≥ `minDocs` distinct documents is

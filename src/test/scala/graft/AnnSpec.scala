@@ -137,6 +137,22 @@ class AnnSpec extends SparkTestBase {
     assert(someHits == brute.toLong)
   }
 
+  test("probeLeakage is semanticDecon's exact transpose (same pair mass)") {
+    val e = Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val probes = e.filter(col("vec_id") % 10 === 0)
+    val byProbe = Ann.probeLeakage(corpus, probes, threshold = 0.35)
+    val byDoc = Ann.semanticDecon(corpus, probes, threshold = 0.35)
+    // one frame per probe; clean == zero hits; total hit mass equal
+    assert(byProbe.count() == probes.count())
+    val rows = byProbe.collect()
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("clean") == (r.getAs[Long]("n_hits") == 0L)))
+    val probeMass = rows.map(_.getAs[Long]("n_hits")).sum
+    val docMass = byDoc.collect().map(_.getAs[Long]("n_hits")).sum
+    assert(probeMass == docMass) // the SAME pairs, counted by each side
+  }
+
   test("semanticDecon flags a vector identical to a probe") {
     val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
       .toDF("vec_id", "embedding")

@@ -36,6 +36,36 @@ class CrossDocSpec extends SparkTestBase {
     assert(out(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("snapshotNovelty scores fresh docs against the reference shingles") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "shared boilerplate footer text lives right here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // all seen
+      (11L, "shared boilerplate footer text lives right here today"), // 4 shingles, 3 seen
+      (12L, "entirely new words that no reference doc carries")       // all novel
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.snapshotNovelty(ref, fresh, "doc_id", "text", 5)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((5L, 0L, 0.0)))
+    assert(out(11L) == ((4L, 1L, 0.25)))
+    assert(out(12L) == ((4L, 4L, 1.0)))
+  }
+
+  test("snapshotNovelty is total over fresh docs; fractions in [0,1]") {
+    val d = Tables.documents(spark, sf)
+    val fresh = d.filter(col("doc_id") % 7 === 0)
+    val out = CrossDoc.snapshotNovelty(
+      d.filter(col("doc_id") % 7 =!= 0), fresh, "doc_id", "text", 5)
+    assert(out.count() == fresh.count())
+    val bad = out.filter(col("novelty_fraction") < 0.0
+      || col("novelty_fraction") > 1.0 || col("n_novel") > col("n_shingles"))
+    assert(bad.isEmpty)
+  }
+
   test("no pair frame: equi-join back (broadcast here), no nested loop") {
     val docs = (1L to 50L).map(i => (i, s"w${i % 5} x y z q r s")).toDF("doc_id", "text")
     val plan = CrossDoc.duplicateShingleStats(docs, "doc_id", "text", 5)

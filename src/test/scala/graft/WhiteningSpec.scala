@@ -27,6 +27,29 @@ class WhiteningSpec extends SparkTestBase {
     assert(a == b && a.size == 64)
   }
 
+  test("whiten standardizes: zero mean code for symmetric data, zero for constant dim") {
+    import spark.implicits._
+    // dim0 symmetric around 0.5 → z-codes mirror; dim1 constant → std 0 → 0
+    val df = Seq(
+      (1L, Array(0.0, 0.3)), (2L, Array(1.0, 0.3))).toDF("vec_id", "embedding")
+    val r = Whitening.whiten(df).orderBy("vec_id", "dim").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    // dim0 codes (0, 10000): mean 5000, std 5000 → z = -1, +1 → ±1024
+    assert(r.toSeq == Seq(
+      (1L, 0, -1024L), (1L, 1, 0L), (2L, 0, 1024L), (2L, 1, 0L)))
+  }
+
+  test("whiten emits one row per (vector, dimension); no corpus exchange after the moments") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Whitening.whiten(e)
+    assert(out.count() == e.count() * 64)
+    val plan = out.queryExecution.executedPlan.toString
+    // apply side: explode → broadcast join → project; the only
+    // aggregate is the moments pass, the only join is broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("map-side partial aggregation: buffers shuffle, not rows") {
     val plan = Whitening.dimMoments(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
