@@ -56,7 +56,8 @@ object Bench {
       "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir)),
       "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)),
       "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)),
-      "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)))
+      "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)),
+      "q147_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.25)))
     val buildRows = builds.map { case (name, build) =>
       try {
         val t0 = System.nanoTime()

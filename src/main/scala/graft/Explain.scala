@@ -49,7 +49,8 @@ object Explain {
     "q136_calibrated_quality", "q137_source_budget",
     "q138_drift_report", "q139_profile", "q140_expectations",
     "q141_group_split", "q142_probe_leakage", "q143_bitext_margin",
-    "q144_snapshot_novelty", "q145_whiten_apply")
+    "q144_snapshot_novelty", "q145_whiten_apply", "q146_winnow_fingerprints",
+    "q147_triangles")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1247,6 +1247,25 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Triangle enumeration (ops.LinkAnalysis.triangles) over the
+    // char-5-gram pair graph at 0.25: degree-oriented so wedge mass is
+    // O(m^1.5) regardless of hubs — the cohesion signal that separates
+    // genuine mutual dup clusters (triangle-dense, safe to collapse)
+    // from template stars (triangle-free, collapsing merges content).
+    "q147_triangles" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.25)
+      graft.ops.LinkAnalysis.triangles(cat.read(s, table))
+    }),
+
+    // Winnowing fingerprints (text.Winnow.fingerprints): the MOSS
+    // local fingerprinting algorithm — per window of 4 consecutive
+    // 3-gram hashes, the minimum (rightmost tie), so any shared run
+    // of >= w+k-1 tokens is guaranteed a common fingerprint at ~2/(w+1)
+    // density. All-integer packed argmin; per-doc window partition.
+    "q146_winnow_fingerprints" -> ((s, dir) =>
+      graft.text.Winnow.fingerprints(documents(s, dir), "doc_id", "text",
+        shingleK = 3, window = 4)),
+
     // Whitening APPLY (sim.Whitening.whiten): per (vec, dim), the
     // z-score of the fixed-point code against q130's corpus moments,
     // in fixed point — the standardization pass in front of PQ /
@@ -3386,6 +3405,44 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // The canonical three-way join (a<b, b<c, a<c all in pairs) —
+    // the id-sorted triple equals the orientation-found triangle.
+    "q147_triangles" ->
+      s"""WITH ${charPairsCte(0.25)}
+         |SELECT e1.id_a, e1.id_b, e2.id_b AS id_c
+         |FROM pairs e1
+         |JOIN pairs e2 ON e2.id_a = e1.id_b
+         |JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin,
+
+    // The q59/q144 shingle CTE at k=3, the HUGEINT token-hash replay
+    // reduced mod 2^40, and the same packed-argmin window arithmetic.
+    "q146_winnow_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  CAST(unnest(range(1, greatest(m-2, 1)+1)) AS INTEGER) AS i
+         |  FROM base),
+         |sh AS (SELECT doc_id, i,
+         |  CASE WHEN m < 3 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(list_slice(T, i, i+2), ' ')
+         |  END AS tok FROM idx),
+         |hx AS (SELECT doc_id, i,
+         |  CAST((${Fnv64Sql.tokHash}) % 1099511627776 AS BIGINT) AS h40
+         |  FROM sh),
+         |pk AS (SELECT doc_id, i,
+         |  h40 * 1048576 + (1048575 - i) AS code FROM hx),
+         |wn AS (SELECT doc_id, code,
+         |  min(code) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+         |  count(*) OVER (PARTITION BY doc_id) AS tot
+         |  FROM pk)
+         |SELECT DISTINCT doc_id,
+         |  CAST(1048575 - (sel % 1048576) AS INTEGER) AS pos,
+         |  sel // 1048576 AS fp
+         |FROM wn WHERE rn >= least(4, tot)""".stripMargin,
 
     // q130's moments CTE extended by the literal IEEE op sequence
     // (mean = s/n; std = sqrt((ss - s*mean)/n); z = (x - mean)/std).

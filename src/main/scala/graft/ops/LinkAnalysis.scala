@@ -57,4 +57,60 @@ object LinkAnalysis {
     }
     ranks.select(col("id"), col("r").as("rank_fixed"))
   }
+
+  /** Triangle enumeration over an undirected (aCol, bCol) pair frame —
+    * one row per triangle as the id-sorted triple (id_a < id_b < id_c).
+    * Triangles are the cohesion signal PageRank can't give: a dup
+    * family whose pair graph is triangle-dense is a genuine mutual
+    * cluster (every member near-dups every other — safe to collapse
+    * to one survivor), while a triangle-free star of the same size is
+    * a hub pattern (one template touching many unrelated pages —
+    * collapsing it would merge distinct content).
+    *
+    * Algorithm: DEGREE ORIENTATION (the standard distributed-triangle
+    * trick — Suri & Vassilvitskii WWW 2011's MapReduce form): orient
+    * every edge from its lower-(degree, id) endpoint to the higher,
+    * making the orientation acyclic with max out-degree O(√m); wedges
+    * are the self-join of oriented edges on their source, and a wedge
+    * (v, w) closes iff the oriented edge v→w exists. Every triangle
+    * is found exactly once (at its lowest-degree corner), and the
+    * wedge mass is Σ outdeg² ≤ O(m^1.5) REGARDLESS of skew — the
+    * naive id-ordered join explodes quadratically on one hub node,
+    * which at 100 TB is the difference between finishing and not.
+    * Cost: one degree aggregate + two equi-joins, all integer. */
+  def triangles(pairs: DataFrame, aCol: String = "id_a",
+                bCol: String = "id_b"): DataFrame = {
+    val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = und.union(und.select(col("v"), col("u")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lower endpoint → higher; carry the dst
+    // key so the wedge's closing edge is known without re-ranking
+    val withDeg = und
+      .join(deg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv")
+          || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("d"),
+          col("dv").as("dd"), col("v").as("did")))
+        .otherwise(struct(col("v").as("s"), col("u").as("d"),
+          col("du").as("dd"), col("u").as("did"))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"),
+        col("e.dd").as("dd"), col("e.did").as("did"))
+    // wedges at the lowest corner: two out-edges of one source,
+    // ordered by the same (deg, id) key so the closing edge is v→w
+    val wedges = oriented.as("e1")
+      .join(oriented.select(col("s"), col("d").as("d2"),
+          col("dd").as("dd2"), col("did").as("did2")).as("e2"),
+        col("e1.s") === col("e2.s")
+          && (col("e1.dd") < col("dd2")
+            || (col("e1.dd") === col("dd2") && col("e1.did") < col("did2"))))
+      .select(col("e1.s").as("corner"), col("e1.d").as("v"),
+        col("d2").as("w"))
+    wedges.join(oriented.select(col("s").as("v"), col("d").as("w")),
+        Seq("v", "w"))
+      .select(array_sort(array(col("corner"), col("v"), col("w"))).as("t"))
+      .select(col("t")(0).as("id_a"), col("t")(1).as("id_b"),
+        col("t")(2).as("id_c"))
+  }
 }

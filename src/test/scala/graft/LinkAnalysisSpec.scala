@@ -33,4 +33,38 @@ class LinkAnalysisSpec extends SparkTestBase {
     assert((1L to 5L).forall(i => base(0L) > base(i)))
     assert(base(8L) == base(9L))
   }
+
+  test("triangles: one per mutual triple, sorted ids, stars are triangle-free") {
+    // triangle 1-2-3 with a pendant 3-4, plus a hub star 10-(11..15)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      ++ (11L to 15L).map(i => (10L, i))).toDF("id_a", "id_b")
+    val t = LinkAnalysis.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t == Seq((1L, 2L, 3L)))
+  }
+
+  test("triangles: K4 yields its four triangles exactly once each") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val pairs = (for { a <- nodes; b <- nodes if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val t = LinkAnalysis.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("triangles equals the naive id-ordered three-way join on a random graph") {
+    // deterministic pseudo-random graph on 40 nodes
+    val pairs = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if ((a * 31 + b * 17 + a * b) % 7) == 0
+    } yield (a, b)).toDF("id_a", "id_b")
+    val fast = LinkAnalysis.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val e = pairs.as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (a, b) <- e; c <- (b + 1) until 40L
+      if e.contains((b, c)) && e.contains((a, c))
+    } yield (a, b, c)).toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
 }
