@@ -50,7 +50,8 @@ object Explain {
     "q138_drift_report", "q139_profile", "q140_expectations",
     "q141_group_split", "q142_probe_leakage", "q143_bitext_margin",
     "q144_snapshot_novelty", "q145_whiten_apply", "q146_winnow_fingerprints",
-    "q147_triangles")
+    "q147_triangles", "q148_dedup_weighted_sample", "q149_k_anonymity",
+    "q150_cdc_merge")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1247,6 +1247,44 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Dedup-weighted sampling (dedup.Curation.dedupWeightedSample):
+    // keep each doc with probability 1/|its dup family| — content
+    // represented once in expectation, copies chosen by the md5
+    // permutation; singletons always survive. The middle road between
+    // keeping every near-dup and hard dedup to one survivor.
+    "q148_dedup_weighted_sample" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      graft.dedup.Curation.dedupWeightedSample(documents(s, dir), "doc_id",
+        graft.dedup.Curation.componentsFromCatalog(s, cat, table))
+    }),
+
+    // k-anonymity gate (ops.Privacy.kAnonymize): (lang, source)
+    // combinations carried by < 5 docs mask to '*' — the
+    // re-identification check run before metadata ships alongside
+    // text. One combo-count aggregate + null-safe join back.
+    "q149_k_anonymity" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymize(documents(s, dir), "doc_id",
+        Seq("lang", "source"), k = 5)),
+
+    // CDC apply / batch MERGE INTO (ops.Merge.applyChanges): fold a
+    // keyed I/U/D feed into the standing table — untouched rows pay
+    // one broadcast anti-join and stream through unshuffled. Feed
+    // synthesized deterministically: %5==4 insert, %7==0 update
+    // (n_chars + 1000), %11==0 (and not updated) delete.
+    "q150_cdc_merge" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val standing = d.filter(col("doc_id") % 5 =!= 4)
+      val changes = d.filter(col("doc_id") % 5 === 4)
+        .withColumn("op", lit("I"))
+        .unionByName(standing.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L))
+          .withColumn("op", lit("U")))
+        .unionByName(standing
+          .filter(col("doc_id") % 11 === 0 && col("doc_id") % 7 =!= 0)
+          .withColumn("op", lit("D")))
+      graft.ops.Merge.applyChanges(standing, changes, "doc_id")
+    }),
+
     // Triangle enumeration (ops.LinkAnalysis.triangles) over the
     // char-5-gram pair graph at 0.25: degree-oriented so wedge mass is
     // O(m^1.5) regardless of hubs — the cohesion signal that separates
@@ -3405,6 +3443,54 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // q47's recursive components + sizes + the q63 md5-cut replay.
+    "q148_dedup_weighted_sample" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)},
+         |sz AS (SELECT component, count(*) AS n FROM comp GROUP BY 1),
+         |w AS (SELECT d.doc_id,
+         |  CAST(coalesce(sz.n, 1) AS BIGINT) AS csize,
+         |  CAST(1.0 AS DOUBLE) / coalesce(sz.n, 1) AS weight
+         |  FROM documents d
+         |  LEFT JOIN comp ON comp.id = d.doc_id
+         |  LEFT JOIN sz ON sz.component = comp.component),
+         |cut AS (SELECT *,
+         |  lpad(lower(to_hex(CAST(least(floor(weight * 4294967296.0),
+         |    4294967295) AS BIGINT))), 8, '0') AS threshold FROM w)
+         |SELECT doc_id, csize, weight FROM cut
+         |WHERE weight >= 1.0
+         |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < threshold""".stripMargin,
+
+    // One combo-count CTE, the same <5 mask.
+    "q149_k_anonymity" ->
+      """WITH c AS (SELECT lang, source, count(*) AS combo_n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.combo_n < 5 THEN '*' ELSE d.lang END AS lang,
+        |  CASE WHEN c.combo_n < 5 THEN '*' ELSE d.source END AS source,
+        |  CAST(c.combo_n AS BIGINT) AS combo_n,
+        |  c.combo_n < 5 AS suppressed
+        |FROM documents d
+        |JOIN c ON c.lang = d.lang AND c.source = d.source""".stripMargin,
+
+    // The same deterministic feed, folded with NOT IN + UNION ALL.
+    "q150_cdc_merge" ->
+      """WITH standing AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+        |ins AS (SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 4),
+        |upd AS (SELECT doc_id, text, lang, source,
+        |  CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM standing WHERE doc_id % 7 = 0),
+        |del AS (SELECT doc_id FROM standing
+        |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+        |touched AS (SELECT doc_id FROM ins UNION SELECT doc_id FROM upd
+        |  UNION SELECT doc_id FROM del)
+        |SELECT s.doc_id, s.text, s.lang, s.source, s.n_chars
+        |FROM standing s
+        |WHERE s.doc_id NOT IN (SELECT doc_id FROM touched)
+        |UNION ALL SELECT * FROM ins
+        |UNION ALL SELECT * FROM upd""".stripMargin,
 
     // The canonical three-way join (a<b, b<c, a<c all in pairs) —
     // the id-sorted triple equals the orientation-found triangle.

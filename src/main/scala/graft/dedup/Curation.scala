@@ -177,6 +177,36 @@ object Curation {
     Dedup.connectedComponents(
       catalog.read(spark, table).select(col("id_a"), col("id_b")))
 
+  /** Dedup-WEIGHTED sampling: keep each document with probability
+    * 1/|its duplication family| — the middle road between keeping
+    * every near-dup (over-represents templated content in training
+    * mixtures) and hard dedup to one survivor (discards natural
+    * paraphrase variation some mixtures want). In expectation every
+    * CONTENT is represented once regardless of how many copies were
+    * crawled; which copy survives is the md5 permutation's choice, so
+    * the decision is engine-portable and partition-independent
+    * ([[graft.ops.Sampling.weightedMd5Sample]] semantics). Documents
+    * outside every dup family have weight 1 and always survive.
+    *
+    * Output: the kept rows as (idCol, csize, weight) — csize the dup
+    * family size (1 for singletons), weight its reciprocal (the one
+    * IEEE division). Scale shape: component sizes are one aggregate
+    * over the (id, component) assignment; both joins are id/component
+    * equi-joins AQE downgrades to broadcast when the dup families are
+    * few; the md5 gate is per-row. */
+  def dedupWeightedSample(docs: DataFrame, idCol: String,
+                          components: DataFrame): DataFrame = {
+    val sizes = components.groupBy(col("component"))
+      .agg(count(lit(1)).as("__sz"))
+    val weighted = docs.select(col(idCol))
+      .join(components.join(sizes, Seq("component"))
+        .select(col("id").as(idCol), col("__sz")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__sz"), lit(1L)).as("csize"))
+      .withColumn("weight", lit(1.0) / col("csize"))
+    graft.ops.Sampling.weightedMd5Sample(weighted, idCol, col("weight"))
+      .select(col(idCol), col("csize"), col("weight"))
+  }
+
   /** [[curateExact]] with the near-dup stage read from the PERSISTED
     * pair graph instead of re-deriving the similarity join. Sound
     * because Jaccard is pairwise — a pair's similarity does not depend

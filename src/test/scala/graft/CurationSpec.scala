@@ -178,4 +178,28 @@ class CurationSpec extends SparkTestBase {
     assert(kept.count() == r.getAs[Long]("after_near_dedup"))
     assert(r.getAs[Long]("after_near_dedup") <= r.getAs[Long]("input"))
   }
+
+  test("dedupWeightedSample: singletons always survive, family weights are 1/size") {
+    import spark.implicits._
+    val docs = (1L to 20L).toDF("doc_id")
+    // family {1,2,3} and family {4,5}; 6..20 singletons
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val out = Curation.dedupWeightedSample(docs, "doc_id", comp)
+    val rows = out.as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // every singleton (weight 1.0) is kept
+    (6L to 20L).foreach(i => assert(rows.get(i).contains((1L, 1.0))))
+    // family members that survive carry the reciprocal weight
+    rows.collect { case (k, v) if k <= 3L => v }
+      .foreach(v => assert(v == ((3L, 1.0 / 3))))
+    rows.collect { case (k, v) if k == 4L || k == 5L => v }
+      .foreach(v => assert(v == ((2L, 0.5))))
+    // deterministic: the same kept set under a different partitioning
+    val again = Curation.dedupWeightedSample(
+      docs.repartition(7), "doc_id", comp.repartition(3))
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(again == rows)
+  }
 }
