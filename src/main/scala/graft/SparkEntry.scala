@@ -1247,6 +1247,28 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Mixed-language detection (text.LangConsistency.mixedLanguage):
+    // language-ID per 32-token chunk, majority + agreement per doc —
+    // the CCNet per-paragraph discipline that catches the 60%-English
+    // page wrapped around a German article; mixed = under 80% chunk
+    // agreement (integer cross-multiplication, no division).
+    "q152_mixed_language" -> ((s, dir) =>
+      graft.text.LangConsistency.mixedLanguage(
+        documents(s, dir), "doc_id", "text", chunkSize = 32)),
+
+    // Robust MAD outlier gate (ops.Robust.madOutliers): per source,
+    // median +/- 3*MAD on the integer classifier score — the gate that
+    // survives heavy tails where mean/sigma hides its own outliers.
+    // Exact lower medians via the two-phase segmented rank (q136's
+    // machinery); all-integer verdicts.
+    "q151_mad_outliers" -> ((s, dir) => {
+      val scored = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.functions.exprs.classifier_score(
+            graft.text.TextFunctions.tokens(col("text"))).as("score"))
+      graft.ops.Robust.madOutliers(scored, "source", "score", "doc_id")
+    }),
+
     // Dedup-weighted sampling (dedup.Curation.dedupWeightedSample):
     // keep each doc with probability 1/|its dup family| — content
     // represented once in expectation, copies chosen by the md5
@@ -3443,6 +3465,52 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // q35's chunk query (stride = size) + the q13 langId CASE per
+    // chunk + a window-ranked majority (ties to the smallest lang).
+    "q152_mixed_language" -> {
+      val ch = TF.sql.chunksQuery("documents", "doc_id", "text",
+        chunkSize = 32, stride = 32)
+      s"""WITH cl AS (SELECT doc_id, ${TF.sql.langId("chunk")} AS cl
+         |  FROM ($ch)),
+         |pl AS (SELECT doc_id, cl, count(*) AS n FROM cl GROUP BY 1, 2),
+         |mj AS (SELECT doc_id, cl, n,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, cl) AS r,
+         |  sum(n) OVER (PARTITION BY doc_id) AS tot FROM pl)
+         |SELECT doc_id, cl AS major_lang, CAST(tot AS BIGINT) AS n_chunks,
+         |  CAST(n AS BIGINT) AS n_major, n * 5 < tot * 4 AS mixed
+         |FROM mj WHERE r = 1""".stripMargin
+    },
+
+    // The q93/q136 score CTE + window-ranked lower medians (the
+    // two-phase rank is bit-identical to the window form by
+    // construction) and the same integer MAD comparison.
+    "q151_mad_outliers" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |r1 AS (SELECT *,
+         |  row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n FROM sc),
+         |med AS (SELECT source, score AS med FROM r1 WHERE rn = (n + 1) // 2),
+         |dv AS (SELECT sc.doc_id, sc.source, sc.score, med.med,
+         |  abs(sc.score - med.med) AS dev
+         |  FROM sc JOIN med ON med.source = sc.source),
+         |r2 AS (SELECT *,
+         |  row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY source) AS n FROM dv),
+         |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+         |SELECT dv.doc_id, dv.source, dv.score, dv.med,
+         |  CAST(mad.mad AS BIGINT) AS mad,
+         |  dv.dev > 3 * mad.mad AS outlier
+         |FROM dv JOIN mad ON mad.source = dv.source""".stripMargin,
 
     // q47's recursive components + sizes + the q63 md5-cut replay.
     "q148_dedup_weighted_sample" ->

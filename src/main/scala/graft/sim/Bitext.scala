@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * materializes past the map side. When neither side broadcasts,
   * swap the candidate step for [[Ann.lshTopK]]'s bucketed form — the
   * margin arithmetic downstream is unchanged.
+  *
+  * The plan deliberately scores the pair frame TWICE (once under each
+  * neighborhood aggregate): the pairs are a map-side product of two
+  * scans — recomputing them costs one more pass over the broadcast,
+  * while materializing |S|·|T| scored rows to share them would spill
+  * the very frame the k-bounded heaps exist to never hold.
   */
 object Bitext {
   private val CosScale = 1L << 20

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Robust
+
+/** ops.Robust: per-segment median ± k·MAD outlier gate. */
+class RobustSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("median/MAD are exact lower medians; only the heavy tail flags") {
+    val df = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L),
+      (4L, "a", 4L), (5L, "a", 100L)).toDF("id", "seg", "v")
+    val out = Robust.madOutliers(df, "seg", "v", "id")
+      .select("id", "med", "mad", "outlier")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // sorted values (1,2,3,4,100): lower median 3; devs (2,1,0,1,97)
+    // sort to (0,1,1,2,97): mad 1; outlier iff dev > 3
+    assert(out.values.forall(v => v._1 == 3L && v._2 == 1L))
+    assert(out.map { case (k, v) => k -> v._3 } ==
+      Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("degenerate segment (mad 0) flags every row off the median") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 5L),
+      (4L, "a", 7L)).toDF("id", "seg", "v")
+    val out = Robust.madOutliers(df, "seg", "v", "id")
+      .select("id", "outlier").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("segments are independent and a null segment is ranked, not dropped") {
+    val df = Seq((1L, Some("a"), 10L), (2L, Some("a"), 12L),
+      (3L, None, 1L), (4L, None, 100L)).toDF("id", "seg", "v")
+    val out = Robust.madOutliers(df, "seg", "v", "id")
+    assert(out.count() == 4) // null segment rows survive both joins
+    val meds = out.select("seg", "med").distinct()
+      .as[(Option[String], Long)].collect().toMap
+    assert(meds == Map(Some("a") -> 10L, None -> 1L))
+  }
+}
