@@ -51,7 +51,8 @@ object Explain {
     "q141_group_split", "q142_probe_leakage", "q143_bitext_margin",
     "q144_snapshot_novelty", "q145_whiten_apply", "q146_winnow_fingerprints",
     "q147_triangles", "q148_dedup_weighted_sample", "q149_k_anonymity",
-    "q150_cdc_merge", "q151_mad_outliers", "q152_mixed_language")
+    "q150_cdc_merge", "q151_mad_outliers", "q152_mixed_language",
+    "q153_path_trigrams")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1247,6 +1247,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Behavioral path mining (ops.Paths.sessionPathTrigrams): every
+    // within-session event-type trigram with its corpus frequency —
+    // q121's funnel asks about ONE prescribed path, this surfaces all
+    // of them. q17's session rule verbatim; |types|^3-bounded output.
+    "q153_path_trigrams" -> ((s, dir) =>
+      graft.ops.Paths.sessionPathTrigrams(events(s, dir), "user_id",
+        "ts", "event_id", "event_type")),
+
     // Mixed-language detection (text.LangConsistency.mixedLanguage):
     // language-ID per 32-token chunk, majority + agreement per doc —
     // the CCNet per-paragraph discipline that catches the 60%-English
@@ -3465,6 +3473,28 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // q17's session window (datediff-second gap, the floor-second
+    // match to unix_timestamp) + two leads guarded to the session.
+    "q153_path_trigrams" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |  datediff('second', lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+        |  FROM events),
+        |t AS (SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800
+        |    THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sess FROM g),
+        |l AS (SELECT event_type AS e1,
+        |  lead(event_type, 1) OVER w AS e2,
+        |  lead(sess, 1) OVER w AS s2,
+        |  lead(event_type, 2) OVER w AS e3,
+        |  lead(sess, 2) OVER w AS s3, sess
+        |  FROM t WINDOW w AS
+        |    (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n_paths FROM l
+        |WHERE s2 = sess AND s3 = sess
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // q35's chunk query (stride = size) + the q13 langId CASE per
     // chunk + a window-ranked majority (ties to the smallest lang).
