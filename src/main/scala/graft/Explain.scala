@@ -52,7 +52,8 @@ object Explain {
     "q144_snapshot_novelty", "q145_whiten_apply", "q146_winnow_fingerprints",
     "q147_triangles", "q148_dedup_weighted_sample", "q149_k_anonymity",
     "q150_cdc_merge", "q151_mad_outliers", "q152_mixed_language",
-    "q153_path_trigrams")
+    "q153_path_trigrams", "q154_equidepth_histogram",
+    "q155_source_dup_report")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1247,6 +1247,32 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Equi-depth histogram (ops.Quantiles.equiDepthHistogram): 16
+    // same-population buckets of o_totalprice with exact [lo, hi]
+    // spans — the quantile boundaries a partitioner or drift monitor
+    // wants, where equi-width wastes buckets on skew. Exact ranks via
+    // the constant-segment two-phase form; never one global window.
+    "q154_equidepth_histogram" -> ((s, dir) =>
+      graft.ops.Quantiles.equiDepthHistogram(orders(s, dir),
+        "o_totalprice", "o_orderkey", nTiles = 16)),
+
+    // Per-source duplication report (composition over the q47
+    // components): which sources are template mills — doc volume,
+    // members-in-dup-families, distinct families, dup rate. The
+    // report that decides WHERE to spend the dedup budget.
+    "q155_source_dup_report" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val comp = graft.dedup.Curation.componentsFromCatalog(s, cat, table)
+      documents(s, dir).select(col("doc_id"), col("source"))
+        .join(comp.select(col("id").as("doc_id"), col("component")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("component").isNotNull.cast("long")).as("n_in_family"),
+          countDistinct(col("component")).as("n_families"))
+        .withColumn("dup_rate", col("n_in_family") / col("n_docs"))
+    }),
+
     // Behavioral path mining (ops.Paths.sessionPathTrigrams): every
     // within-session event-type trigram with its corpus frequency —
     // q121's funnel asks about ONE prescribed path, this surfaces all
@@ -3473,6 +3499,30 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // One NTILE window — the oracle runs the global form the Spark
+    // side's two-phase rank is bit-identical to.
+    "q154_equidepth_histogram" ->
+      """WITH r AS (SELECT o_totalprice,
+        |  ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q47's recursive components left-joined onto documents.
+    "q155_source_dup_report" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)},
+         |j AS (SELECT d.doc_id, d.source, comp.component
+         |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_in_family,
+         |  CAST(count(DISTINCT component) AS BIGINT) AS n_families,
+         |  CAST(sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) / count(*) AS dup_rate
+         |FROM j GROUP BY 1""".stripMargin,
 
     // q17's session window (datediff-second gap, the floor-second
     // match to unix_timestamp) + two leads guarded to the session.

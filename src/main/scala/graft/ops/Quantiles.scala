@@ -156,4 +156,28 @@ object Quantiles {
           .otherwise((col("__rn") - 1).cast("double") / (col("__n") - 1)))
       .drop("__rn", "__n")
   }
+
+  /** EQUI-DEPTH histogram of one column — `nTiles` buckets holding
+    * (as near as NTILE allows) the same row count, each reported with
+    * its exact [lo, hi] value span and population. The profiler
+    * complement of [[graft.ops.Profiler.profile]]'s scalar stats: an
+    * equi-WIDTH histogram of a skewed column wastes every bucket on
+    * the empty range, while equal-depth boundaries ARE the quantiles
+    * an optimizer, a partitioner, or a drift monitor wants. Ranks are
+    * exact order statistics from [[segmentedRowNumber]] over one
+    * constant segment (the [[GlobalOrder]] trick — never one global
+    * window task); the bucket assignment is the same integer NTILE
+    * arithmetic q38/q52 pin; `lo`/`hi` are raw column values, no
+    * arithmetic touches them. */
+  def equiDepthHistogram(df: DataFrame, valCol: String, tieCol: String,
+                         nTiles: Int, nBuckets: Int = 32): DataFrame = {
+    require(nTiles >= 1, s"histogram needs >= 1 tiles: $nTiles")
+    val tagged = df.filter(col(valCol).isNotNull).withColumn("__g", lit(0))
+    segmentedRowNumber(tagged, "__g", valCol,
+        Seq(col(valCol).asc, col(tieCol).asc), nBuckets)
+      .withColumn("bucket", ntileOf(nTiles, col("__rn"), col("__n")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+  }
 }

@@ -92,4 +92,39 @@ class QuantilesSpec extends SparkTestBase {
     assert(got.orderBy("id").collect().toSeq ==
       expect.orderBy("id").collect().toSeq)
   }
+
+  test("equiDepthHistogram matches the global NTILE window; spans nest") {
+    val df = (1L to 100L).map(i => (i, (i * i % 97).toDouble))
+      .toDF("id", "v")
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val expect = df.select(col("v"), ntile(8).over(w).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val got = Quantiles.equiDepthHistogram(df, "v", "id", nTiles = 8)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect && got.size == 8)
+    // equal depth: bucket sizes differ by at most one
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1)
+    // buckets tile the value axis in order
+    val byBucket = got.toSeq.sortBy(_._1).map(_._2)
+    byBucket.sliding(2).foreach { case Seq(a, b) => assert(a._3 <= b._2)
+      case _ => () }
+  }
+
+  test("equiDepthHistogram skips nulls and never funnels into one window task") {
+    val df = (1L to 50L).map(i =>
+        (i, if (i % 10 == 0) None else Some(i.toDouble)))
+      .toDF("id", "v")
+    val out = Quantiles.equiDepthHistogram(df, "v", "id", nTiles = 5)
+    assert(out.agg(sum("n")).head().getLong(0) == 45L)
+    // the rank runs through bucket-partitioned windows (the
+    // GlobalOrderSpec contract), never an empty partition spec
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition(v#"), plan.take(2000))
+  }
 }
