@@ -1247,6 +1247,21 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Vocabulary coverage curve (text.Vocab.coverageCurve): at each
+    // power-of-two vocab size, the corpus token mass the top-k types
+    // cover — the "how big a tokenizer budget" plot; exact type ranks
+    // and running mass via the constant-segment two-phase machinery.
+    "q156_vocab_coverage" -> ((s, dir) =>
+      graft.text.Vocab.coverageCurve(documents(s, dir), "text")),
+
+    // Winnowing as dedup candidate generation (text.Winnow
+    // .candidatePairs): docs sharing >= 2 selected fingerprints —
+    // the MOSS use of q146's fingerprints; fp-keyed self-join with
+    // the knnJoin flood-cap discipline, pair mass = collision mass.
+    "q157_winnow_pairs" -> ((s, dir) =>
+      graft.text.Winnow.candidatePairs(documents(s, dir), "doc_id",
+        "text", shingleK = 3, window = 4, minShared = 2)),
+
     // Equi-depth histogram (ops.Quantiles.equiDepthHistogram): 16
     // same-population buckets of o_totalprice with exact [lo, hi]
     // spans — the quantile boundaries a partitioner or drift monitor
@@ -3499,6 +3514,60 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // Frequency CTE + the global rank/running-sum windows the
+    // two-phase machinery is bit-identical to.
+    "q156_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest(${TF.sql.tokens("text")}) AS token
+         |  FROM documents),
+         |f AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |r AS (SELECT token, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, token) AS rn,
+         |  sum(cnt) OVER (ORDER BY cnt DESC, token
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+         |t AS (SELECT sum(cnt) AS total FROM f)
+         |SELECT CAST(rn AS BIGINT) AS vocab_k, token, cnt,
+         |  CAST(cum AS BIGINT) AS cum_mass,
+         |  CAST(total AS BIGINT) AS total_mass,
+         |  CAST(cum AS BIGINT) / CAST(total AS BIGINT) AS coverage
+         |FROM r, t
+         |WHERE rn IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024,
+         |  2048, 4096, 8192, 16384)""".stripMargin,
+
+    // The q146 fingerprint CTE, distinct (doc, fp), flood cap,
+    // unordered self-join, shared-count gate.
+    "q157_winnow_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  CAST(unnest(range(1, greatest(m-2, 1)+1)) AS INTEGER) AS i
+         |  FROM base),
+         |sh AS (SELECT doc_id, i,
+         |  CASE WHEN m < 3 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(list_slice(T, i, i+2), ' ')
+         |  END AS tok FROM idx),
+         |hx AS (SELECT doc_id, i,
+         |  CAST((${Fnv64Sql.tokHash}) % 1099511627776 AS BIGINT) AS h40
+         |  FROM sh),
+         |pk AS (SELECT doc_id, i,
+         |  h40 * 1048576 + (1048575 - i) AS code FROM hx),
+         |wn AS (SELECT doc_id, code,
+         |  min(code) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+         |  count(*) OVER (PARTITION BY doc_id) AS tot
+         |  FROM pk),
+         |fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS fp
+         |  FROM wn WHERE rn >= least(4, tot)),
+         |surv AS (SELECT fp FROM (SELECT fp, count(*) AS n FROM fp
+         |  GROUP BY 1) WHERE n <= 10000),
+         |c AS (SELECT fp.doc_id, fp.fp FROM fp JOIN surv USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared
+         |FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
 
     // One NTILE window — the oracle runs the global form the Spark
     // side's two-phase rank is bit-identical to.

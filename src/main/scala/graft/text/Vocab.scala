@@ -47,6 +47,43 @@ object Vocab {
     counts.withColumn("vrank", row_number().over(w))
   }
 
+  /** Vocabulary coverage CURVE: at each checkpoint size k (powers of
+    * two by default), what fraction of the corpus token mass the
+    * k most frequent types cover — the plot that answers "how big a
+    * vocabulary does this corpus actually need" before committing to
+    * a tokenizer budget. One row per checkpoint that exists (a k past
+    * the type count emits nothing): the k-th type itself (the
+    * marginal token the budget buys), its frequency, the cumulative
+    * and total mass, and their ratio (the one IEEE division).
+    *
+    * Scale shape: the frequency aggregate is the corpus-mass pass
+    * (map-combinable); rank and running mass over the TYPE frame run
+    * through the constant-segment two-phase machinery
+    * ([[graft.ops.Quantiles.segmentedRowNumber]] /
+    * [[graft.ops.Quantiles.segmentedPrefixSum]]) — exact order
+    * statistics, never one global window task even when the type
+    * frame is billions of rows. */
+  def coverageCurve(docs: DataFrame, textCol: String,
+                    ks: Seq[Long] = (0 to 14).map(1L << _)): DataFrame = {
+    val freq = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tagged = freq.withColumn("__ord", -col("cnt"))
+      .withColumn("__g", lit(0))
+    val order = Seq(col("cnt").desc, col("token").asc)
+    val ranked = graft.ops.Quantiles.segmentedRowNumber(
+      tagged, "__g", "__ord", order, nBuckets = 32)
+    val cum = graft.ops.Quantiles.segmentedPrefixSum(
+      ranked, "__g", "cnt", "__ord", order, nBuckets = 32)
+    val total = freq.agg(sum(col("cnt")).as("__total"))
+    cum.filter(col("__rn").isin(ks: _*))
+      .crossJoin(broadcast(total))
+      .select(col("__rn").cast("long").as("vocab_k"), col("token"),
+        col("cnt"), col("__cum").as("cum_mass"),
+        col("__total").as("total_mass"),
+        (col("__cum") / col("__total")).as("coverage"))
+  }
+
   /** Per-document coverage against the top-V vocabulary: (idCol,
     * n_tokens, n_oov, oov_rate). Token-less documents rate 0.0 (no
     * evidence of OOV mass — the conservative direction for a

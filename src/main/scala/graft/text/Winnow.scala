@@ -67,4 +67,38 @@ object Winnow {
         shiftright(col("sel"), PosBits).as("fp"))
       .distinct()
   }
+
+  /** Winnowing as a DEDUP CANDIDATE GENERATOR — what MOSS actually
+    * does with the fingerprints: documents sharing ≥ `minShared`
+    * selected fingerprints are substring-overlap candidates, found by
+    * a fingerprint-keyed self-join instead of any pairwise scan. The
+    * guarantee transfers: two documents sharing a run of ≥ w+k−1
+    * tokens share ≥ 1 fingerprint, so `minShared = 2` already demands
+    * two independent shared regions (or one long one) — far stronger
+    * evidence than one hash collision.
+    *
+    * Scale shape: exactly the [[graft.sim.Ann.knnJoin]] bucket
+    * discipline — distinct (fp, doc) rows, a flood cap excluding
+    * fingerprints carried by > `maxCarrier` docs (ubiquitous
+    * boilerplate shingles would emit carrier² pairs; the cap list is
+    * corpus-derived and joins hint-free so AQE broadcasts it only
+    * when small), unordered pairs (id_a < id_b), one count aggregate.
+    * Pair mass is the fingerprint collision mass, never |docs|². */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 3, window: Int = 4,
+                     minShared: Int = 2, maxCarrier: Int = 10000): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol, shingleK, window)
+      .select(col("fp"), col(idCol)).distinct()
+    val survivors = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCarrier)
+      .select(col("fp"))
+    val capped = fp.join(survivors, Seq("fp"))
+    capped.select(col("fp"), col(idCol).as("id_a"))
+      .join(capped.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -89,4 +89,31 @@ class VocabSpec extends SparkTestBase {
     assert(Vocab.collocations(docs, "text", topK = 10, minCount = 1)
       .count() == 3)
   }
+
+  test("coverageCurve matches the naive window form and is monotone") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sf).limit(100)
+    val got = Vocab.coverageCurve(d, "text")
+      .select("vocab_k", "token", "cnt", "cum_mass", "total_mass")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val freq = d.select(explode(
+        graft.functions.exprs.ws_tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val ks = (0 to 14).map(1L << _).toSet
+    val expect = freq
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn").isin(ks.toSeq: _*))
+      .select(col("rn").cast("long"), col("token"), col("cnt"),
+        col("cum"), lit(0L))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      expect.map(t => (t._1, t._2, t._3, t._4)).toSeq)
+    // cumulative mass is monotone in k; total is constant
+    assert(got.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    assert(got.map(_._5).distinct.length == 1)
+  }
 }

@@ -36,6 +36,30 @@ class WinnowSpec extends SparkTestBase {
     assert(a.intersect(b).nonEmpty)
   }
 
+  test("candidatePairs: shared-run docs pair up, unrelated docs never do") {
+    val run = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val docs = Seq(
+      (1L, s"aa bb $run cc"),
+      (2L, s"dd $run ee ff"),
+      (3L, "entirely different words that share nothing with the others at all"))
+      .toDF("doc_id", "text")
+    val pairs = Winnow.candidatePairs(docs, "doc_id", "text",
+        shingleK = 3, window = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 2L)
+  }
+
+  test("candidatePairs flood cap: a ubiquitous fingerprint emits no pairs") {
+    // 30 docs all equal to one short text: every fingerprint's carrier
+    // set is 30 > maxCarrier=10 → capped out, zero candidate pairs
+    val docs = (1L to 30L).map(i => (i, "the same boilerplate line"))
+      .toDF("doc_id", "text")
+    val pairs = Winnow.candidatePairs(docs, "doc_id", "text",
+      3, 4, minShared = 1, maxCarrier = 10)
+    assert(pairs.isEmpty)
+  }
+
   test("density: every complete window of w hashes contains a selected position") {
     val d = Tables.documents(spark, sf).limit(50)
     val w = 4
