@@ -1247,6 +1247,29 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Component churn report: per CURRENT dup family, how many
+    // pre-batch families it unites — restricting the pair graph to
+    // the old corpus (sound: Jaccard is pairwise) and re-running the
+    // closure. merged=true families are the bridges a new crawl
+    // batch built between previously-separate content clusters — the
+    // signal that incremental dedup state (q89) must re-fold, and the
+    // quality eye on what a batch did to the family structure.
+    "q158_component_churn" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.25)
+      val pairs = cat.read(s, table).select(col("id_a"), col("id_b"))
+      val compNew = graft.dedup.Dedup.connectedComponents(pairs)
+      val compOld = graft.dedup.Dedup.connectedComponents(
+          pairs.filter(col("id_a") % 9 =!= 0 && col("id_b") % 9 =!= 0))
+        .select(col("id").as("__oid"), col("component").as("component_old"))
+      compNew.join(compOld, col("id") === col("__oid"), "left")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("component_old").isNotNull.cast("long"))
+            .as("n_old_members"),
+          countDistinct(col("component_old")).as("n_old_components"))
+        .withColumn("merged", col("n_old_components") >= 2)
+    }),
+
     // Vocabulary coverage curve (text.Vocab.coverageCurve): at each
     // power-of-two vocab size, the corpus token mass the top-k types
     // cover — the "how big a tokenizer budget" plot; exact type ranks
@@ -3514,6 +3537,29 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // The 0.25 components CTE + a second closure on the old-corpus
+    // restriction of the same pairs.
+    "q158_component_churn" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.25)},
+         |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |    WHERE id_a % 9 <> 0 AND id_b % 9 <> 0
+         |  UNION SELECT id_b, id_a FROM pairs
+         |    WHERE id_a % 9 <> 0 AND id_b % 9 <> 0),
+         |r2(id, c) AS (
+         |  SELECT src, src FROM e2
+         |  UNION
+         |  SELECT e.dst, r.c FROM r2 r JOIN e2 e ON e.src = r.id),
+         |c2 AS (SELECT id, min(c) AS component_old FROM r2 GROUP BY id),
+         |j AS (SELECT comp.id, comp.component, c2.component_old
+         |  FROM comp LEFT JOIN c2 ON c2.id = comp.id)
+         |SELECT component, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN component_old IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_old_members,
+         |  CAST(count(DISTINCT component_old) AS BIGINT) AS n_old_components,
+         |  count(DISTINCT component_old) >= 2 AS merged
+         |FROM j GROUP BY 1""".stripMargin,
 
     // Frequency CTE + the global rank/running-sum windows the
     // two-phase machinery is bit-identical to.
