@@ -1247,6 +1247,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Cluster keyword profiling (text.Vocab.clusterKeywords): the
+    // c-TF-IDF labeling step — per source, the top-5 3-shingle terms
+    // by carrying-docs * whole-bit idf over clusters-as-meta-
+    // documents; a term in every cluster scores exactly zero. "What
+    // IS this source" — the label a cluster browser shows.
+    "q159_cluster_keywords" -> ((s, dir) =>
+      graft.text.Vocab.clusterKeywords(documents(s, dir), "source",
+          "text", k = 5, shingleK = 3)
+        .withColumnRenamed("cluster", "source")),
+
     // Component churn report: per CURRENT dup family, how many
     // pre-batch families it unites — restricting the pair graph to
     // the old corpus (sound: Jaccard is pairwise) and re-running the
@@ -3537,6 +3547,35 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // The q59 shingle CTE grouped by source as clusters-as-meta-
+    // documents + the q106 whole-bit idf; ties token-DESC (the
+    // struct max-heap's order).
+    "q159_cluster_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, source AS cluster,
+         |  ${TF.sql.tokens("text")} AS T FROM documents),
+         |base AS (SELECT doc_id, cluster, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, cluster, T, m,
+         |  unnest(range(1, greatest(m-2, 1)+1)) AS i FROM base),
+         |sh AS (SELECT DISTINCT doc_id, cluster,
+         |  CASE WHEN m < 3 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+2), ' ')
+         |  END AS token FROM idx),
+         |tf AS (SELECT cluster, token, count(*) AS tf FROM sh
+         |  GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+         |nc AS (SELECT count(DISTINCT cluster) AS n_clusters FROM tf),
+         |sc AS (SELECT tf.cluster, tf.token, tf.tf, dfc.dfc,
+         |  tf.tf * (length(bin(n_clusters // dfc.dfc)) - 1) AS score
+         |  FROM tf JOIN dfc USING (token), nc),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, token DESC) AS rnk
+         |  FROM sc WHERE score > 0)
+         |SELECT cluster AS source, token,
+         |  CAST(tf AS BIGINT) AS tf, CAST(dfc AS BIGINT) AS dfc,
+         |  CAST(score AS BIGINT) AS score, CAST(rnk AS INTEGER) AS rank
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     // The 0.25 components CTE + a second closure on the old-corpus
     // restriction of the same pairs.

@@ -84,6 +84,57 @@ object Vocab {
         (col("__cum") / col("__total")).as("coverage"))
   }
 
+  /** Cluster keyword profiling — the c-TF-IDF labeling step of the
+    * BERTopic-style pipeline (public methodology): treat each cluster
+    * as one meta-document and score terms by
+    * `tf_in_cluster · floor(log2(n_clusters div cluster_df))`, the
+    * whole-bit idf the retrieval family pins (q106): a term present
+    * in every cluster scores ZERO exactly (idf 0 — stopwords and
+    * template boilerplate eliminate themselves), and the integer
+    * scores are hash-stable across engines. `tf` counts CARRYING
+    * DOCUMENTS in the cluster (set-per-doc), not raw occurrences —
+    * one bursty document can't crown a term. Emits the top-`k` terms
+    * per cluster (ties
+    * break token-DESCENDING — the struct max-heap's natural order,
+    * mirrored in the oracle). The human-readable answer to "what IS
+    * cluster 7" after k-means/label assignment.
+    *
+    * Scale shape: one token-mass aggregate keyed (cluster, token) —
+    * map-combinable; the cluster-df aggregate runs over that (already
+    * reduced) frame; n_clusters is a 1-row broadcast; selection is
+    * the k-bounded heap per cluster, never a window over the vocab. */
+  def clusterKeywords(docs: DataFrame, clusterCol: String,
+                      textCol: String, k: Int = 8,
+                      shingleK: Int = 3): DataFrame = {
+    // terms are k-word shingles, ONE count per carrying document
+    // (the set-emitting generator) — burstiness inside one doc can't
+    // crown a term, and shingles stay discriminative where a small
+    // unigram vocabulary saturates every cluster
+    val tf = docs
+      .select(col(clusterCol).as("cluster"),
+        graft.functions.exprs.word_shingle_rows(
+          TextFunctions.tokens(col(textCol)), shingleK).as("token"))
+      .groupBy(col("cluster"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
+    val nc = tf.agg(countDistinct(col("cluster")).as("n_clusters"))
+    val scored = tf.join(dfc, Seq("token"))
+      .crossJoin(broadcast(nc))
+      .withColumn("score",
+        col("tf") * (length(bin(expr("n_clusters div dfc"))) - 1)
+          .cast("long"))
+      .filter(col("score") > 0)
+    scored.groupBy(col("cluster"))
+      .agg(graft.functions.aggs.top_k(
+        struct(col("score"), col("token"), col("tf"), col("dfc")), k)
+        .as("top"))
+      .select(col("cluster"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(col("cluster"), col("t.token").as("token"),
+        col("t.tf").as("tf"), col("t.dfc").as("dfc"),
+        col("t.score").as("score"),
+        (col("r") + 1).cast("int").as("rank"))
+  }
+
   /** Per-document coverage against the top-V vocabulary: (idCol,
     * n_tokens, n_oov, oov_rate). Token-less documents rate 0.0 (no
     * evidence of OOV mass — the conservative direction for a

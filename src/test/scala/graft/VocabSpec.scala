@@ -90,6 +90,29 @@ class VocabSpec extends SparkTestBase {
       .count() == 3)
   }
 
+  test("clusterKeywords: everywhere-terms score zero, distinctive terms rank") {
+    val docs = Seq(
+      (1, "alpha alpha common"), (1, "common alpha"),
+      (2, "beta common common")).toDF("cluster", "text")
+    val out = Vocab.clusterKeywords(docs, "cluster", "text",
+        k = 5, shingleK = 1)
+      .select("cluster", "token", "tf", "score", "rank")
+      .as[(Int, String, Long, Long, Int)].collect().toSet
+    // n_clusters = 2; 'common' is in both -> idf 0 -> dropped;
+    // 'alpha' carried by 2 docs of cluster 1 (set-per-doc, the double
+    // occurrence counts once), 'beta' by 1 doc of cluster 2, idf 1
+    assert(out == Set((1, "alpha", 2L, 2L, 1), (2, "beta", 1L, 1L, 1)))
+  }
+
+  test("clusterKeywords ties break token-descending (the heap's order)") {
+    val docs = Seq((1, "aa bb"), (2, "zz")).toDF("cluster", "text")
+    val out = Vocab.clusterKeywords(docs, "cluster", "text",
+        k = 2, shingleK = 1)
+      .filter("cluster = 1")
+      .select("token", "rank").as[(String, Int)].collect().toMap
+    assert(out == Map("bb" -> 1, "aa" -> 2))
+  }
+
   test("coverageCurve matches the naive window form and is monotone") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
