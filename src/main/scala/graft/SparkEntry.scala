@@ -3519,10 +3519,12 @@ object SparkEntry {
         |       FROM p),
         |b  AS (SELECT tid, sum(c) AS bsum FROM br WHERE r <= 4 GROUP BY tid)
         |SELECT bst.sid AS src_id, bst.tid AS tgt_id,
-        |  CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
-        |    * 16384.0) AS BIGINT) AS margin_code,
-        |  CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
-        |    * 16384.0) AS BIGINT) >= 18022 AS mined
+        |  CASE WHEN f.fsum + b.bsum = 0 THEN 0
+        |    ELSE CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
+        |      * 16384.0) AS BIGINT) END AS margin_code,
+        |  CASE WHEN f.fsum + b.bsum = 0 THEN 0
+        |    ELSE CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
+        |      * 16384.0) AS BIGINT) END >= 18022 AS mined
         |FROM bst JOIN f ON f.sid = bst.sid JOIN b ON b.tid = bst.tid""".stripMargin,
 
     // The q59 shingle CTE split into reference/fresh; novelty is a

@@ -86,12 +86,16 @@ object Bitext {
       .select(col("tid"),
         aggregate(col("top"), lit(0L), (a, x) => a + x("c")).as("bsum"))
     val minCode = math.round(marginMin * MarginScale)
+    // a zero denominator (the 2k neighborhood codes cancelling
+    // exactly) is pathological but possible on adversarial vectors —
+    // emit code 0 (never mined) instead of a cross-engine ±inf cast
     fwd.join(bwd, Seq("tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
-        round((lit(2L * k) * col("bc")).cast("double")
-            / (col("fsum") + col("bsum")).cast("double")
-            * lit(MarginScale.toDouble))
-          .cast("long").as("margin_code"))
+        when(col("fsum") + col("bsum") === 0L, lit(0L))
+          .otherwise(round((lit(2L * k) * col("bc")).cast("double")
+              / (col("fsum") + col("bsum")).cast("double")
+              * lit(MarginScale.toDouble))
+            .cast("long")).as("margin_code"))
       .withColumn("mined", col("margin_code") >= lit(minCode))
   }
 }

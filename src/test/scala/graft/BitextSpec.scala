@@ -40,6 +40,16 @@ class BitextSpec extends SparkTestBase {
     assert(r.getAs[Long]("tgt_id") == 5L)
   }
 
+  test("a zero neighborhood denominator emits code 0, never an inf cast") {
+    // every source-target cosine is exactly 0 → fsum = bsum = 0
+    val src = Seq((0L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val tgt = Seq((5L, Array(0.0, 1.0)), (7L, Array(0.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Bitext.mine(src, tgt, k = 2, marginMin = 1.10).head()
+    assert(r.getAs[Long]("margin_code") == 0L)
+    assert(!r.getAs[Boolean]("mined"))
+  }
+
   test("one row per source on real data; margin codes are stable") {
     val e = Tables.embeddings(spark, sf)
     val lang = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
