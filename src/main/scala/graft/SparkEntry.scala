@@ -1267,17 +1267,8 @@ object SparkEntry {
     "q158_component_churn" -> ((s, dir) => {
       val (cat, table) = pairGraphTable(s, dir, threshold = 0.25)
       val pairs = cat.read(s, table).select(col("id_a"), col("id_b"))
-      val compNew = graft.dedup.Dedup.connectedComponents(pairs)
-      val compOld = graft.dedup.Dedup.connectedComponents(
-          pairs.filter(col("id_a") % 9 =!= 0 && col("id_b") % 9 =!= 0))
-        .select(col("id").as("__oid"), col("component").as("component_old"))
-      compNew.join(compOld, col("id") === col("__oid"), "left")
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("component_old").isNotNull.cast("long"))
-            .as("n_old_members"),
-          countDistinct(col("component_old")).as("n_old_components"))
-        .withColumn("merged", col("n_old_components") >= 2)
+      graft.dedup.Dedup.componentChurn(pairs,
+        pairs.filter(col("id_a") % 9 =!= 0 && col("id_b") % 9 =!= 0))
     }),
 
     // Vocabulary coverage curve (text.Vocab.coverageCurve): at each
@@ -3512,18 +3503,22 @@ object SparkEntry {
         |fr AS (SELECT sid, tid, c,
         |         row_number() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS r
         |       FROM p),
-        |f  AS (SELECT sid, sum(c) AS fsum FROM fr WHERE r <= 4 GROUP BY sid),
+        |f  AS (SELECT sid, sum(c) AS fsum, count(*) AS nf
+        |       FROM fr WHERE r <= 4 GROUP BY sid),
         |bst AS (SELECT sid, tid, c FROM fr WHERE r = 1),
         |br AS (SELECT tid, c,
         |         row_number() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS r
         |       FROM p),
-        |b  AS (SELECT tid, sum(c) AS bsum FROM br WHERE r <= 4 GROUP BY tid)
+        |b  AS (SELECT tid, sum(c) AS bsum, count(*) AS nb
+        |       FROM br WHERE r <= 4 GROUP BY tid)
         |SELECT bst.sid AS src_id, bst.tid AS tgt_id,
-        |  CASE WHEN f.fsum + b.bsum = 0 THEN 0
-        |    ELSE CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
+        |  CASE WHEN f.fsum * b.nb + b.bsum * f.nf = 0 THEN 0
+        |    ELSE CAST(round((CAST(2 * bst.c * f.nf * b.nb AS DOUBLE)
+        |      / CAST(f.fsum * b.nb + b.bsum * f.nf AS DOUBLE))
         |      * 16384.0) AS BIGINT) END AS margin_code,
-        |  CASE WHEN f.fsum + b.bsum = 0 THEN 0
-        |    ELSE CAST(round((CAST(8 * bst.c AS DOUBLE) / CAST(f.fsum + b.bsum AS DOUBLE))
+        |  CASE WHEN f.fsum * b.nb + b.bsum * f.nf = 0 THEN 0
+        |    ELSE CAST(round((CAST(2 * bst.c * f.nf * b.nb AS DOUBLE)
+        |      / CAST(f.fsum * b.nb + b.bsum * f.nf AS DOUBLE))
         |      * 16384.0) AS BIGINT) END >= 18022 AS mined
         |FROM bst JOIN f ON f.sid = bst.sid JOIN b ON b.tid = bst.tid""".stripMargin,
 
@@ -3776,7 +3771,8 @@ object SparkEntry {
         |  CAST(c.combo_n AS BIGINT) AS combo_n,
         |  c.combo_n < 5 AS suppressed
         |FROM documents d
-        |JOIN c ON c.lang = d.lang AND c.source = d.source""".stripMargin,
+        |JOIN c ON c.lang IS NOT DISTINCT FROM d.lang
+        |      AND c.source IS NOT DISTINCT FROM d.source""".stripMargin,
 
     // The same deterministic feed, folded with NOT IN + UNION ALL.
     "q150_cdc_merge" ->
@@ -3852,7 +3848,7 @@ object SparkEntry {
         |    / CAST(n AS DOUBLE)) AS std
         |  FROM mo)
         |SELECT xf.vec_id, CAST(xf.pos - 1 AS INTEGER) AS dim,
-        |  CASE WHEN st.std = 0 THEN 0
+        |  CASE WHEN st.std = 0 OR isnan(st.std) THEN 0
         |       ELSE CAST(round((xf.x - st.mean) / st.std * 1024.0) AS BIGINT)
         |  END AS z_code
         |FROM xf JOIN st ON st.pos = xf.pos""".stripMargin,

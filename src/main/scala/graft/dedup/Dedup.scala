@@ -1314,4 +1314,29 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     emb.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Component CHURN between two pair-graph states: per component of
+    * `pairs`, how many components of `oldPairs` it unites —
+    * `merged = true` families are the bridges the delta between the
+    * two states built between previously-separate content clusters
+    * (the trigger for an incremental-components re-fold, and the
+    * quality eye on what a batch did to family structure). `oldPairs`
+    * is typically the SAME pair frame restricted to the prior corpus
+    * — sound because pairwise similarity does not depend on the rest
+    * of the corpus, so no second pair-discovery pass runs. Members
+    * absent from the old graph (new docs, or old docs whose only
+    * edges arrived with the delta) count in `n_docs` but not
+    * `n_old_members`. */
+  def componentChurn(pairs: DataFrame, oldPairs: DataFrame): DataFrame = {
+    val compNew = connectedComponents(pairs)
+    val compOld = connectedComponents(oldPairs)
+      .select(col("id").as("__oid"), col("component").as("component_old"))
+    compNew.join(compOld, col("id") === col("__oid"), "left")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("component_old").isNotNull.cast("long"))
+          .as("n_old_members"),
+        countDistinct(col("component_old")).as("n_old_components"))
+      .withColumn("merged", col("n_old_components") >= 2)
+  }
 }

@@ -27,8 +27,15 @@ import org.apache.spark.sql.functions._
 object Merge {
   def applyChanges(standing: DataFrame, changes: DataFrame,
                    idCol: String, opCol: String = "op"): DataFrame = {
-    val touched = changes.select(col(idCol)).distinct()
+    // ONLY recognized ops touch the standing table. Deriving the
+    // touched set from all rows and the upserts from op != 'D' would
+    // turn a malformed row (op null / unrecognized — e.g. a raw
+    // snapshot-diff status fed in by mistake) into a silent DELETE:
+    // its key anti-joins away and nothing replaces it. Here such a
+    // row is a no-op.
+    val known = changes.filter(col(opCol).isin("I", "U", "D"))
+    val touched = known.select(col(idCol)).distinct()
     standing.join(touched, Seq(idCol), "left_anti")
-      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+      .unionByName(known.filter(col(opCol) =!= "D").drop(opCol))
   }
 }

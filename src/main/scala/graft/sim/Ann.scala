@@ -430,9 +430,15 @@ object Ann {
     * the only shuffle is the per-id hit count. Funnel accounting keeps
     * the zero-hit rows: the output is the TOTAL corpus frame with
     * verdicts, which downstream mixture building consumes directly. */
-  def semanticDecon(corpus: DataFrame, probes: DataFrame,
-                    threshold: Double, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+  /** Shared core of [[semanticDecon]] and [[probeLeakage]]: the
+    * thresholded corpus×probe cosine hit counts, grouped by `keyCol`
+    * (`"id"` = per corpus doc, `"pid"` = per probe). ONE definition of
+    * the scoring join so the two gates cannot silently diverge on the
+    * cosine op order or the threshold comparison. */
+  private def thresholdHits(corpus: DataFrame, probes: DataFrame,
+                            threshold: Double, idCol: String,
+                            vecCol: String, keyCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val c = prep(corpus, idCol, vecCol)
       .withColumn("nrm", Vectors.norm(col("v")))
     val p = prep(probes, idCol, vecCol)
@@ -441,7 +447,15 @@ object Ann {
     val hits = c.join(broadcast(p),
         Vectors.dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))
           >= threshold)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_hits"))
+    (c, p, hits)
+  }
+
+  def semanticDecon(corpus: DataFrame, probes: DataFrame,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (c, _, hits) =
+      thresholdHits(corpus, probes, threshold, idCol, vecCol, "id")
     c.select(col("id")).join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -460,15 +474,8 @@ object Ann {
   def probeLeakage(corpus: DataFrame, probes: DataFrame,
                    threshold: Double, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val c = prep(corpus, idCol, vecCol)
-      .withColumn("nrm", Vectors.norm(col("v")))
-    val p = prep(probes, idCol, vecCol)
-      .select(col("id").as("pid"), col("v").as("pv"))
-      .withColumn("pnrm", Vectors.norm(col("pv")))
-    val hits = c.join(broadcast(p),
-        Vectors.dot(col("v"), col("pv")) / (col("nrm") * col("pnrm"))
-          >= threshold)
-      .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
+    val (_, p, hits) =
+      thresholdHits(corpus, probes, threshold, idCol, vecCol, "pid")
     p.select(col("pid")).join(hits, Seq("pid"), "left")
       .select(col("pid").as(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

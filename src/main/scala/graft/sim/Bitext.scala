@@ -76,6 +76,7 @@ object Bitext {
         struct(col("c"), (-col("tid")).as("nt")), k).as("top"))
       .select(col("sid"),
         aggregate(col("top"), lit(0L), (a, x) => a + x("c")).as("fsum"),
+        size(col("top")).cast("long").as("nf"),
         col("top")(0)("c").as("bc"),
         (-col("top")(0)("nt")).as("tid"))
     // backward neighborhood: per target, top-k source codes — the
@@ -84,16 +85,25 @@ object Bitext {
       .agg(graft.functions.aggs.top_k(
         struct(col("c"), (-col("sid")).as("ns")), k).as("top"))
       .select(col("tid"),
-        aggregate(col("top"), lit(0L), (a, x) => a + x("c")).as("bsum"))
+        aggregate(col("top"), lit(0L), (a, x) => a + x("c")).as("bsum"),
+        size(col("top")).cast("long").as("nb"))
     val minCode = math.round(marginMin * MarginScale)
-    // a zero denominator (the 2k neighborhood codes cancelling
-    // exactly) is pathological but possible on adversarial vectors —
-    // emit code 0 (never mined) instead of a cross-engine ±inf cast
+    // margin = c / ((fsum/nf + bsum/nb) / 2), cleared of divisions:
+    // 2·c·nf·nb / (fsum·nb + bsum·nf). The ACTUAL neighborhood sizes
+    // (nf, nb) scale the means — a side with fewer than k vectors
+    // would otherwise inflate every margin by ~k/m and spuriously
+    // mine low-resource pairs. With both sides ≥ k this reduces to
+    // the fixed-2k form exactly. A zero denominator (the codes
+    // cancelling exactly) is pathological but possible on adversarial
+    // vectors — emit code 0 (never mined), not a cross-engine ±inf.
     fwd.join(bwd, Seq("tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
-        when(col("fsum") + col("bsum") === 0L, lit(0L))
-          .otherwise(round((lit(2L * k) * col("bc")).cast("double")
-              / (col("fsum") + col("bsum")).cast("double")
+        when(col("fsum") * col("nb") + col("bsum") * col("nf") === 0L,
+          lit(0L))
+          .otherwise(round(
+            (lit(2L) * col("bc") * col("nf") * col("nb")).cast("double")
+              / (col("fsum") * col("nb") + col("bsum") * col("nf"))
+                .cast("double")
               * lit(MarginScale.toDouble))
             .cast("long")).as("margin_code"))
       .withColumn("mined", col("margin_code") >= lit(minCode))

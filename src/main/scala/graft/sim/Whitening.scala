@@ -77,9 +77,13 @@ object Whitening {
     val codes = emb.select(col(idCol),
       posexplode(transform(Vectors.asDouble(col(vecCol)),
         e => floor(e * lit(pow)))).as(Seq("dim", "x")))
+    // std can come out NaN, not just 0, once n·10^{2·scale} rounds
+    // past 2^53 in the double subtraction (a near-constant dimension
+    // at ~10^8+ vectors): guard both, or Spark silently casts NaN→0
+    // while a SQL replay errors on the conversion
     codes.join(broadcast(m), Seq("dim"))
       .select(col(idCol), col("dim"),
-        when(col("std") === 0.0, lit(0L))
+        when(col("std") === 0.0 || isnan(col("std")), lit(0L))
           .otherwise(round((col("x") - col("mean")) / col("std")
             * lit(zScale.toDouble)).cast("long"))
           .as("z_code"))

@@ -48,8 +48,17 @@ object Winnow {
     val sh = Contamination.positionalShingles(base, idCol, shingleK)
     val h40 = pmod(graft.functions.exprs.token_hash64(col("shingle")),
       lit(1L << 40))
+    // positions beyond 2^20 would silently borrow into the hash bits
+    // of the packed code (BOTH engines reproduce the corruption, so
+    // the oracle could not catch it) — fail loudly instead; q35
+    // chunking is the upstream answer for mega-token documents
     val packed = sh.select(col(idCol), col("i"),
-      (h40 * lit(1L << PosBits) + (lit(PosMask) - col("i"))).as("code"))
+      when(col("i") > lit(PosMask),
+        raise_error(lit("winnow: document exceeds 2^20 k-grams — " +
+          "chunk it upstream (q35) before fingerprinting"))
+          .cast("long"))
+        .otherwise(h40 * lit(1L << PosBits) + (lit(PosMask) - col("i")))
+        .as("code"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
       .rowsBetween(-(window - 1), Window.currentRow)
     val seq = Window.partitionBy(col(idCol)).orderBy(col("i"))

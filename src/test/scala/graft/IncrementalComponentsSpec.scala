@@ -87,22 +87,14 @@ class IncrementalComponentsSpec extends SparkTestBase {
     assert(stepwise == scratch)
   }
 
-  test("churn composition: a bridging node marks the united family as merged") {
+  test("componentChurn: a bridging node marks the united family as merged") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // old families {1,2} and {3,4}; node 9 (the "new batch") bridges them
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 9L), (9L, 3L))
       .toDF("id_a", "id_b")
-    val compNew = Dedup.connectedComponents(pairs)
-    val compOld = Dedup.connectedComponents(
+    val churn = Dedup.componentChurn(pairs,
         pairs.filter(col("id_a") % 9 =!= 0 && col("id_b") % 9 =!= 0))
-      .select(col("id").as("__oid"), col("component").as("component_old"))
-    val churn = compNew.join(compOld, col("id") === col("__oid"), "left")
-      .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("component_old").isNotNull.cast("long")).as("n_old_members"),
-        countDistinct(col("component_old")).as("n_old_components"))
-      .withColumn("merged", col("n_old_components") >= 2)
       .as[(Long, Long, Long, Long, Boolean)].collect()
     assert(churn.toSeq == Seq((1L, 5L, 4L, 2L, true)))
   }

@@ -21,6 +21,17 @@ class MergeSpec extends SparkTestBase {
     assert(rows == Set((1L, "a", 10L), (2L, "B", 21L), (4L, "d", 40L)))
   }
 
+  test("a malformed op (null or unrecognized) is a no-op, never a silent delete") {
+    val standing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val changes = Seq(
+      (1L, "X", null.asInstanceOf[String]), // null op
+      (2L, "Y", "changed")                  // snapshot-diff status, not an op
+    ).toDF("id", "v", "op")
+    val out = Merge.applyChanges(standing, changes, "id")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b"))) // both rows SURVIVE untouched
+  }
+
   test("untouched standing rows pass through unchanged (no-op feed)") {
     val standing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val empty = Seq.empty[(Long, String, String)].toDF("id", "v", "op")
