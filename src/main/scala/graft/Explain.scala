@@ -54,7 +54,8 @@ object Explain {
     "q150_cdc_merge", "q151_mad_outliers", "q152_mixed_language",
     "q153_path_trigrams", "q154_equidepth_histogram",
     "q155_source_dup_report", "q156_vocab_coverage", "q157_winnow_pairs",
-    "q158_component_churn", "q159_cluster_keywords")
+    "q158_component_churn", "q159_cluster_keywords", "q160_first_carrier",
+    "q161_rolling_active")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1247,6 +1247,21 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // First-carrier attribution (text.CrossDoc.firstCarrierStats):
+    // in id order, the fraction of each doc's distinct 5-shingles it
+    // INTRODUCED — origins rank above mirrors; the ordering twin of
+    // q144's snapshot novelty, the HOW-MUCH to q91's WHO-stays.
+    "q160_first_carrier" -> ((s, dir) =>
+      graft.text.CrossDoc.firstCarrierStats(documents(s, dir),
+        "doc_id", "text", shingleK = 5)),
+
+    // Rolling 7-day active users (etl.Funnels.rollingActive): WAU per
+    // observed day — each (user, day) fact explodes to the <= 7
+    // window ends it feeds (fixed map-side blowup), one distinct
+    // count; no range join, no window function.
+    "q161_rolling_active" -> ((s, dir) =>
+      graft.etl.Funnels.rollingActive(events(s, dir))),
+
     // Cluster keyword profiling (text.Vocab.clusterKeywords): the
     // c-TF-IDF labeling step — per source, the top-5 3-shingle terms
     // by carrying-docs * whole-bit idf over clusters-as-meta-
@@ -3544,6 +3559,41 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // The q59 shingle CTE + a min-carrier aggregate.
+    "q160_first_carrier" ->
+      s"""WITH toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents),
+         |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+         |idx AS (SELECT doc_id, T, m,
+         |  unnest(range(1, greatest(m-4, 1)+1)) AS i FROM base),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  CASE WHEN m < 5 THEN array_to_string(T, ' ')
+         |       ELSE array_to_string(
+         |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+4), ' ')
+         |  END AS shingle FROM idx),
+         |fst AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN s.doc_id = fst.f THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_introduced,
+         |  CAST(sum(CASE WHEN s.doc_id = fst.f THEN 1 ELSE 0 END)
+         |    AS BIGINT) / count(*) AS novelty_fraction
+         |FROM sh s JOIN fst USING (shingle)
+         |GROUP BY 1""".stripMargin,
+
+    // Each (user, active-day) fact exploded to its window ends,
+    // restricted to observed days, one distinct count.
+    "q161_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id
+        |  FROM events),
+        |obs AS (SELECT DISTINCT uday AS day FROM act),
+        |ex AS (SELECT CAST(unnest(generate_series(CAST(uday AS TIMESTAMP),
+        |    CAST(uday AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |    AS DATE) AS day, user_id
+        |  FROM act)
+        |SELECT ex.day, count(DISTINCT user_id) AS active_users
+        |FROM ex JOIN obs ON obs.day = ex.day
+        |GROUP BY 1""".stripMargin,
 
     // The q59 shingle CTE grouped by source as clusters-as-meta-
     // documents + the q106 whole-bit idf; ties token-DESC (the

@@ -69,6 +69,31 @@ object Funnels {
     * Offset 0 is the cohort itself, so every cohort's offset-0 count
     * equals its size — the standard retention-table invariant (pinned
     * in FunnelsSpec). Output: (cohort_week, week_offset, n_active). */
+  /** Rolling 7-day active users — the WAU curve per observed day:
+    * distinct users active in [day−6, day], reported for every day
+    * the events table actually contains. Computed WITHOUT a range
+    * join or window: each (user, active-day) fact is exploded to the
+    * ≤ 7 window-end days it contributes to (a fixed 7× map-side
+    * blowup), then ONE distinct-count aggregate keyed on the day —
+    * linear, shuffle only on (day, user), and the explode constant is
+    * the window width, not the data. Days with no events emit no row
+    * (a gap day has no anchor in the table; densify against a date
+    * dim downstream if the report needs zeros). */
+  def rollingActive(events: DataFrame, userCol: String = "user_id",
+                    tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"window must be positive: $windowDays")
+    val act = events
+      .select(to_date(col(tsCol)).as("uday"), col(userCol).as("u"))
+      .distinct()
+    val observed = act.select(col("uday").as("day")).distinct()
+    act
+      .select(explode(sequence(col("uday"),
+        date_add(col("uday"), windowDays - 1))).as("day"), col("u"))
+      .join(observed, Seq("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("active_users"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts"): DataFrame = {
     val firstSeen = events.groupBy(col(userCol))

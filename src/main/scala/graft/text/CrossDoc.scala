@@ -86,6 +86,37 @@ object CrossDoc {
         (col("n_novel") / col("n_shingles")).as("novelty_fraction"))
   }
 
+  /** First-carrier attribution: in id order, how much of each
+    * document is text IT INTRODUCED to the corpus — every distinct
+    * k-shingle is attributed to its lowest-id carrier, and a document
+    * scores the fraction of its shingles it owns. The ordering twin
+    * of [[snapshotNovelty]] (which scores a batch against a fixed
+    * reference): here the reference is "everything earlier", the view
+    * a crawl-ordered corpus uses to rank origins above mirrors —
+    * canonical-survivor selection (q91) picks WHO stays, this reports
+    * HOW MUCH each doc originated.
+    *
+    * Scale shape: identical to [[duplicateShingleStats]] — distinct
+    * per-doc shingles from the set-emitting generator, one min
+    * aggregate keyed on the shingle (map-combinable), one equi-join
+    * back, one doc-keyed rollup; linear in shingle mass, no pair
+    * frame. `novelty_fraction` is one IEEE division of exact longs. */
+  def firstCarrierStats(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      graft.functions.exprs.word_shingle_rows(
+        TextFunctions.tokens(col(textCol)), shingleK).as("shingle"))
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col(idCol)).as("__first"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col(idCol) === col("__first")).cast("long"))
+          .as("n_introduced"))
+      .select(col(idCol), col("n_shingles"), col("n_introduced"),
+        (col("n_introduced") / col("n_shingles")).as("novelty_fraction"))
+  }
+
   /** Cross-document repeated-span SCRUB — [[duplicateShingleStats]]'
     * acting sibling, the substring-level dedup of Lee et al. 2021:
     * every k-shingle carried by ≥ `minDocs` distinct documents is

@@ -55,6 +55,21 @@ class CrossDocSpec extends SparkTestBase {
     assert(out(12L) == ((4L, 4L, 1.0)))
   }
 
+  test("firstCarrierStats: originals own their shingles, copies own none") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // 2 shingles, both introduced
+      (2L, "a b c d e f"),  // exact copy: introduces nothing
+      (3L, "x y z")         // short doc: its whole text, introduced
+    ).toDF("doc_id", "text")
+    val out = CrossDoc.firstCarrierStats(docs, "doc_id", "text", 5)
+      .select("doc_id", "n_shingles", "n_introduced", "novelty_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("snapshotNovelty is total over fresh docs; fractions in [0,1]") {
     val d = Tables.documents(spark, sf)
     val fresh = d.filter(col("doc_id") % 7 === 0)

@@ -52,4 +52,20 @@ class FunnelsSpec extends SparkTestBase {
     val w2 = java.sql.Date.valueOf("2024-01-08")
     assert(got == Set((w1, 0, 2L), (w1, 1, 1L), (w2, 0, 1L)))
   }
+
+  test("rollingActive: 7-day window unions users; same-day repeats count once") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 18:00:00")), // same user+day: once
+      (2L, Timestamp.valueOf("2024-01-05 10:00:00")),
+      (3L, Timestamp.valueOf("2024-01-20 10:00:00"))  // far away
+    ).toDF("user_id", "ts")
+    val got = Funnels.rollingActive(events)
+      .as[(java.sql.Date, Long)].collect().toMap
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // day 1: only user 1 in [Dec 26, Jan 1]; day 5: users 1 and 2
+    // (Jan 1 is within 6 days); day 20: only user 3
+    assert(got == Map(
+      d("2024-01-01") -> 1L, d("2024-01-05") -> 2L, d("2024-01-20") -> 1L))
+  }
 }
