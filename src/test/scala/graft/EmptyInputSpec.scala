@@ -76,4 +76,49 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.ops.Sketches.rollup(graft.ops.Sketches.distinctSketch(
       noDocs, col("doc_id"), Seq.empty), Seq.empty).count() == 1) // global agg row
   }
+
+  test("the r9 additions return empty (not throw) on empty frames") {
+    val noSrc = noDocs.withColumn("source", lit("s"))
+      .filter(lit(false))
+    assert(graft.sim.Bitext.mine(noVecs, noVecs, k = 2, marginMin = 1.1)
+      .count() == 0)
+    assert(graft.text.CrossDoc.snapshotNovelty(noDocs, noDocs,
+      "doc_id", "text").count() == 0)
+    assert(graft.sim.Whitening.whiten(noVecs).count() == 0)
+    assert(graft.text.Winnow.fingerprints(noDocs, "doc_id", "text")
+      .count() == 0)
+    assert(graft.text.Winnow.candidatePairs(noDocs, "doc_id", "text")
+      .count() == 0)
+    assert(graft.ops.LinkAnalysis.triangles(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(graft.dedup.Curation.dedupWeightedSample(noDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id", "component")).count() == 0)
+    assert(graft.ops.Privacy.kAnonymize(noSrc, "doc_id",
+      Seq("lang", "source"), k = 5).count() == 0)
+    assert(graft.ops.Merge.applyChanges(noDocs,
+      noDocs.withColumn("op", lit("I")).filter(lit(false)), "doc_id")
+      .count() == 0)
+    assert(graft.ops.Robust.madOutliers(
+      Seq.empty[(Long, String, Long)].toDF("id", "seg", "v"),
+      "seg", "v", "id").count() == 0)
+    assert(graft.text.LangConsistency.mixedLanguage(noDocs,
+      "doc_id", "text").count() == 0)
+    assert(graft.ops.Paths.sessionPathTrigrams(
+      Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+        .toDF("user_id", "event_id", "ts", "event_type"),
+      "user_id", "ts", "event_id", "event_type").count() == 0)
+    assert(graft.ops.Quantiles.equiDepthHistogram(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "v", "id", 4).count() == 0)
+    assert(graft.text.Vocab.coverageCurve(noDocs, "text").count() == 0)
+    assert(graft.text.Vocab.clusterKeywords(noSrc, "source", "text")
+      .count() == 0)
+    assert(graft.dedup.Dedup.componentChurn(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(graft.text.CrossDoc.firstCarrierStats(noDocs, "doc_id", "text")
+      .count() == 0)
+    assert(graft.etl.Funnels.rollingActive(
+      Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts"))
+      .count() == 0)
+  }
 }
