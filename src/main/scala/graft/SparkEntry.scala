@@ -1247,6 +1247,20 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Length-quality correlation (ops.Robust.pearsonFixed): per
+    // source, Pearson r of n_chars vs the classifier score in fixed
+    // point — exact long moments in one aggregate, a fixed IEEE op
+    // sequence, code 0 for zero-variance sides. The metric-
+    // relationship report behind "is the quality gate just a length
+    // gate on this source?".
+    "q162_length_quality_corr" -> ((s, dir) => {
+      val scored = documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"), col("n_chars").as("x"),
+          graft.functions.exprs.classifier_score(
+            graft.text.TextFunctions.tokens(col("text"))).as("y"))
+      graft.ops.Robust.pearsonFixed(scored, "source", "x", "y")
+    }),
+
     // First-carrier attribution (text.CrossDoc.firstCarrierStats):
     // in id order, the fraction of each doc's distinct 5-shingles it
     // INTRODUCED — origins rank above mirrors; the ordering twin of
@@ -3559,6 +3573,33 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // The q93 score CTE + five exact moments + the literal
+    // correlation op sequence.
+    "q162_length_quality_corr" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.source, CAST(d.n_chars AS BIGINT) AS x,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS y
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |m AS (SELECT source, count(*) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x*y) AS BIGINT) AS sxy,
+         |  CAST(sum(x*x) AS BIGINT) AS sxx,
+         |  CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM sc GROUP BY 1)
+         |SELECT source, n,
+         |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0
+         |    ELSE CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         |      * 16384.0) AS BIGINT) END AS corr_code
+         |FROM m""".stripMargin,
 
     // The q59 shingle CTE + a min-carrier aggregate.
     "q160_first_carrier" ->

@@ -47,4 +47,35 @@ object Robust {
       .select(col(tieCol), col(segCol), col(valCol), col("med"), col("mad"),
         (col("__dev") > lit(k) * col("mad")).as("outlier"))
   }
+
+  /** Per-segment Pearson correlation of two INTEGRAL columns in fixed
+    * point — the metric-relationship report ("does length predict the
+    * classifier score per source?") with the repo's determinism
+    * discipline: the five moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    * long sums in ONE map-combinable aggregate, the correlation
+    * derives through a fixed IEEE op sequence
+    * (`(n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²ᵗᵒᵗ) · √(n·Σy²−Σy²ᵗᵒᵗ))`), and
+    * the emitted value is `round(r · scale)`. A zero-variance side
+    * emits code 0 (correlation undefined → no signal, the
+    * conservative reading). Exactness bound: products must fit a
+    * long — n·Σ(x·y) < 2^63; feed scaled-down codes past that. */
+  def pearsonFixed(df: DataFrame, segCol: String, xCol: String,
+                   yCol: String, scale: Int = 16384): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    df.groupBy(col(segCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col(segCol), col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0L
+            || col("n") * col("syy") - col("sy") * col("sy") === 0L,
+          lit(0L))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))
+              * lit(scale.toDouble))
+            .cast("long")).as("corr_code"))
+  }
 }

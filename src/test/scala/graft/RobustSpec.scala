@@ -29,6 +29,17 @@ class RobustSpec extends SparkTestBase {
     assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("pearsonFixed: perfect lines hit ±scale, zero variance emits 0") {
+    val df = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),      // y = 2x
+      ("dn", 1L, 9L), ("dn", 2L, 6L), ("dn", 3L, 3L),      // y = -3x + 12
+      ("fl", 1L, 5L), ("fl", 2L, 5L), ("fl", 3L, 5L)       // constant y
+    ).toDF("seg", "x", "y")
+    val out = graft.ops.Robust.pearsonFixed(df, "seg", "x", "y")
+      .select("seg", "corr_code").as[(String, Long)].collect().toMap
+    assert(out == Map("up" -> 16384L, "dn" -> -16384L, "fl" -> 0L))
+  }
+
   test("segments are independent and a null segment is ranked, not dropped") {
     val df = Seq((1L, Some("a"), 10L), (2L, Some("a"), 12L),
       (3L, None, 1L), (4L, None, 100L)).toDF("id", "seg", "v")
