@@ -1247,6 +1247,28 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Token-weighted median length (ops.Quantiles.weightedLowerMedian):
+    // per source, the doc length the median TOKEN lives in — the
+    // mass-weighted statistic packing reads where the row median
+    // misleads (one 100k-token doc outweighs a thousand stubs).
+    // Exact integer crossing rule over the two-phase prefix sums.
+    "q163_weighted_median" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars"),
+        size(graft.functions.exprs.ws_tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      graft.ops.Quantiles.weightedLowerMedian(d, "source", "n_chars",
+        "n_tokens", "doc_id")
+    }),
+
+    // Freeze digest (ops.Profiler.tableDigest): one order-independent
+    // (n_rows, xor_digest, sum_digest) row over the documents table —
+    // the reproducibility audit a frozen training set ships with; any
+    // row change moves it, any partitioning/layout does not.
+    "q164_freeze_digest" -> ((s, dir) =>
+      graft.ops.Profiler.tableDigest(documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
     // Length-quality correlation (ops.Robust.pearsonFixed): per
     // source, Pearson r of n_chars vs the classifier score in fixed
     // point — exact long moments in one aggregate, a fixed IEEE op
@@ -3573,6 +3595,37 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // Window cumulative weights + the same integer crossing rule.
+    "q163_weighted_median" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |  CAST(${TF.sql.tokenCount("text")} AS BIGINT) AS w
+         |  FROM documents),
+         |c AS (SELECT *,
+         |  sum(w) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |  sum(w) OVER (PARTITION BY source) AS tw FROM t)
+         |SELECT source, n_chars AS w_median,
+         |  CAST(tw AS BIGINT) AS total_weight
+         |FROM c
+         |WHERE cum >= (tw + 1) // 2 AND cum - w < (tw + 1) // 2""".stripMargin,
+
+    // The same canonical row string (chr(1) joins, chr(2) nulls),
+    // md5 prefix as a hex-literal BIGINT, xor + mod-p sum.
+    "q164_freeze_digest" ->
+      """WITH c AS (SELECT CAST('0x' || substring(md5(
+        |    concat_ws(chr(1),
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+        |      coalesce(text, chr(2)),
+        |      coalesce(lang, chr(2)),
+        |      coalesce(source, chr(2)),
+        |      coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15)
+        |    AS BIGINT) AS code
+        |  FROM documents)
+        |SELECT count(*) AS n_rows,
+        |  CAST(bit_xor(code) AS BIGINT) AS xor_digest,
+        |  CAST(sum(code % 2147483647) AS BIGINT) AS sum_digest
+        |FROM c""".stripMargin,
 
     // The q93 score CTE + five exact moments + the literal
     // correlation op sequence.

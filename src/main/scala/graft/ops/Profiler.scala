@@ -81,4 +81,27 @@ object Profiler {
       .select(col("r.ord").cast("int").as("ord"), col("r.rule"),
         col("r.n"), col("r.n_violations"), col("r.passed"))
   }
+
+  /** Order-independent table DIGEST — the freeze audit: one row of
+    * (n_rows, xor_digest, sum_digest) that changes if any row of the
+    * frozen dataset changes, regardless of partitioning, file layout,
+    * or row order. Per-row code = the md5 of the canonical column
+    * string (columns joined on U+0001, nulls encoded as U+0002 —
+    * control characters that cannot appear in corpus text) truncated to 60
+    * bits; the two digests are complementary: XOR is blind to an even
+    * number of identical rows, the mod-p sum is blind to nothing a
+    * prime modulus can't express, and together with the count a
+    * collision needs to fool all three. Engine-portable (hex md5 +
+    * integer arithmetic) and one map-combinable aggregate — the digest
+    * of a 100 TB freeze costs one scan and moves three longs. */
+  def tableDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableDigest needs at least one column")
+    val rowStr = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+    val code = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+    df.select(code.as("__c"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__c)").as("xor_digest"),
+        sum(pmod(col("__c"), lit(2147483647L))).as("sum_digest"))
+  }
 }

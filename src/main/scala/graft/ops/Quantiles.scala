@@ -169,6 +169,32 @@ object Quantiles {
     * window task); the bucket assignment is the same integer NTILE
     * arithmetic q38/q52 pin; `lo`/`hi` are raw column values, no
     * arithmetic touches them. */
+  /** WEIGHTED lower median per segment: the smallest `valCol` whose
+    * cumulative `weightCol` (ordered by value, ties by `tieCol`)
+    * reaches ⌈W/2⌉ — "the median TOKEN lives in a document of length
+    * X", the mass-weighted statistic packing and curriculum decisions
+    * read where the row median misleads (one 100k-token doc outweighs
+    * a thousand stubs). All-integer: exact running weights from
+    * [[segmentedPrefixSum]] (two-phase, no per-segment window), the
+    * crossing row selected by `cum ≥ ⌈W/2⌉ ∧ cum − w < ⌈W/2⌉` —
+    * exactly one row per segment with any positive weight
+    * (zero-weight rows can never cross; an all-zero segment emits
+    * nothing). Output: (segCol, w_median, total_weight). */
+  def weightedLowerMedian(df: DataFrame, segCol: String, valCol: String,
+                          weightCol: String, tieCol: String,
+                          nBuckets: Int = 32): DataFrame = {
+    val cum = segmentedPrefixSum(df, segCol, weightCol, valCol,
+      Seq(col(valCol).asc, col(tieCol).asc), nBuckets)
+    val tot = df.groupBy(col(segCol).as("__tseg"))
+      .agg(sum(col(weightCol)).cast("long").as("total_weight"))
+    val half = floor((col("total_weight") + 1) / lit(2.0)).cast("long")
+    cum.join(tot, col(segCol) <=> col("__tseg")).drop("__tseg")
+      .filter(col("__cum") >= half
+        && col("__cum") - col(weightCol) < half)
+      .select(col(segCol), col(valCol).as("w_median"),
+        col("total_weight"))
+  }
+
   def equiDepthHistogram(df: DataFrame, valCol: String, tieCol: String,
                          nTiles: Int, nBuckets: Int = 32): DataFrame = {
     require(nTiles >= 1, s"histogram needs >= 1 tiles: $nTiles")

@@ -57,4 +57,24 @@ class ProfilerSpec extends SparkTestBase {
     // every rule saw the full table
     assert(r.forall(_.getAs[Long]("n") == Tables.lineitem(spark, sf).count()))
   }
+
+  test("tableDigest: order/partition-independent, any row change moves it") {
+    import spark.implicits._
+    val base = Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "b", "x"), (3L, "c", "y")).toDF("id", "v", "o")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Profiler.tableDigest(df, Seq("id", "v", "o"))
+        .as[(Long, Long, Long)].head()
+    val d0 = dig(base)
+    assert(d0._1 == 3L)
+    assert(dig(base.repartition(7)) == d0)              // layout-blind
+    assert(dig(base.orderBy(col("id").desc)) == d0)     // order-blind
+    val changed = Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "B", "x"), (3L, "c", "y")).toDF("id", "v", "o")
+    assert(dig(changed) != d0)                          // content-aware
+    // doubling every row cancels the XOR to 0 — exactly why the
+    // count and the mod-p sum ride along: they both still move
+    val d2 = dig(base.union(base))
+    assert(d2._2 == 0L && d2._1 == 6L && d2._3 == d0._3 * 2)
+  }
 }

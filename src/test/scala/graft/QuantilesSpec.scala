@@ -115,6 +115,20 @@ class QuantilesSpec extends SparkTestBase {
       case _ => () }
   }
 
+  test("weightedLowerMedian: mass decides, not row count; unit weights reduce to the row median") {
+    val df = Seq(
+      ("a", 1L, 1L, 1L), ("a", 2L, 2L, 1L), ("a", 3L, 100L, 10L),
+      ("b", 4L, 1L, 1L), ("b", 5L, 2L, 1L), ("b", 6L, 3L, 1L),
+      ("b", 7L, 4L, 1L)).toDF("seg", "id", "v", "w")
+    val out = Quantiles.weightedLowerMedian(df, "seg", "v", "w", "id")
+      .select("seg", "w_median", "total_weight")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // seg a: W=12, ceil 6 — the heavy doc carries the median token
+    // seg b: unit weights — plain lower median of (1,2,3,4) = 2
+    assert(out == Map("a" -> ((100L, 12L)), "b" -> ((2L, 4L))))
+  }
+
   test("equiDepthHistogram skips nulls and never funnels into one window task") {
     val df = (1L to 50L).map(i =>
         (i, if (i % 10 == 0) None else Some(i.toDouble)))
