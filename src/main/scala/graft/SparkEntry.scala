@@ -1247,6 +1247,12 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Stickiness (etl.Funnels.stickiness): DAU/WAU per observed day
+    // in fixed point — the daily engagement ratio; two rollingActive
+    // passes joined on the day, one IEEE division of exact longs.
+    "q165_stickiness" -> ((s, dir) =>
+      graft.etl.Funnels.stickiness(events(s, dir))),
+
     // Token-weighted median length (ops.Quantiles.weightedLowerMedian):
     // per source, the doc length the median TOKEN lives in — the
     // mass-weighted statistic packing reads where the row median
@@ -3595,6 +3601,24 @@ object SparkEntry {
          |    AS BIGINT) / count(*) AS novelty_fraction
          |FROM f LEFT JOIN seen ON f.shingle = seen.shingle
          |GROUP BY 1""".stripMargin,
+
+    // q161's window-end explode for WAU, a direct per-day distinct
+    // for DAU, the same fixed-point ratio.
+    "q165_stickiness" ->
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id
+        |  FROM events),
+        |obs AS (SELECT DISTINCT uday AS day FROM act),
+        |d AS (SELECT uday AS day, count(DISTINCT user_id) AS dau
+        |  FROM act GROUP BY 1),
+        |ex AS (SELECT CAST(unnest(generate_series(CAST(uday AS TIMESTAMP),
+        |    CAST(uday AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |    AS DATE) AS day, user_id FROM act),
+        |w AS (SELECT ex.day, count(DISTINCT user_id) AS wau
+        |  FROM ex JOIN obs ON obs.day = ex.day GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+        |    * 16384.0) AS BIGINT) AS stickiness_code
+        |FROM d JOIN w ON w.day = d.day""".stripMargin,
 
     // Window cumulative weights + the same integer crossing rule.
     "q163_weighted_median" ->

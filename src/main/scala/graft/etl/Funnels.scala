@@ -94,6 +94,25 @@ object Funnels {
       .agg(countDistinct(col("u")).as("active_users"))
   }
 
+  /** Stickiness — DAU/WAU per observed day, the engagement ratio
+    * product teams read daily ("of the people active this week, how
+    * many came back today"): two [[rollingActive]] passes (window 1
+    * = DAU, window `windowDays` = WAU) joined on the day, the ratio
+    * in fixed point (`round(dau·2^14 / wau)` — one IEEE division of
+    * exact longs, bit-stable). DAU ≤ WAU by construction, so the
+    * code lives in [0, 16384]. */
+  def stickiness(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    val dau = rollingActive(events, userCol, tsCol, windowDays = 1)
+      .withColumnRenamed("active_users", "dau")
+    val wau = rollingActive(events, userCol, tsCol, windowDays)
+      .withColumnRenamed("active_users", "wau")
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double")
+          * lit(16384.0)).cast("long").as("stickiness_code"))
+  }
+
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts"): DataFrame = {
     val firstSeen = events.groupBy(col(userCol))

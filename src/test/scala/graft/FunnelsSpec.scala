@@ -68,4 +68,33 @@ class FunnelsSpec extends SparkTestBase {
     assert(got == Map(
       d("2024-01-01") -> 1L, d("2024-01-05") -> 2L, d("2024-01-20") -> 1L))
   }
+
+  test("stickiness: DAU over WAU in fixed point, bounded by 16384") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-05 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-05 11:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Funnels.stickiness(events)
+      .select("day", "dau", "wau", "stickiness_code")
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    // Jan 1: dau 1, wau 1 -> 16384; Jan 5: dau 2, wau 2 (users 1+2
+    // both inside [Dec 30, Jan 5]) -> 16384... make it vary: user 1
+    // only on Jan 1 would give Jan 5 dau 1 wau 2 -> 8192
+    assert(got("2024-01-01") == ((1L, 1L, 16384L)))
+    assert(got("2024-01-05") == ((2L, 2L, 16384L)))
+  }
+
+  test("stickiness halves when half the week's actives return") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-05 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Funnels.stickiness(events)
+      .select("day", "dau", "wau", "stickiness_code")
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    assert(got("2024-01-05") == ((1L, 2L, 8192L)))
+  }
 }
