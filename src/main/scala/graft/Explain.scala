@@ -56,7 +56,8 @@ object Explain {
     "q155_source_dup_report", "q156_vocab_coverage", "q157_winnow_pairs",
     "q158_component_churn", "q159_cluster_keywords", "q160_first_carrier",
     "q161_rolling_active", "q162_length_quality_corr",
-    "q163_weighted_median", "q164_freeze_digest", "q165_stickiness")
+    "q163_weighted_median", "q164_freeze_digest", "q165_stickiness",
+    "q166_gate_matrix")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

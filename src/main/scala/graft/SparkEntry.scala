@@ -1247,6 +1247,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0), "doc_id", "text", shingleK = 5)
     }),
 
+    // Gate agreement matrix: q109's four-gate verdict frame rolled
+    // up to its 2^4 cells — the filter-stack tuning report ("which
+    // gate binds; how many docs fail exactly one"). Pure rollup of
+    // the shared verdict frame; the oracle shares q109's SQL.
+    "q166_gate_matrix" -> ((s, dir) =>
+      graft.text.FilterStack.modernGates(documents(s, dir), "doc_id",
+          "text", pplLo = 3.95, pplHi = 4.15)
+        .groupBy(col("rep_pass"), col("ppl_pass"), col("clf_pass"),
+          col("uniq_pass"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // Stickiness (etl.Funnels.stickiness): DAU/WAU per observed day
     // in fixed point — the daily engagement ratio; two rollingActive
     // passes joined on the day, one IEEE division of exact longs.
@@ -2718,6 +2729,40 @@ object SparkEntry {
        |  CAST(coalesce(s.score, 0) > 0 AS INTEGER) AS keep
        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
        |WHERE d.text IS NOT NULL""".stripMargin
+
+  /** q109's oracle — the four-gate verdict frame (gopher repetition,
+    * perplexity band, classifier, exact-dedup keeper) with the
+    * all-pass flag; q166 rolls the same frame up to its agreement
+    * matrix, so the two gates share one definition by construction. */
+  private lazy val filterStackOracleSql: String =
+    s"""WITH rep AS (
+       |${graft.text.Repetition.gopherFilterOracleSql("documents", "doc_id", "text")}
+       |),
+       |ppl AS (
+       |${perplexityBandOracleSql(3.95, 4.15)}
+       |),
+       |clf AS (
+       |${oracleSqlClassifier}
+       |),
+       |fp AS (SELECT doc_id, ${TF.sql.fingerprint("text")} AS fp
+       |  FROM documents),
+       |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       |    AS INTEGER) AS rep_pass,
+       |  CAST(coalesce(p.kept, 0) AS INTEGER) AS ppl_pass,
+       |  CAST(coalesce(c.keep, 0) AS INTEGER) AS clf_pass,
+       |  CAST(CASE WHEN k.keeper = d.doc_id THEN 1 ELSE 0 END
+       |    AS INTEGER) AS uniq_pass,
+       |  CAST(CASE WHEN r.doc_id IS NOT NULL AND p.kept = 1
+       |    AND c.keep = 1 AND k.keeper = d.doc_id
+       |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM documents d
+       |LEFT JOIN rep r ON r.doc_id = d.doc_id
+       |LEFT JOIN ppl p ON p.doc_id = d.doc_id
+       |LEFT JOIN clf c ON c.doc_id = d.doc_id
+       |LEFT JOIN fp f ON f.doc_id = d.doc_id
+       |LEFT JOIN keepers k ON k.fp = f.fp""".stripMargin
 
   /** The 64 SimHash signature bits reconstruct by sign of the per-bit
     * vote sums over [[Fnv64Sql.tokHash]], exactly as the Spark
@@ -4359,35 +4404,16 @@ object SparkEntry {
     // inside a CTE body), flags by id-keyed left joins — drift
     // between the stack and its constituent gates is impossible
     // because the SQL IS the constituents'.
-    "q109_filter_stack" ->
-      s"""WITH rep AS (
-         |${graft.text.Repetition.gopherFilterOracleSql("documents", "doc_id", "text")}
-         |),
-         |ppl AS (
-         |${perplexityBandOracleSql(3.95, 4.15)}
-         |),
-         |clf AS (
-         |${oracleSqlClassifier}
-         |),
-         |fp AS (SELECT doc_id, ${TF.sql.fingerprint("text")} AS fp
-         |  FROM documents),
-         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END
-         |    AS INTEGER) AS rep_pass,
-         |  CAST(coalesce(p.kept, 0) AS INTEGER) AS ppl_pass,
-         |  CAST(coalesce(c.keep, 0) AS INTEGER) AS clf_pass,
-         |  CAST(CASE WHEN k.keeper = d.doc_id THEN 1 ELSE 0 END
-         |    AS INTEGER) AS uniq_pass,
-         |  CAST(CASE WHEN r.doc_id IS NOT NULL AND p.kept = 1
-         |    AND c.keep = 1 AND k.keeper = d.doc_id
-         |    THEN 1 ELSE 0 END AS INTEGER) AS kept
-         |FROM documents d
-         |LEFT JOIN rep r ON r.doc_id = d.doc_id
-         |LEFT JOIN ppl p ON p.doc_id = d.doc_id
-         |LEFT JOIN clf c ON c.doc_id = d.doc_id
-         |LEFT JOIN fp f ON f.doc_id = d.doc_id
-         |LEFT JOIN keepers k ON k.fp = f.fp""".stripMargin,
+    "q109_filter_stack" -> filterStackOracleSql,
+
+    // q109's per-doc verdict frame rolled up to the 2^4 agreement
+    // cells — which gate binds, which docs fail exactly one.
+    "q166_gate_matrix" ->
+      s"""SELECT rep_pass, ppl_pass, clf_pass, uniq_pass,
+         |  count(*) AS n_docs
+         |FROM (
+         |$filterStackOracleSql
+         |) GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // The two-phase staged rank replayed by the one naive window it
     // is provably equal to (q87's md5 order, prefixed by the stage).
