@@ -76,8 +76,20 @@ object Bench {
     // diff must see the break, not a phantom speedup. After each query,
     // its leftover persisted blocks are dropped (cheap, no GC) so query
     // ordering cannot leak storage pressure into later measurements.
+    // Allocation-heavy rows get a GUARANTEED clean heap BEFORE their
+    // first timed run: the every-8th cadence below still leaves up to 7
+    // queries of dead buffers in old-gen, and when a heavy query's slot
+    // lands late in that window BOTH its runs execute in the degraded
+    // regime — min-of-two can't save it (r9: q65 reported 19.4 s in the
+    // sweep vs 2.1 s isolated; code identical). ~1 s × |heavy| extra
+    // untimed pauses.
+    val heavy = Set("q65_knn_graph", "q92_knn_graph_lsh",
+      "q89_incremental_components", "q90_indexed_pairs",
+      "q147_triangles", "q158_component_churn", "q163_weighted_median",
+      "q24_ngram_jaccard_pairs", "q64_incremental_pairs")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
       .map { case ((name, fn), idx) =>
+      if (heavy(name)) dropAllState(gc = true)
       def once(): Double = {
         val t0 = System.nanoTime()
         run(name, fn, sfDir)
@@ -96,13 +108,14 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
       }
-      // forced GC every 8th query, not only at phase boundaries: ~95
-      // queries of unreferenced blocks/buffers otherwise accumulate in
-      // old-gen until some unlucky allocation-heavy query eats the full
-      // GC mid-measurement — BOTH its runs land in the degraded regime,
-      // so min-of-two cannot save it (observed: code-untouched q89
-      // 4.1 s → 13.2 s between two clean full sweeps). ~1 s × 12
-      // deterministic pauses between queries buys run-to-run stability.
+      // forced GC every 8th query, not only at phase boundaries:
+      // otherwise whole sweeps of unreferenced blocks/buffers accumulate
+      // in old-gen until some unlucky allocation-heavy query eats the
+      // full GC mid-measurement — BOTH its runs land in the degraded
+      // regime, so min-of-two cannot save it (observed: code-untouched
+      // q89 4.1 s → 13.2 s between two clean full sweeps). ~1 s ×
+      // (queries/8) deterministic pauses between queries buys
+      // run-to-run stability.
       dropAllState(gc = idx % 8 == 7)
       row
     }.toMap
@@ -200,6 +213,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The single-line stdout row above gets tail-truncated by capture
+    // harnesses once ~180 queries are in the map (r9: only 61 of 177
+    // rows reached the round artifact, hiding an 8x anomaly). Persist
+    // the complete map as a committed, pretty-printed file too — one
+    // row per line, sorted, so diffs between rounds are line-diffs.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_RESULTS.json")
+    val rows = all.toSeq.sortBy(_._1)
+      .map { case (k, v) => f"""    "$k": $v%.3f""" }.mkString(",\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{\n  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n$rows\n  }\n}\n""")
     spark.stop()
   }
 }

@@ -26,7 +26,17 @@ object QBench {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val runs = Seq.fill(5)(once())
+    // Bench's state discipline, per run: leaked checkpoint blocks from
+    // run N otherwise raise memory pressure under run N+1 and the
+    // isolated numbers stop matching the sweep's (observed: q89
+    // flapping 6-12 s here vs a stable sweep row).
+    def drop(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc(); Thread.sleep(500)
+    }
+    val runs = Seq.fill(5) { val r = once(); drop(); r }
     println(f"[qbench] $name ${runs.map(r => f"$r%.2f").mkString(" ")} min=${runs.min}%.2f")
     spark.stop()
   }

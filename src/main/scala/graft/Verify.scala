@@ -22,10 +22,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY="q101,q102" limits the dump
     // to those queries (driver never sets it → full sweep unchanged).
+    // Matching is exact-name or number-token prefix ("q1" must not also
+    // select q100-q166, nor "q16" select q160-q166).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean =
-      only.forall(_.exists(p => name == p || name.startsWith(p)))
+      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

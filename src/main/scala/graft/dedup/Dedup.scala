@@ -747,13 +747,16 @@ object Dedup {
     val index = catalog.read(spark, table).unionByName(batchPrefixes)
     // != not <: a batch doc also pairs with lower corpus ids; both
     // orders arrive and collapse in the canonical select below
-    // (materialized: the id-pair set is delta-scale and is consumed
-    // twice below — once for the candidate-id semi-probe, once by the
-    // verify join)
+    // (pinned: the id-pair set is delta-scale and is consumed twice
+    // below — once for the candidate-id semi-probe, once by the verify
+    // join. LAZY checkpoint, not eager: the candIds broadcast below is
+    // the first action anyway, so it materializes the blocks as a side
+    // effect — an eager checkpoint here was a whole extra pass over
+    // the candidate join, measured ~1 s of q90's per-call cost)
     val cand = ppjoinCandidates(batchPrefixes, index, threshold,
       broadcastPersistedIndex(spark, catalog, table),
       pairFilter = col("id_a") =!= col("id_b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     // verification payloads for CANDIDATE-TOUCHING docs only: the
@@ -765,6 +768,7 @@ object Dedup {
     val prepped = corpusBase.select(col(idCol).as("id"), col("set"))
       .unionByName(batchBase.select(col(idCol).as("id"), col("set")))
       .join(broadcast(candIds), Seq("id"), "left_semi")
+      .localCheckpoint(true)
     verifyJaccard(cand, prepped, threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
@@ -806,10 +810,14 @@ object Dedup {
       .withColumn("sz", size(col("set")))
     val toks = prepped
       .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    // no checkpoint on the touched-vocab probe: every caller pins the
+    // RETURNED prefix frame (probePrefixes / WithProbe checkpoint it,
+    // appendToPrefixIndex writes it), so the vocab scan already runs
+    // exactly once — a checkpoint here was one whole extra sync job
+    // per call for work the enclosing job would do anyway
     val touched = catalog.read(spark, s"${table}__vocab")
       .join(broadcast(toks.select(col("tok")).distinct()),
         Seq("tok"), "left_semi")
-      .localCheckpoint(true)
     val withDf = toks.join(broadcast(touched), Seq("tok"), "left")
       .withColumn("tok_df", coalesce(col("tok_df"), lit(0L)))
     prefixSelect(withDf, threshold, keepDf)

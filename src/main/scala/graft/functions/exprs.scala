@@ -239,6 +239,15 @@ object ExprOps {
     * indexes correctly. */
   def adcSum(lut: ArrayData, codes: ArrayData): Long = {
     val m = codes.numElements()
+    // Loud dimension checks (matching dotD's discipline): an empty codes
+    // row (corrupt persisted index) must not surface as a bare
+    // divide-by-zero from codegen, and a LUT whose length is not a
+    // multiple of m would silently mis-stride every lookup after it.
+    if (m == 0)
+      throw new IllegalArgumentException("adcSum: empty codes array")
+    if (lut.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"adcSum: lut length ${lut.numElements()} not a multiple of m=$m")
     val k = lut.numElements() / m
     var s = 0L
     var j = 0

@@ -63,7 +63,8 @@ object Retrieval {
     * in its own bucket). */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  catalog: TableCatalog, prefix: String,
-                 nBuckets: Int = 64): Unit = {
+                 nBuckets: Int = 64,
+                 commitBatchId: Option[Long] = None): Unit = {
     val post = postings(docs, idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
     catalog.overwrite(post, s"${prefix}_postings", partitionBy = Seq("bucket"))
@@ -71,11 +72,25 @@ object Retrieval {
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
     catalog.overwrite(positions, s"${prefix}_positions",
       partitionBy = Seq("bucket"))
-    val spark = docs.sparkSession
+    writeMeta(docs.sparkSession, catalog, prefix, docs.count(),
+      nBuckets.toLong, commitBatchId)
+  }
+
+  /** The one-row meta overwrite. When `commitBatchId` is set (the
+    * streaming sink), the batch id rides IN the same row — meta
+    * advance and batch commit are then a single parquet overwrite, so
+    * a replayed batch can never re-advance n_docs (it re-appends
+    * postings at worst; see [[indexSink]]). */
+  private def writeMeta(spark: SparkSession, catalog: TableCatalog,
+                        prefix: String, nDocs: Long, nBuckets: Long,
+                        commitBatchId: Option[Long]): Unit = {
     import spark.implicits._
-    catalog.overwrite(
-      Seq((docs.count(), nBuckets.toLong)).toDF("n_docs", "n_buckets"),
-      s"${prefix}_meta")
+    val meta = commitBatchId match {
+      case Some(b) => Seq((nDocs, nBuckets, b))
+        .toDF("n_docs", "n_buckets", "batch_id")
+      case None => Seq((nDocs, nBuckets)).toDF("n_docs", "n_buckets")
+    }
+    catalog.overwrite(meta, s"${prefix}_meta")
   }
 
   /** Append new documents to a persisted index: delta postings land
@@ -85,9 +100,9 @@ object Retrieval {
     * index here). idf weights shift with N and df as they must; they
     * are derived at search time, never frozen into the index. */
   def appendToIndex(delta: DataFrame, idCol: String, textCol: String,
-                    catalog: TableCatalog, prefix: String): Unit = {
+                    catalog: TableCatalog, prefix: String,
+                    commitBatchId: Option[Long] = None): Unit = {
     val spark = delta.sparkSession
-    import spark.implicits._
     val meta = catalog.read(spark, s"${prefix}_meta").head()
     val nBuckets = meta.getAs[Long]("n_buckets").toInt
     catalog.append(
@@ -98,10 +113,9 @@ object Retrieval {
       positionalPostings(delta, idCol, textCol)
         .withColumn("bucket", bucketOf(col("token"), nBuckets)),
       s"${prefix}_positions", partitionBy = Seq("bucket"))
-    catalog.overwrite(
-      Seq((meta.getAs[Long]("n_docs") + delta.count(), nBuckets.toLong))
-        .toDF("n_docs", "n_buckets"),
-      s"${prefix}_meta")
+    writeMeta(spark, catalog, prefix,
+      meta.getAs[Long]("n_docs") + delta.count(), nBuckets.toLong,
+      commitBatchId)
   }
 
   /** Top-k documents per query over in-memory postings. `queries` is
@@ -343,15 +357,18 @@ object Retrieval {
   /** The persisted index as a STREAMING SINK: each micro-batch of
     * documents lands in the index (bootstrap [[buildIndex]] on the
     * first batch, [[appendToIndex]] after), so retrieval state stays
-    * current as a corpus ingests. A `<prefix>_commits` row records
-    * the last applied batch id and replayed batches are skipped —
-    * the at-least-once `foreachBatch` contract would otherwise
-    * double-append postings on recovery. (A crash BETWEEN the append
-    * and its commit row still replays that one batch; the fully
-    * fenced staged-marker discipline for that window lives in
-    * [[graft.streaming.IngestLoop]] — this sink is the lightweight
-    * path for rebuildable retrieval state, where the recovery is
-    * "rebuild the index", not "lose corpus truth".) */
+    * current as a corpus ingests. The last applied batch id rides IN
+    * the one-row `_meta` overwrite (the final write of both build and
+    * append), so "n_docs advanced" and "batch committed" are one
+    * atomic file swap: a replayed batch (at-least-once `foreachBatch`)
+    * is skipped, and a crash BETWEEN the postings append and that
+    * meta write replays the batch's postings rows WITHOUT
+    * re-advancing n_docs — df for the batch's tokens doubles until a
+    * rebuild, but the N side of idf never drifts. The fully fenced
+    * staged-marker discipline that closes even the postings-replay
+    * window lives in [[graft.streaming.IngestLoop]] — this sink is
+    * the lightweight path for rebuildable retrieval state, where the
+    * recovery is "rebuild the index", not "lose corpus truth". */
   def indexSink(stream: DataFrame, idCol: String, textCol: String,
                 catalog: TableCatalog, prefix: String,
                 checkpoint: String, nBuckets: Int = 64)
@@ -360,18 +377,20 @@ object Retrieval {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        import s.implicits._
         val committed =
-          if (catalog.exists(s, s"${prefix}_commits"))
-            catalog.read(s, s"${prefix}_commits").head().getAs[Long]("batch_id")
-          else -1L
+          if (catalog.exists(s, s"${prefix}_meta")) {
+            val m = catalog.read(s, s"${prefix}_meta")
+            if (m.columns.contains("batch_id"))
+              m.head().getAs[Long]("batch_id")
+            else -1L // pre-existing batch-unaware index: append once
+          } else -1L
         if (batchId > committed && !batch.isEmpty) {
           if (catalog.exists(s, s"${prefix}_meta"))
-            appendToIndex(batch, idCol, textCol, catalog, prefix)
+            appendToIndex(batch, idCol, textCol, catalog, prefix,
+              commitBatchId = Some(batchId))
           else
-            buildIndex(batch, idCol, textCol, catalog, prefix, nBuckets)
-          catalog.overwrite(Seq(batchId).toDF("batch_id"),
-            s"${prefix}_commits")
+            buildIndex(batch, idCol, textCol, catalog, prefix, nBuckets,
+              commitBatchId = Some(batchId))
         }
         ()
       }

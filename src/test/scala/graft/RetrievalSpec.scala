@@ -200,6 +200,22 @@ class RetrievalSpec extends SparkTestBase {
     val ip = Retrieval.phraseSearchInline(docs, "doc_id", "text", pq)
       .as[(Long, Long, Long, Long)].collect().toSeq.sorted
     assert(sp == ip)
+    // the commit marker rides in _meta (one-write commit: replay can
+    // never re-advance n_docs) …
+    val meta = cat.read(spark, "six_meta").head()
+    assert(meta.getAs[Long]("batch_id") >= 0L)
+    val nDocsBefore = meta.getAs[Long]("n_docs")
+    // … and a full replay (fresh checkpoint, same input, batch ids
+    // restart at 0 ≤ committed) is skipped: index bytes unchanged
+    val q2 = Retrieval.indexSink(stream, "doc_id", "text", cat, "six",
+      checkpoint = root + "/chk2", nBuckets = 16)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(cat.read(spark, "six_meta").head()
+      .getAs[Long]("n_docs") == nDocsBefore)
+    val replayed = Retrieval
+      .searchTopKFromCatalog(spark, cat, "six", queries, k = 10)
+      .as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    assert(replayed == inline)
   }
 
   test("search is partition-independent on real docs") {
