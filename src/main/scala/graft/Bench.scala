@@ -149,6 +149,24 @@ object Bench {
         }
       } else Map.empty[String, Double]
     dropAllState(gc = true)
+    // The same pipeline at 10x the reference's volume (7.9M rows — the
+    // scale its README concedes crashes the reference's platinum
+    // layer): deterministic amplification + full year, temp-rooted and
+    // deleted after. Two rows so the generator's cost never pollutes
+    // the pipeline reading. Measured family (docs/SCALE.md): wall =
+    // ~37.5 s orchestration floor + ~0.95 s per 787k rows — linear in
+    // data, constant in structure.
+    val nyc10xRow =
+      if (graft.nyc.NycScaleBench.available) {
+        try {
+          val (gen, pipe) = graft.nyc.NycScaleBench.run(spark, 10)
+          Map("nyc_10x_gen" -> gen, "nyc_10x_pipeline" -> pipe)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] nyc_10x FAILED: ${e.getMessage}")
+          Map("nyc_10x_pipeline" -> -1.0)
+        }
+      } else Map.empty[String, Double]
+    dropAllState(gc = true)
     // The production ingest loop, composed: seed the standing corpus
     // artifacts from 90% of the documents table (UNTIMED — that is the
     // one-time build), then time ONE tick folding the held-out 10%
@@ -208,7 +226,7 @@ object Bench {
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    val all = results ++ buildRows ++ nycRow ++ ingestRows
+    val all = results ++ buildRows ++ nycRow ++ nyc10xRow ++ ingestRows
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum

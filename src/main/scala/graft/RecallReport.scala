@@ -238,12 +238,54 @@ object RecallReport {
       truth.map(i => (i, i)), found.map(i => (i, i)))
   }
 
+  /** q128: sorted-neighborhood blocking vs the EXACT edit-distance
+    * join (q55's PassJoin, recall-1.0 structural) over the same
+    * 48-char title key at the same threshold. The only possible miss
+    * is the method's textbook weakness — a true near-dup pair whose
+    * early-character edits push the two titles further than `window`
+    * apart in sort order — so this row is the measured size of that
+    * blind spot on this corpus, the number a user trades against the
+    * method's zero-candidate-explosion cost profile. */
+  def sortedNeighborhoodRecall(docs: DataFrame): Metrics = {
+    val titles = docs.select(col("doc_id"),
+      substring(col("text"), 1, 48).as("title"))
+    val truth = pairSet(graft.dedup.FuzzyJoin.editDistancePairs(
+      titles, "doc_id", "title", maxDist = 2))
+    val found = graft.dedup.SortedNeighborhood.duplicatePairs(
+        titles, "doc_id", "title",
+        window = 3, levPrefix = 48, threshold = 2)
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    m("q128 sortedNeighborhood", "lev<=2 on 48-char title, window=3",
+      truth, found)
+  }
+
+  /** q157: winnowing candidate pairs vs the EXACT char-5-gram Jaccard
+    * pairs (q24's ground truth, itself DuckDB-oracled). Winnowing is
+    * a CANDIDATE generator — precision is diagnostic only (candidates
+    * are meant to be verified downstream); the recall is the quality
+    * claim: Schleimer's guarantee says any shared run of
+    * window+shingleK-1 tokens shares a fingerprint, so a true
+    * high-Jaccard pair is only missed when its overlap is scattered
+    * in runs shorter than that, or a shared fingerprint is flood-
+    * capped. */
+  def winnowRecall(docs: DataFrame): Metrics = {
+    val truth = pairSet(Dedup.exactNgramJaccardPairs(
+      docs, "doc_id", "text", n = 5, threshold = 0.4))
+    val found = pairSet(graft.text.Winnow.candidatePairs(
+      docs, "doc_id", "text", shingleK = 3, window = 4, minShared = 2))
+    m("q157 winnow candidatePairs",
+      "truth J>=0.4 char-5-grams; k=3 w=4 minShared=2", truth, found)
+  }
+
   def all(spark: SparkSession, sfDir: String): Seq[Metrics] = {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     Seq(minhash(docs), simhash(docs), embedding(emb), annTopK(emb),
       ivfTopK(emb), ivfKmeans(emb), annInt8(emb)) ++ annPq(emb) ++
-      annJl(emb) ++ Seq(semantic(emb), knnGraph(emb), curationChain(docs))
+      annJl(emb) ++ Seq(semantic(emb), knnGraph(emb), curationChain(docs),
+        sortedNeighborhoodRecall(docs), winnowRecall(docs))
   }
 
   /** The scales the doc AND `RecallSpec` both measure at — one source
@@ -373,6 +415,24 @@ object RecallReport {
         |  corpora the library's high-fidelity reduced-width path is PQ
         |  (q96-q99); JL's niche is the cheapest possible first-pass
         |  distance sketch plus exact rerank.
+        |- **q128**: sorted-neighborhood blocking vs the EXACT
+        |  edit-distance join (q55's PassJoin segment pigeonhole —
+        |  recall 1.0 structural, itself oracle-gated) over the same
+        |  48-char title key at the same lev <= 2 threshold. The only
+        |  loss mode is a true pair whose early-character edits push
+        |  the titles >= window apart in sort order — the method's
+        |  textbook blind spot, here a measured number (one such pair
+        |  exists at sf0.001). Precision 1.0: window pairs are
+        |  Levenshtein-verified before emission.
+        |- **q157**: winnowing candidate pairs vs q24's exact
+        |  char-5-gram Jaccard pairs (J >= 0.4). Winnowing is a
+        |  CANDIDATE GENERATOR — the ~0.25 precision is diagnostic
+        |  (collision mass), not a defect; recall is the quality
+        |  claim, backed by Schleimer's guarantee (any shared token
+        |  run of window+k-1 shares a fingerprint). A miss would need
+        |  overlap scattered in runs shorter than that, or a
+        |  flood-capped fingerprint; the measured 1.0/1.0 says
+        |  neither occurs for true J >= 0.4 pairs on this corpus.
         |""".stripMargin
     val md = header + "\n" + sections.mkString("\n\n") + "\n" + notes
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)

@@ -271,6 +271,19 @@ final class JdbcCatalog(url: String, props: java.util.Properties) extends TableC
     }
     append(df, table, partitionBy)
   }
+
+  /** Overwrite that TRUNCATEs instead of DROP+CREATE: the warehouse
+    * table's own DDL — indexes, grants, a DBA-tuned type for a column
+    * — survives the refresh. This is the mode a production mart
+    * refresh (the platinum reports, rebuilt whole every run) wants
+    * against a DBA-owned schema; plain [[overwrite]] re-emits Spark's
+    * inferred DDL and silently discards anything the CREATE TABLE
+    * carried beyond columns. Falls back to drop-and-recreate only if
+    * the dialect reports truncation unsupported (Spark's own
+    * `truncate` option contract). */
+  def overwriteInPlace(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").option("truncate", "true")
+      .jdbc(url, table, props)
 }
 
 object JdbcCatalog {

@@ -128,5 +128,28 @@ class RecallSpec extends SparkTestBase {
       assert(x.recall >= 0.9, s"recall ${x.recall} (${x.hit}/${x.truth})")
       assert(x.precision == 1.0, "exact verification must hold")
     }
+
+    test(s"[$tag] sorted-neighborhood recall >= 0.9 vs exact PassJoin (q128 vs q55)") {
+      // measured 0.964/1.000: the only loss mode is a true near-dup
+      // pair whose early-title edits separate the pair by >= window in
+      // sort order — the method's textbook blind spot, now a measured
+      // number instead of a caveat. Precision 1.0 because every window
+      // pair is Levenshtein-verified at the same threshold as truth.
+      val x = RecallReport.sortedNeighborhoodRecall(docs)
+      assert(x.recall >= 0.9, s"recall ${x.recall} (${x.hit}/${x.truth})")
+      assert(x.precision == 1.0, "window pairs are exact-verified")
+    }
+
+    test(s"[$tag] winnowing candidate recall >= 0.95 vs exact Jaccard (q157 vs q24)") {
+      // measured 1.000/1.000: Schleimer's guarantee (any shared token
+      // run of window+k-1 shares a fingerprint) holds with margin for
+      // J>=0.4 pairs on this corpus. Precision (~0.25) is diagnostic
+      // only — winnowing GENERATES candidates; the verified form is
+      // what a curation chain consumes downstream.
+      val x = RecallReport.winnowRecall(docs)
+      assert(x.recall >= 0.95, s"recall ${x.recall} (${x.hit}/${x.truth})")
+      assert(x.precision >= 0.2,
+        s"collision mass degenerated: precision ${x.precision}")
+    }
   }
 }
