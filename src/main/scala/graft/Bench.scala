@@ -57,7 +57,9 @@ object Bench {
       "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)),
       "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)),
       "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)),
-      "q147_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.25)))
+      "q147_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.25)),
+      "q167_build" -> (() => SparkEntry.orcExport(spark, sfDir)),
+      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir)))
     val buildRows = builds.map { case (name, build) =>
       try {
         val t0 = System.nanoTime()

@@ -57,7 +57,11 @@ object Explain {
     "q158_component_churn", "q159_cluster_keywords", "q160_first_carrier",
     "q161_rolling_active", "q162_length_quality_corr",
     "q163_weighted_median", "q164_freeze_digest", "q165_stickiness",
-    "q166_gate_matrix")
+    "q166_gate_matrix", "q167_orc_roundtrip", "q168_zorder_skip",
+    "q169_trend_ols", "q170_entropy_gate", "q171_bucketed_join",
+    "q172_linkage_score", "q173_agg_state_merge",
+    "q174_bootstrap_means", "q175_scd_asof", "q176_schema_evolution",
+    "q177_session_window")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1354,6 +1354,167 @@ object SparkEntry {
       graft.text.Winnow.candidatePairs(documents(s, dir), "doc_id",
         "text", shingleK = 3, window = 4, minShared = 2)),
 
+    // ORC round trip (Sources.writeOrc/readOrc): q72's lossless-
+    // interchange contract over the OTHER columnar warehouse format —
+    // Hive-native shops hand pipelines ORC, not parquet. Same
+    // artifact-once discipline as the JSONL dump.
+    "q167_orc_roundtrip" -> ((s, dir) =>
+      graft.sources.Sources.readOrc(s, orcExport(s, dir))),
+
+    // Z-order layout skip report (ops.ZOrder): per z-bucket bounding
+    // boxes over (user, day) plus the exact file-pruning decision a
+    // min/max reader makes for one box query — the measurable form of
+    // "multi-dimensional clustering makes box scans cheap". The
+    // z-value is plain integer bit arithmetic; ZOrder.zValueSql emits
+    // the SAME term expansion the oracle runs, so the two cannot
+    // drift.
+    "q168_zorder_skip" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        pmod(col("user_id"), lit(256L)).as("xd"),
+        pmod(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long"), lit(256L)).as("yd"))
+      val stats = graft.ops.ZOrder.bucketStats(ev, "xd", "yd",
+        bits = 8, bucketShift = 8)
+      graft.ops.ZOrder.boxSkipReport(stats, 32, 63, 16, 23)
+    }),
+
+    // Daily-volume trend per event type (ops.Trend.dailyTrend): OLS
+    // slope/intercept as exact BIGINT fractions — the growing-or-
+    // dying monitor behind ingest mix decisions, with no IEEE
+    // aggregation anywhere (regr_slope's double sums are partition-
+    // order dependent at 1000 executors; these moments are not).
+    "q169_trend_ols" -> ((s, dir) =>
+      graft.ops.Trend.dailyTrend(events(s, dir), "event_type", "ts",
+        anchor = "2024-01-01")),
+
+    // Character-diversity quality gate (functions.exprs
+    // .char_entropy_proxy / char_distinct_cp): whole-bit entropy
+    // proxy Σ count·floor(log2 count) plus distinct code points, one
+    // codegen'd kernel call per row inside the scan projection — the
+    // boilerplate/padding detector. The oracle rebuilds both numbers
+    // from a one-row-per-character explode.
+    "q170_entropy_gate" -> ((s, dir) =>
+      documents(s, dir).where(col("text").isNotNull).select(
+        col("doc_id"),
+        length(col("text")).as("n_cp"),
+        graft.functions.exprs.char_distinct_cp(col("text"))
+          .as("distinct_cp"),
+        graft.functions.exprs.char_entropy_proxy(col("text"))
+          .as("entropy_proxy"),
+        (graft.functions.exprs.char_distinct_cp(col("text")) < lit(12))
+          .as("low_diversity"))),
+
+    // Bucketed co-located join (catalog.Bucketed): orders and
+    // customer stored pre-hashed on the join key, so the repeated
+    // fact ⋈ dim pays ZERO exchange on either side — the persisted
+    // form of shuffle avoidance when no side is broadcastable
+    // (BucketedJoinSpec pins the exchange-free plan; this query
+    // hash-gates that the layout changes no answer).
+    "q171_bucketed_join" -> ((s, dir) => {
+      val (ot, ct) = bucketedTables(s, dir)
+      val o = graft.catalog.Bucketed.table(s, ot)
+      val c = graft.catalog.Bucketed.table(s, ct)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          centsSum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // Fellegi-Sunter linkage scoring (ops.Linkage.scorePairs) over
+    // q128's sorted-neighborhood candidates: four compared fields
+    // (banded title edit distance, lang, source, length tolerance)
+    // with pinned integer log-odds — the probabilistic step between
+    // candidate generation and a merge decision, exact long
+    // arithmetic end to end.
+    "q172_linkage_score" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val cands = graft.dedup.SortedNeighborhood.candidatePairs(
+        docs, "doc_id", "text", window = 3, levPrefix = 48,
+        threshold = 2)
+      val a = docs.select(col("doc_id").as("a_id"),
+        col("lang").as("a_lang"), col("source").as("a_source"),
+        col("n_chars").as("a_n"))
+      val b = docs.select(col("doc_id").as("b_id"),
+        col("lang").as("b_lang"), col("source").as("b_source"),
+        col("n_chars").as("b_n"))
+      import graft.ops.Linkage
+      Linkage.scorePairs(cands.join(a, "a_id").join(b, "b_id"),
+          Seq(
+            Linkage.Field("title", col("lev") <= 2, 22L, -6L),
+            Linkage.Field("lang", col("a_lang") === col("b_lang"),
+              14L, -3L),
+            Linkage.Field("source",
+              col("a_source") === col("b_source"), 9L, -2L),
+            Linkage.Field("len", abs(col("a_n") - col("b_n")) <= 16,
+              5L, -4L)),
+          matchThreshold = 20L)
+        .select(col("a_id"), col("b_id"), col("title_agree"),
+          col("lang_agree"), col("source_agree"), col("len_agree"),
+          col("score"), col("is_match"))
+    }),
+
+    // Materialized-view maintenance (ops.IncAgg): the per-type
+    // (n, sum, min, max) report maintained as mergeable STATE —
+    // fold the new batch's state into the standing state instead of
+    // rescanning history; the oracle is the recompute-from-scratch
+    // the merge provably equals.
+    "q173_agg_state_merge" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        dayofmonth(col("ts")).as("d"),
+        Exact.cents(col("value")).as("cents"))
+      val hist = ev.filter(col("d") <= 15)
+      val batch = ev.filter(col("d") > 15)
+      graft.ops.IncAgg.merge(Seq("event_type"),
+        Seq(graft.ops.IncAgg.state(hist, Seq("event_type"), "cents"),
+          graft.ops.IncAgg.state(batch, Seq("event_type"), "cents")))
+    }),
+
+    // Deterministic Poisson bootstrap (ops.Bootstrap.replicateMeans):
+    // 32 seeded-md5 replicates of mean doc length per source, every
+    // draw and every mean an exact integer the oracle replays — the
+    // sampling distribution behind "did the filter MOVE the mean, or
+    // is that noise?".
+    "q174_bootstrap_means" -> ((s, dir) =>
+      graft.ops.Bootstrap.replicateMeans(documents(s, dir), "source",
+        "doc_id", "n_chars", reps = 32, salt = "boot42")),
+
+    // SCD2 point-in-time read (etl.Scd.asOf over Scd.history): each
+    // user's state row valid at the frozen instant — "what did the
+    // dimension say when the model trained?". Pure pushed-down
+    // predicate over the history, no window at read time.
+    "q175_scd_asof" -> ((s, dir) => {
+      val hist = graft.etl.Scd.history(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        Seq("user_id"), "ts", Seq("event_type"), Seq("event_id"))
+      graft.etl.Scd.asOf(hist,
+          lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .select(col("user_id"), col("event_type"), col("effective_from"))
+    }),
+
+    // Schema-evolution read (Sources.readParquetMerged): two parquet
+    // epochs written under different schemas (the corpus grew source
+    // and n_chars columns mid-life) reconciled by mergeSchema — old
+    // epochs carry NULL for columns they predate, and the whole
+    // unioned frame is hash-gated.
+    "q176_schema_evolution" -> ((s, dir) =>
+      graft.sources.Sources.readParquetMerged(s, schemaEpochs(s, dir))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))),
+
+    // Native session windows (functions.session_window): the
+    // state-store-capable form of q17's gap sessionization — the SAME
+    // 30-minute gap law, but as a session-merging aggregate with no
+    // per-user sort window, which is what the streaming path runs.
+    "q177_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))),
+
     // Equi-depth histogram (ops.Quantiles.equiDepthHistogram): 16
     // same-population buckets of o_totalprice with exact [lo, hi]
     // spans — the quantile boundaries a partitioner or drift monitor
@@ -2508,6 +2669,54 @@ object SparkEntry {
     * temp artifact root as the pair graphs). */
   private def jsonlDir(dir: String): String =
     artifactRoot + "/jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q167's per-(JVM, source-dir) ORC dump location (same artifact
+    * discipline as [[jsonlDir]]). */
+  private def orcDir(dir: String): String =
+    artifactRoot + "/orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** q167's artifact build, exposed so Bench can time the ORC export
+    * as an explicit `q167_build` row. */
+  private[graft] def orcExport(s: SparkSession, dir: String): String = {
+    val out = orcDir(dir)
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      graft.sources.Sources.writeOrc(documents(s, dir), out)
+    out
+  }
+
+  /** q176's two schema epochs: even doc_ids written under the EARLY
+    * 3-column schema, odd under the full 5-column one — once per
+    * (JVM, source dir). */
+  private[graft] def schemaEpochs(s: SparkSession, dir: String): Seq[String] = {
+    val base = artifactRoot + "/epochs_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val (e1, e2) = (s"$base/e1", s"$base/e2")
+    if (!new java.io.File(e1, "_SUCCESS").exists()) {
+      val docs = documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(e1)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(e2)
+    }
+    Seq(e1, e2)
+  }
+
+  /** q171's bucketed orders/customer tables: written ONCE per (JVM,
+    * source dir) — the layout is the artifact; the query's claim is
+    * that every later join on the bucket key runs exchange-free.
+    * Catalog table names must be identifiers, so the dir is folded to
+    * a lowercase tag. */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val (ot, ct) = (s"bkt_orders_$tag", s"bkt_customer_$tag")
+    if (!graft.catalog.Bucketed.exists(s, ot)) {
+      graft.catalog.Bucketed.write(orders(s, dir), ot,
+        s"$artifactRoot/$ot", "o_custkey", buckets = 8)
+      graft.catalog.Bucketed.write(customer(s, dir), ct,
+        s"$artifactRoot/$ct", "c_custkey", buckets = 8)
+    }
+    (ot, ct)
+  }
 
   /** Shared gold-style fact: lineitem ⋈ orders ⋈ customer with derived
     * calendar attributes (reference fact build, gold.py:256-330). */
@@ -5006,6 +5215,170 @@ object SparkEntry {
     // source rows exactly.
     "q72_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Round-trip identity again, over the ORC write→read.
+    "q167_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // The bit-interleave replayed term by term (ZOrder.zValueSql is
+    // the shared expansion), then the same bucket group-by and the
+    // same bbox-overlap pruning test.
+    "q168_zorder_skip" ->
+      s"""WITH e AS (SELECT user_id % 256 AS x,
+         |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 256 AS y
+         |  FROM events),
+         |z AS (SELECT x, y,
+         |  ${graft.ops.ZOrder.zValueSql("x", "y", 8)} AS z FROM e),
+         |b AS (SELECT z >> 8 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y FROM z GROUP BY 1)
+         |SELECT bucket, n_rows, min_x, max_x, min_y, max_y,
+         |  (max_x >= 32 AND min_x <= 63 AND max_y >= 16 AND min_y <= 23)
+         |    AS touched
+         |FROM b""".stripMargin,
+
+    // Exact integer OLS moments; every sum cast down from DuckDB's
+    // HUGEINT before the moment algebra so both engines combine
+    // BIGINTs.
+    "q169_trend_ols" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS x,
+        |  CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx FROM daily GROUP BY 1)
+        |SELECT event_type, n AS n_days, sy AS sum_y,
+        |  n*sxy - sx*sy AS slope_num,
+        |  sy*sxx - sx*sxy AS intercept_num,
+        |  n*sxx - sx*sx AS den
+        |FROM m""".stripMargin,
+
+    // One row per CHARACTER, histogram per doc, then the whole-bit
+    // proxy: floor(log2 n) = length(bin(n)) - 1 — the same integer
+    // the kernel's numberOfLeadingZeros form computes.
+    "q170_entropy_gate" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM ch GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |  CAST(sum(n * (length(bin(n)) - 1)) AS BIGINT) AS proxy,
+        |  CAST(count(*) AS INTEGER) AS dcp FROM h GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_cp,
+        |  CAST(coalesce(p.dcp, 0) AS INTEGER) AS distinct_cp,
+        |  CAST(coalesce(p.proxy, 0) AS BIGINT) AS entropy_proxy,
+        |  (coalesce(p.dcp, 0) < 12) AS low_diversity
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+        |WHERE d.text IS NOT NULL""".stripMargin,
+
+    // The bucketed layout must change no answer: the oracle is the
+    // plain join over the source tables.
+    "q171_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${Exact.sql.sumMoney("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    // q128's window self-join candidates + the same four agreement
+    // predicates and pinned weights (NULL agreement takes the
+    // disagree branch in both engines' CASE).
+    "q172_linkage_score" ->
+      """WITH r AS (SELECT doc_id, text, lang, source, n_chars,
+        |  row_number() OVER (ORDER BY text, doc_id) AS rn
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) <= 2
+        |    AS title_agree,
+        |  (a.lang = b.lang) AS lang_agree,
+        |  (a.source = b.source) AS source_agree,
+        |  (abs(a.n_chars - b.n_chars) <= 16) AS len_agree
+        |  FROM r AS a JOIN r AS b ON b.rn - a.rn BETWEEN 1 AND 2),
+        |sc AS (SELECT *, CAST(
+        |  (CASE WHEN title_agree THEN 22 ELSE -6 END) +
+        |  (CASE WHEN lang_agree THEN 14 ELSE -3 END) +
+        |  (CASE WHEN source_agree THEN 9 ELSE -2 END) +
+        |  (CASE WHEN len_agree THEN 5 ELSE -4 END) AS BIGINT) AS score
+        |  FROM p)
+        |SELECT a_id, b_id, title_agree, lang_agree, source_agree,
+        |  len_agree, score, (score >= 20) AS is_match
+        |FROM sc""".stripMargin,
+
+    // merge(state(hist), state(batch)) must equal the from-scratch
+    // aggregate — the oracle IS that from-scratch side.
+    "q173_agg_state_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  min(CAST(round(value*100) AS BIGINT)) AS min_v,
+        |  max(CAST(round(value*100) AS BIGINT)) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The seeded-md5 uniform (q87/q164 discipline) through the SAME
+    // pinned Poisson thresholds (Bootstrap.weightCaseSql), the same
+    // exact moments, the same div.
+    "q174_bootstrap_means" ->
+      s"""WITH reps AS (SELECT CAST(unnest(generate_series(0, 31))
+         |    AS INTEGER) AS b),
+         |u AS (SELECT d.source, r.b, d.n_chars,
+         |  CAST('0x' || substring(md5('boot42:' || CAST(r.b AS VARCHAR)
+         |    || ':' || CAST(d.doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS u
+         |  FROM documents d CROSS JOIN reps r),
+         |w AS (SELECT source, b, n_chars,
+         |  ${graft.ops.Bootstrap.weightCaseSql("u")} AS w FROM u),
+         |m AS (SELECT source, b, CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * n_chars) AS BIGINT) AS sum_wx
+         |  FROM w GROUP BY 1, 2)
+         |SELECT source, b, n_eff, sum_wx,
+         |  CASE WHEN n_eff = 0 THEN NULL
+         |    ELSE CAST((1000000 * sum_wx) // n_eff AS BIGINT) END
+         |    AS mean_code
+         |FROM m""".stripMargin,
+
+    // The SCD2 period build replayed with lag/lead (event_id is the
+    // tie for colliding timestamps, same as the Spark order), then
+    // the covering-period predicate at the frozen instant.
+    "q175_scd_asof" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev FROM events),
+        |ch AS (SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts AS effective_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS effective_to FROM ch)
+        |SELECT user_id, event_type, effective_from FROM v
+        |WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (effective_to IS NULL
+        |    OR effective_to > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin,
+
+    // The evolved columns are NULL exactly where the early epoch
+    // (even doc_ids) predates them.
+    "q176_schema_evolution" ->
+      """SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
+
+    // Gaps-and-islands with the session_window law: a gap STRICTLY
+    // longer than 30 min starts a new session (an event exactly AT
+    // the previous end still merges — SessionWindowSpec pins this
+    // boundary); end = last + gap.
+    "q177_session_window" ->
+      """WITH o AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      IS NULL
+        |    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+        |s AS (SELECT user_id, sid, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM s""".stripMargin,
 
     // Positional shingle cover + token-level rewrite, replayed with
     // DuckDB list ops (same m<5 whole-doc convention as q44's CASE).

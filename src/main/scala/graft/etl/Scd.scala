@@ -48,6 +48,19 @@ object Scd {
         Seq("effective_from", "effective_to", "is_current") map col: _*)
   }
 
+  /** Point-in-time read over an SCD2 history: each key's single row
+    * whose period `[effective_from, effective_to)` covers `at` — the
+    * "what did the dimension say when the model trained?" query, and
+    * the join side a time-travel fact rebuild uses. A key first
+    * observed after `at` is (correctly) absent.
+    *
+    * Pure per-row predicate: no window, no shuffle — at 100 TB this is
+    * a scan with the filter pushed to parquet, and on a history
+    * partitioned by period year it prunes to the covering partitions. */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("effective_from") <= at &&
+      (col("effective_to").isNull || col("effective_to") > at))
+
   /** Incremental maintenance: fold a new change batch into an existing
     * history WITHOUT reshuffling closed periods.
     *

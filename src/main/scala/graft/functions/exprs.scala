@@ -33,6 +33,68 @@ object ExprOps {
   def tokenHash64(u: org.apache.spark.unsafe.types.UTF8String): Long =
     SimHash64.tokenHashUtf8(u)
 
+  /** Code-point histogram shared by [[charEntropyProxy]] and
+    * [[charDistinctCp]]: ASCII counts in a flat array (the whole
+    * corpus in practice), anything above U+007F in a small map. One
+    * pass, zero allocation on pure-ASCII rows beyond the 128-slot
+    * array. */
+  private def cpHist(u: org.apache.spark.unsafe.types.UTF8String)
+      : (Array[Long], java.util.HashMap[Integer, Long]) = {
+    val ascii = new Array[Long](128)
+    var wide: java.util.HashMap[Integer, Long] = null
+    val s = u.toString
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Long]()
+        val prev = wide.get(cp)
+        wide.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+    }
+    (ascii, wide)
+  }
+
+  /** Whole-bit entropy proxy over the code-point histogram:
+    * Σ_c count_c · floor(log2 count_c) — the exact-integer stand-in
+    * for Shannon's Σ count·log2(count) (itself one algebraic step
+    * from −Σ p·log2 p). Low values at a given length mean the mass
+    * sits on few characters (boilerplate, repeated padding, encoder
+    * junk); the whole-bit floor keeps the number engine-replayable
+    * where an IEEE log2 is not (same discipline as the idf and
+    * perplexity codes). */
+  def charEntropyProxy(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val (ascii, wide) = cpHist(u)
+    var s = 0L
+    var c = 0
+    while (c < 128) {
+      val n = ascii(c)
+      if (n > 0L) s += n * (63 - java.lang.Long.numberOfLeadingZeros(n))
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) {
+        val n = it.next()
+        s += n * (63 - java.lang.Long.numberOfLeadingZeros(n))
+      }
+    }
+    s
+  }
+
+  /** Distinct code points — the character-diversity gate's other leg
+    * (a 500-char document drawing on 6 characters is not prose). */
+  def charDistinctCp(u: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val (ascii, wide) = cpHist(u)
+    var d = 0
+    var c = 0
+    while (c < 128) { if (ascii(c) > 0L) d += 1; c += 1 }
+    if (wide != null) d += wide.size()
+    d
+  }
+
   def dotD(x: ArrayData, y: ArrayData): Double = {
     val m = x.numElements()
     // fail loudly: a silent min-length truncation would mask dimension
@@ -937,6 +999,53 @@ case class JaccardSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Whole-bit character-entropy proxy — see [[ExprOps.charEntropyProxy]].
+  * One static-call codegen span per row: the 100 TB form of a
+  * character-diversity quality gate is this expression inside the scan
+  * projection, zero shuffle, zero explode (the oracle DOES explode to
+  * one row per character — at sf0.01; that shape is the cross-check,
+  * not the plan). */
+case class CharEntropyProxy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(ExprOps.charEntropyProxy(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.charEntropyProxy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct code points — see [[ExprOps.charDistinctCp]]. */
+case class CharDistinctCp(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(ExprOps.charDistinctCp(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprOps.charDistinctCp($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -973,4 +1082,7 @@ object exprs {
   def jaccard_sim(a: Column, b: Column): Column =
     toCol(JaccardSim(toExpr(a), toExpr(b)))
   def cents(c: Column): Column = toCol(Cents(toExpr(c)))
+  def char_entropy_proxy(c: Column): Column =
+    toCol(CharEntropyProxy(toExpr(c)))
+  def char_distinct_cp(c: Column): Column = toCol(CharDistinctCp(toExpr(c)))
 }

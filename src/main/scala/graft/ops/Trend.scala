@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key trend estimation — exact-integer ordinary least squares over
+  * the (day, daily count) series of each key. "Is this source growing
+  * or dying?" is the monitoring question behind every ingest mix
+  * decision; the OLS slope over daily volumes answers it in one pass.
+  *
+  * Determinism: both engines' `regr_slope` run IEEE double sums whose
+  * association order is partition-dependent — useless for a hash gate
+  * and quietly nondeterministic at 1000 executors. Instead the slope
+  * is kept as an exact integer FRACTION: with x = epoch day and y =
+  * daily count (both BIGINT), slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+  * and intercept = (ΣyΣx² − ΣxΣxy) / same-denominator are ratios of
+  * integer moments, computed here as BIGINT numerator/denominator
+  * pairs. No division ever happens, so no rounding rule can drift
+  * between engines. The `anchor` date re-zeroes x so the moments stay
+  * small: with x = days since the corpus epoch (hundreds, not the
+  * ~2·10⁴ of raw epoch days), the intercept numerator ≈ Σy·Σx² keeps
+  * ~12 decimal digits of headroom below 2⁶³ even for keys carrying
+  * billions of events per day — and the intercept is the fitted
+  * volume AT the anchor, the number a drift monitor actually reads.
+  *
+  * Scale: one partial-aggregating group-by to days, one to keys — both
+  * map-side combinable; state per key is five longs. No windows, no
+  * sorts, no driver math.
+  */
+object Trend {
+  /** Daily-count OLS per `keyCol`: returns (key, n_days, sum_y,
+    * slope_num, intercept_num, den) with slope = slope_num/den,
+    * intercept = intercept_num/den. `den = 0` (single observed day)
+    * means the trend is undefined — callers treat it as "no signal",
+    * never as zero slope. */
+  def dailyTrend(df: DataFrame, keyCol: String, tsCol: String,
+                 anchor: String = "1970-01-01"): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)), lit(anchor).cast("date"))
+          .cast("long").as("x"))
+      .groupBy("k", "x")
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col(keyCol), col("n_days"), col("sy").as("sum_y"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .as("intercept_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
+  }
+}

@@ -37,4 +37,27 @@ object Sources {
     * oracle hash-verifies this on the documents table). */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC source — the OTHER columnar warehouse format (Hive-native
+    * shops hand training pipelines ORC, not parquet). Spark's reader
+    * carries the same pushdown/pruning machinery as parquet: explicit
+    * schema optional because ORC files embed theirs. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (schema + nulls + timestamps survive a write→read
+    * round trip bit-exactly; q167's oracle hash-gates this on the
+    * documents table the same way q72 gates JSONL). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Schema-evolution read: union parquet epochs written under
+    * DIFFERENT schemas (columns added over a corpus's life) into one
+    * frame — `mergeSchema` reconciles by column name, old epochs carry
+    * NULL for columns they predate. The footer merge costs one
+    * metadata pass over the listed paths; row reads stay columnar and
+    * pruned. Type CHANGES (not additions) are refused by Spark — the
+    * loud failure a silent cast would hide. */
+  def readParquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -29,6 +29,27 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Native session windows on the stream — the state-store form of
+    * q177's batch aggregate (same close-boundary gap law, enforced by
+    * SessionWindowSpec on the batch side). Append mode: a session row
+    * emits once, when the watermark passes its end — the
+    * exactly-once-per-session contract a downstream sink wants.
+    * State is one open session per active user, evicted at the
+    * watermark; nothing grows with history. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz")
+          .as("session_start"),
+        col("session_window.end").cast("timestamp_ntz")
+          .as("session_end"),
+        col("n_events"))
+
   /** Hourly tumbling-window counts/sums with a late-data watermark —
     * state is bounded by (watermark horizon × event types). */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -128,4 +128,25 @@ class ScdSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected a single shuffle, plan:\n$plan")
   }
+
+  test("asOf returns exactly the covering period per key") {
+    val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    def at(t: String) = Scd.asOf(h, lit(ts(t)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // mid key-1's first period; key 2 not yet observed
+    assert(at("2024-01-10 00:00:00") == Map(1L -> "gold"))
+    // both alive; key 1 still gold (the no-op row opened nothing)
+    assert(at("2024-02-15 00:00:00") == Map(1L -> "gold", 2L -> "bronze"))
+    // after key 1's change
+    assert(at("2024-06-01 00:00:00") == Map(1L -> "silver", 2L -> "bronze"))
+    // before anything existed
+    assert(at("2023-12-31 23:59:59").isEmpty)
+  }
+
+  test("asOf boundary: a period starts AT its effective_from, ends before effective_to") {
+    val h = Scd.history(log, Seq("k"), "ts", Seq("tier"), Seq("seq"))
+    val atChange = Scd.asOf(h, lit(ts("2024-03-01 00:00:00")))
+      .filter(col("k") === 1L).collect()
+    assert(atChange.length == 1 && atChange(0).getString(1) == "silver")
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Trend
+
+/** ops.Trend: exact-integer OLS over per-key daily counts. */
+class TrendSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(rows: (String, String)*) =
+    rows.toDF("k", "ts").select(col("k"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+
+  test("hand-computed slope and intercept: y = 2x + 2 fits exactly") {
+    // day 0: 2 events, day 1: 4, day 2: 6 -> slope 2, intercept 2
+    val e = ev(
+      (Seq.fill(2)(("a", "2024-01-01 05:00:00")) ++
+        Seq.fill(4)(("a", "2024-01-02 09:30:00")) ++
+        Seq.fill(6)(("a", "2024-01-03 23:59:59"))): _*)
+    val r = Trend.dailyTrend(e, "k", "ts", anchor = "2024-01-01").head()
+    assert(r.getAs[Long]("n_days") == 3)
+    assert(r.getAs[Long]("sum_y") == 12)
+    val den = r.getAs[Long]("den")
+    assert(den != 0)
+    assert(r.getAs[Long]("slope_num") == 2 * den)
+    assert(r.getAs[Long]("intercept_num") == 2 * den)
+  }
+
+  test("flat series: slope exactly zero, intercept exactly the level") {
+    val e = ev((for (d <- 1 to 9; _ <- 1 to 3)
+      yield ("b", f"2024-02-0$d 12:00:00")): _*)
+    val r = Trend.dailyTrend(e, "k", "ts", anchor = "2024-02-01").head()
+    assert(r.getAs[Long]("slope_num") == 0L)
+    val den = r.getAs[Long]("den")
+    assert(r.getAs[Long]("intercept_num") == 3 * den)
+  }
+
+  test("single observed day: den = 0, the undefined-trend sentinel") {
+    val e = ev(("c", "2024-03-05 01:00:00"), ("c", "2024-03-05 02:00:00"))
+    val r = Trend.dailyTrend(e, "k", "ts").head()
+    assert(r.getAs[Long]("den") == 0L)
+    assert(r.getAs[Long]("n_days") == 1L)
+  }
+
+  test("keys fit independently; a declining key gets a negative numerator") {
+    val rows = Seq.fill(5)(("up", "2024-01-01 00:00:01")) ++
+      Seq.fill(9)(("up", "2024-01-04 00:00:01")) ++
+      Seq.fill(9)(("down", "2024-01-01 00:00:01")) ++
+      Seq.fill(5)(("down", "2024-01-04 00:00:01"))
+    val out = Trend.dailyTrend(ev(rows: _*), "k", "ts",
+        anchor = "2024-01-01")
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("slope_num"), r.getAs[Long]("den"))).toMap
+    assert(out("up")._1 > 0 && out("down")._1 < 0)
+    assert(out("up")._2 > 0 && out("down")._2 > 0)
+    // symmetric series: equal magnitude
+    assert(out("up")._1 == -out("down")._1)
+  }
+}
