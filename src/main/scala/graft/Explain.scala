@@ -61,7 +61,8 @@ object Explain {
     "q169_trend_ols", "q170_entropy_gate", "q171_bucketed_join",
     "q172_linkage_score", "q173_agg_state_merge",
     "q174_bootstrap_means", "q175_scd_asof", "q176_schema_evolution",
-    "q177_session_window")
+    "q177_session_window", "q178_theil_sen", "q179_target_encode",
+    "q180_auc", "q181_confusion", "q182_ndcg")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1502,6 +1502,73 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))),
 
+    // Theil-Sen robust trend (ops.Trend.theilSen): the median of all
+    // pairwise daily slopes per type — the outage/backfill-immune
+    // twin of q169's OLS; exact-integer milli-slopes, deterministic
+    // lower median, pair mass bounded by observed DAYS squared.
+    "q178_theil_sen" -> ((s, dir) =>
+      graft.ops.Trend.theilSen(events(s, dir), "event_type", "ts",
+        anchor = "2024-01-01")),
+
+    // NDCG@10 (ops.Eval.ndcgAtK) of the q113 hybrid ranking against
+    // GRADED dense ground truth (top-3 at grades 3/2/1) — the ranking
+    // metric that rewards order, not just membership; discounts are a
+    // pinned integer table (no runtime log), exact to the last digit.
+    "q182_ndcg" -> ((s, dir) => {
+      val kw = graft.text.Retrieval.searchTopKInline(documents(s, dir),
+        "doc_id", "text", keywordQueryFrame(s), k = 10)
+      val probes = embeddings(s, dir).filter(col("vec_id") < 6)
+      val dense = graft.sim.Ann.bruteForceTopK(embeddings(s, dir),
+          probes, k = 10)
+        .withColumnRenamed("vec_id", "doc_id")
+      val hybrid = graft.text.Retrieval.hybridRrf(kw, dense, k = 10)
+      val rel = graft.sim.Ann.bruteForceTopK(embeddings(s, dir),
+          probes, k = 3)
+        .withColumnRenamed("vec_id", "doc_id")
+        .select(col("qid"), col("doc_id"),
+          (lit(4L) - col("rank").cast("long")).as("grade"))
+      graft.ops.Eval.ndcgAtK(hybrid, rel, k = 10)
+    }),
+
+    // Exact AUC per source (ops.Eval.aucBySegment): the Mann-Whitney
+    // rank-sum of the q93 classifier score predicting the length
+    // label, ties counted 1/2 via doubled midranks — every step an
+    // exact integer; the "is this score worth thresholding" report.
+    "q180_auc" -> ((s, dir) => {
+      val scored = documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"),
+          graft.functions.exprs.classifier_score(
+            graft.text.TextFunctions.tokens(col("text"))).as("score"),
+          (col("n_chars") >= 300).cast("int").as("y"))
+      graft.ops.Eval.aucBySegment(scored, "source", "score", "y")
+    }),
+
+    // Confusion cells + fixed-point precision/recall/F1 at the
+    // pinned threshold (ops.Eval.confusionAt) — q180's companion:
+    // once the AUC says the score ranks well, this is the operating
+    // point report.
+    "q181_confusion" -> ((s, dir) => {
+      val scored = documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"),
+          graft.functions.exprs.classifier_score(
+            graft.text.TextFunctions.tokens(col("text"))).as("score"),
+          (col("n_chars") >= 300).cast("int").as("y"))
+      graft.ops.Eval.confusionAt(scored, "source", "score", "y",
+        threshold = 0L)
+    }),
+
+    // Leakage-safe target encoding (ops.TargetEncode.encodingTable):
+    // each (source, fold) cell's smoothed OUT-of-fold target mean in
+    // 1e-6 units — the categorical featurizer that cannot leak a
+    // row's own label; seeded-md5 folds, frozen prior code, exact
+    // long arithmetic.
+    "q179_target_encode" -> ((s, dir) =>
+      graft.ops.TargetEncode.encodingTable(
+        documents(s, dir).withColumn("quality",
+          (col("n_chars") >= 300).cast("int")),
+        "source", "quality", "doc_id", folds = 5, m = 20L,
+        salt = "te42")),
+
     // Native session windows (functions.session_window): the
     // state-store-capable form of q17's gap sessionization — the SAME
     // 30-minute gap law, but as a session-merging aggregate with no
@@ -3626,6 +3693,41 @@ object SparkEntry {
     "q117_phrase_scrub" -> phraseScrubOracleSql,
     "q118_rank_eval" -> rankEvalOracleSql,
 
+    // q118's hybrid + graded-truth CTEs, the SAME pinned discount
+    // table (Eval.discountCaseSql), the same ideal-order truncation.
+    "q182_ndcg" ->
+      s"""WITH hy AS ($hybridRrfOracleSql),
+         |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |dsc2 AS (SELECT q.vec_id AS qid, e2.vec_id,
+         |    list_dot_product(q.v, e2.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) *
+         |       sqrt(list_dot_product(e2.v, e2.v))) AS sim
+         |  FROM e2 q, e2 WHERE e2.vec_id <> q.vec_id AND q.vec_id < 6),
+         |rel AS (SELECT qid, vec_id AS doc_id, 4 - rnk AS grade FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM dsc2) WHERE rnk <= 3),
+         |d AS (SELECT h.qid,
+         |    sum(coalesce(r.grade, 0) *
+         |      ${graft.ops.Eval.discountCaseSql("h.rank")}) AS dcg
+         |  FROM hy h LEFT JOIN rel r
+         |    ON r.qid = h.qid AND r.doc_id = h.doc_id
+         |  WHERE h.rank <= 10 GROUP BY 1),
+         |i AS (SELECT qid,
+         |    sum(grade * ${graft.ops.Eval.discountCaseSql("irank")})
+         |      AS idcg
+         |  FROM (SELECT qid, grade, doc_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY grade DESC, doc_id) AS irank
+         |    FROM rel) WHERE irank <= 10 GROUP BY 1)
+         |SELECT CAST(i.qid AS BIGINT) AS qid,
+         |  CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg_code,
+         |  CAST(i.idcg AS BIGINT) AS idcg_code,
+         |  CASE WHEN i.idcg = 0 THEN NULL
+         |    ELSE CAST((1000000 * CAST(coalesce(d.dcg, 0) AS BIGINT))
+         |      // CAST(i.idcg AS BIGINT) AS BIGINT) END AS ndcg_code
+         |FROM i LEFT JOIN d ON d.qid = i.qid""".stripMargin,
+
     // The q65 cosine replay split train/probe: hit counts against
     // the held-out side, left-joined back so zero-hit rows survive.
     "q124_semantic_decon" ->
@@ -5359,6 +5461,115 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars
         |FROM documents""".stripMargin,
+
+    // The q93/q162 score CTE + doubled-midrank windows + the exact
+    // rank-sum; every HUGEINT sum cast down before the algebra.
+    "q180_auc" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS tok FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.source,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+         |  CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |r AS (SELECT source, score, y,
+         |  2 * rank() OVER (PARTITION BY source ORDER BY score)
+         |    + count(*) OVER (PARTITION BY source, score) - 1 AS r2
+         |  FROM sc),
+         |m AS (SELECT source,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(count(*) AS BIGINT) - CAST(sum(y) AS BIGINT) AS n_neg,
+         |  CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+         |    - CAST(sum(y) AS BIGINT) * (CAST(sum(y) AS BIGINT) + 1)
+         |    AS u2
+         |  FROM r GROUP BY 1)
+         |SELECT source, n_pos, n_neg, u2,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+         |  END AS auc_code
+         |FROM m""".stripMargin,
+
+    // Same score CTE, conditional cell counts, the same guarded divs.
+    "q181_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS tok FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.source,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+         |  CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |c AS (SELECT source,
+         |  CAST(sum(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score >= 0 AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn
+         |  FROM sc GROUP BY 1)
+         |SELECT source, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |    ELSE CAST((1000000 * tp) // (tp + fp) AS BIGINT) END
+         |    AS precision_code,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |    ELSE CAST((1000000 * tp) // (tp + fn) AS BIGINT) END
+         |    AS recall_code,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |    ELSE CAST((2000000 * tp) // (2 * tp + fp + fn) AS BIGINT)
+         |  END AS f1_code
+         |FROM c""".stripMargin,
+
+    // The pairwise-slope join replayed; integer division truncates
+    // toward zero in BOTH engines (verified on negatives), and the
+    // lower median is the same (slope, dx, dy)-ranked crossing.
+    "q178_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS x,
+        |  CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  (1000 * (b.y - a.y)) // (b.x - a.x) AS slope_milli,
+        |  b.x - a.x AS dx, b.y - a.y AS dy
+        |  FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (SELECT event_type, slope_milli,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY slope_milli, dx, dy) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n_pairs FROM p)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(slope_milli AS BIGINT) AS slope_milli_med
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    // Same seeded-md5 folds, same frozen prior code, same exact
+    // smoothing arithmetic.
+    "q179_target_encode" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS t,
+        |  CAST('0x' || substring(md5('te42:' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 5 AS fold
+        |  FROM documents),
+        |g AS (SELECT (1000000 * CAST(sum(t) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS prior_code FROM t),
+        |pf AS (SELECT source, fold, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(t) AS BIGINT) AS s_in FROM t GROUP BY 1, 2),
+        |pc AS (SELECT source, CAST(sum(n_in) AS BIGINT) AS n_all,
+        |  CAST(sum(s_in) AS BIGINT) AS s_all FROM pf GROUP BY 1)
+        |SELECT pf.source, CAST(pf.fold AS BIGINT) AS fold,
+        |  (pc.n_all - pf.n_in) AS n_out,
+        |  (pc.s_all - pf.s_in) AS s_out,
+        |  CAST((1000000 * (pc.s_all - pf.s_in)
+        |      + 20 * (SELECT prior_code FROM g))
+        |    // ((pc.n_all - pf.n_in) + 20) AS BIGINT) AS code
+        |FROM pf JOIN pc ON pc.source = pf.source""".stripMargin,
 
     // Gaps-and-islands with the session_window law: a gap STRICTLY
     // longer than 30 min starts a new session (an event exactly AT

@@ -53,4 +53,45 @@ object Trend {
           .as("intercept_num"),
         (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"))
   }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise daily
+    * slopes — up to ~29% of the days can be outliers (a crawler
+    * outage, a backfill spike) without moving it, where [[dailyTrend]]
+    * 's OLS chases every spike. Slopes are exact-integer milli-units
+    * `(1000·Δy) div Δx` (both engines truncate integer division
+    * toward zero, verified), and the median is the deterministic
+    * LOWER median under (slope, Δx, Δy) order.
+    *
+    * Scale: the pair join is per-key O(d²) in OBSERVED DAYS d — not
+    * in rows — so a year-long series is ≤ 66k pairs per key no matter
+    * how many billions of events back it; the join shuffles the
+    * |keys|·d daily frame once on the key. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+               anchor: String = "1970-01-01"): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)), lit(anchor).cast("date"))
+          .cast("long").as("x"))
+      .groupBy("k", "x")
+      .agg(count(lit(1)).as("y"))
+    val a = daily.select(col("k"), col("x").as("xi"), col("y").as("yi"))
+    val b = daily.select(col("k"), col("x").as("xj"), col("y").as("yj"))
+    val pairs = a.join(b, Seq("k")).filter(col("xi") < col("xj"))
+      .select(col("k"),
+        expr("(1000 * (yj - yi)) div (xj - xi)").as("slope_milli"),
+        (col("xj") - col("xi")).as("dx"), (col("yj") - col("yi")).as("dy"))
+    // deterministic lower median: rank under the total (slope, dx, dy)
+    // order, pick ceil(n/2). Keys are many and series short, so the
+    // per-key window never funnels a corpus through one task.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+      .orderBy(col("slope_milli"), col("dx"), col("dy"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("k").as(keyCol), col("n_pairs"),
+        col("slope_milli").as("slope_milli_med"))
+  }
 }

@@ -42,6 +42,42 @@ class TrendSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_days") == 1L)
   }
 
+  test("theilSen: perfect line recovers the exact slope") {
+    val e = ev(
+      (Seq.fill(2)(("a", "2024-01-01 05:00:00")) ++
+        Seq.fill(4)(("a", "2024-01-02 09:30:00")) ++
+        Seq.fill(6)(("a", "2024-01-03 23:59:59"))): _*)
+    val r = Trend.theilSen(e, "k", "ts", anchor = "2024-01-01").head()
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("slope_milli_med") == 2000L)
+  }
+
+  test("theilSen shrugs off the outlier day that drags OLS") {
+    // days 0-4: counts 2,4,6,8,100 — the last day is a backfill spike
+    val rows = (0 to 3).flatMap(d =>
+      Seq.fill(2 * (d + 1))(("a", f"2024-01-0${d + 1} 12:00:00"))) ++
+      Seq.fill(100)(("a", "2024-01-05 12:00:00"))
+    val e = ev(rows: _*)
+    val ts = Trend.theilSen(e, "k", "ts", anchor = "2024-01-01").head()
+    assert(ts.getAs[Long]("n_pairs") == 10L)
+    // 6 of 10 pair slopes are exactly 2/day; the lower median sits on them
+    assert(ts.getAs[Long]("slope_milli_med") == 2000L)
+    // OLS on the same series reports a slope an order larger
+    val ols = Trend.dailyTrend(e, "k", "ts", anchor = "2024-01-01").head()
+    val olsMilli = 1000.0 * ols.getAs[Long]("slope_num") /
+      ols.getAs[Long]("den")
+    assert(olsMilli > 15000.0, s"OLS milli-slope $olsMilli")
+  }
+
+  test("theilSen: declining series yields a negative median slope") {
+    val rows = Seq.fill(9)(("d", "2024-02-01 01:00:00")) ++
+      Seq.fill(5)(("d", "2024-02-02 01:00:00")) ++
+      Seq.fill(1)(("d", "2024-02-03 01:00:00"))
+    val r = Trend.theilSen(ev(rows: _*), "k", "ts",
+      anchor = "2024-02-01").head()
+    assert(r.getAs[Long]("slope_milli_med") == -4000L)
+  }
+
   test("keys fit independently; a declining key gets a negative numerator") {
     val rows = Seq.fill(5)(("up", "2024-01-01 00:00:01")) ++
       Seq.fill(9)(("up", "2024-01-04 00:00:01")) ++
