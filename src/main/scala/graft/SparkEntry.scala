@@ -1510,6 +1510,21 @@ object SparkEntry {
       graft.ops.Trend.theilSen(events(s, dir), "event_type", "ts",
         anchor = "2024-01-01")),
 
+    // CUBE + grouping_id (q32's rollup widened to the full lattice):
+    // every (year, status) subtotal plane in ONE pass — Spark's
+    // Expand — with the standard bitmask disambiguating "NULL because
+    // aggregated away" from a NULL data value; the warehouse
+    // subtotal-report shape.
+    "q183_cube_report" -> ((s, dir) =>
+      orders(s, dir)
+        .withColumn("year_o", year(col("o_orderdate")))
+        .cube(col("year_o"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("sum_total"))
+        .select(col("year_o"), col("o_orderstatus"), col("gid"),
+          col("n_orders"), col("sum_total"))),
+
     // NDCG@10 (ops.Eval.ndcgAtK) of the q113 hybrid ranking against
     // GRADED dense ground truth (top-3 at grades 3/2/1) — the ranking
     // metric that rewards order, not just membership; discounts are a
@@ -3259,6 +3274,18 @@ object SparkEntry {
          | count(*) AS n_orders,
          | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
          |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    // The full lattice + the standard GROUPING bitmask (first
+    // grouping column = high bit in both engines; DuckDB's GROUPING
+    // needs plain grouping COLUMNS, hence the CTE).
+    "q183_cube_report" ->
+      s"""WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER)
+         |    AS year_o, o_orderstatus, o_totalprice FROM orders)
+         |SELECT year_o, o_orderstatus,
+         | CAST(GROUPING(year_o, o_orderstatus) AS BIGINT) AS gid,
+         | count(*) AS n_orders,
+         | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
+         |FROM o GROUP BY CUBE (year_o, o_orderstatus)""".stripMargin,
 
     "q35_chunking" ->
       TF.sql.chunksQuery("documents", "doc_id", "text", 64, 48),

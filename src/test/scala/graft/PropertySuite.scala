@@ -269,4 +269,64 @@ object PropertySuite extends Properties("graft") {
         sizes.toSeq.sortBy(_._1).map(_._2).sliding(2)
           .forall(p => p.length < 2 || p(0) >= p(1))
     }
+
+  // q168's layout primitive: the interleave is a BIJECTION on the
+  // bit-bounded grid (no two cells share a z-value, every z decodes
+  // back) — the property file-range pruning soundness rests on.
+  property("zValue is injective on the grid and inverts exactly") =
+    Prop.forAll(Gen.choose(1, 8),
+      Gen.listOfN(40, Gen.choose(0L, 255L)),
+      Gen.listOfN(40, Gen.choose(0L, 255L))) { (bits, xs, ys) =>
+      val mask = (1L << bits) - 1
+      val pts = xs.zip(ys).map { case (x, y) => (x & mask, y & mask) }
+        .distinct
+      val zs = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.ops.ZOrder.zValue(col("x"), col("y"), bits).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def dec(z: Long): (Long, Long) = {
+        var (x, y, i) = (0L, 0L, 0)
+        while (i < bits) {
+          x |= ((z >> (2 * i)) & 1L) << i
+          y |= ((z >> (2 * i + 1)) & 1L) << i
+          i += 1
+        }
+        (x, y)
+      }
+      zs.map(_._3).distinct.length == pts.length &&
+        zs.forall { case (x, y, z) => dec(z) == ((x, y)) }
+    }
+
+  // q173's contract verbatim: merge(state(a), state(b)) equals
+  // state(a ++ b) for ANY split of ANY data — the monoid law.
+  property("IncAgg.merge is state(a ++ b) for any split") =
+    Prop.forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0, 3),
+      Gen.choose(-500L, 500L))), Gen.choose(0, 40)) { (rows, cut) =>
+      val (a, b) = rows.map { case (k, v) => (s"k$k", v) }.splitAt(cut)
+      def st(r: Seq[(String, Long)]) =
+        graft.ops.IncAgg.state(r.toDF("k", "v"), Seq("k"), "v")
+      val full = st(a ++ b).collect().map(_.toSeq).toSet
+      val merged = (a.nonEmpty, b.nonEmpty) match {
+        case (true, true) =>
+          graft.ops.IncAgg.merge(Seq("k"), Seq(st(a), st(b)))
+            .collect().map(_.toSeq).toSet
+        case _ => full // an empty side merges trivially
+      }
+      merged == full
+    }
+
+  // q180's statistic is RANK-based: any strictly monotone transform
+  // of the scores must leave every AUC output bit-identical.
+  property("AUC is invariant under strictly monotone score transforms") =
+    Prop.forAll(Gen.listOfN(30, Gen.zip(Gen.choose(-20L, 20L),
+      Gen.oneOf(0, 1)))) { rows =>
+      val df = rows.map { case (s, y) => ("g", s, y) }
+        .toDF("seg", "score", "y")
+      def auc(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Eval.aucBySegment(d, "seg", "score", "y")
+          .collect().map(_.toSeq).toSet
+      // 3s + 41 is strictly increasing and order-preserving on longs
+      auc(df) == auc(df.withColumn("score",
+        col("score") * 3 + 41))
+    }
 }
