@@ -1510,6 +1510,29 @@ object SparkEntry {
       graft.ops.Trend.theilSen(events(s, dir), "event_type", "ts",
         anchor = "2024-01-01")),
 
+    // Kendall tau-b per source (ops.Eval.kendallBySegment): does the
+    // classifier score ORDER documents the way length does? — the
+    // assumption-free rank twin of q162's Pearson; five exact pair
+    // classes from one id-ordered self-join, then q162's fixed IEEE
+    // op-sequence into a 2^14 code.
+    "q184_kendall" -> ((s, dir) => {
+      val scored = documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").as("x"),
+          graft.functions.exprs.classifier_score(
+            graft.text.TextFunctions.tokens(col("text"))).as("y"))
+      graft.ops.Eval.kendallBySegment(scored, "source", "x", "y",
+        "doc_id")
+    }),
+
+    // Quantile normalization (ops.Quantiles.quantileNormalize): every
+    // source's length profile mapped onto the pooled distribution at
+    // the same relative rank — exact integer positions, the
+    // distribution-alignment step before cross-source comparison.
+    "q185_quantile_norm" -> ((s, dir) =>
+      graft.ops.Quantiles.quantileNormalize(documents(s, dir),
+        "source", "n_chars", "doc_id")),
+
     // CUBE + grouping_id (q32's rollup widened to the full lattice):
     // every (year, status) subtotal plane in ONE pass — Spark's
     // Expand — with the standard bitmask disambiguating "NULL because
@@ -3274,6 +3297,60 @@ object SparkEntry {
          | count(*) AS n_orders,
          | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
          |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    // The q93 score CTE + the id-ordered pair join + the same five
+    // counters and the same fixed op sequence into round(.*2^14).
+    "q184_kendall" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS tok FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.source, d.doc_id,
+         |  CAST(d.n_chars AS BIGINT) AS x,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS y
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |p AS (SELECT a.source,
+         |  (a.x - b.x) * (a.y - b.y) AS sgn,
+         |  (a.x = b.x) AS ex, (a.y = b.y) AS ey
+         |  FROM sc a JOIN sc b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id),
+         |m AS (SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS nc,
+         |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS nd,
+         |  CAST(sum(CASE WHEN ex AND NOT ey THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tie_x,
+         |  CAST(sum(CASE WHEN ey AND NOT ex THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tie_y
+         |  FROM p GROUP BY 1)
+         |SELECT source, n_pairs, nc, nd, tie_x, tie_y,
+         |  CASE WHEN nc + nd + tie_x = 0 OR nc + nd + tie_y = 0 THEN 0
+         |    ELSE CAST(round(CAST(nc - nd AS DOUBLE)
+         |      / (sqrt(CAST(nc + nd + tie_x AS DOUBLE))
+         |        * sqrt(CAST(nc + nd + tie_y AS DOUBLE)))
+         |      * 16384.0) AS BIGINT) END AS tau_b_code
+         |FROM m""".stripMargin,
+
+    // Both rankings as plain windows, the same exact position map.
+    "q185_quantile_norm" ->
+      """WITH b AS (SELECT source, doc_id, n_chars FROM documents),
+        |w AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS r,
+        |  count(*) OVER (PARTITION BY source) AS n_seg FROM b),
+        |p AS (SELECT n_chars AS norm_value,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS pos FROM b),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b)
+        |SELECT w.source, w.doc_id, w.n_chars,
+        |  CAST((w.r * n.nt) // w.n_seg AS BIGINT) AS pos,
+        |  p.norm_value
+        |FROM w CROSS JOIN n
+        |JOIN p ON p.pos = (w.r * n.nt) // w.n_seg""".stripMargin,
 
     // The full lattice + the standard GROUPING bitmask (first
     // grouping column = high bit in both engines; DuckDB's GROUPING

@@ -102,6 +102,44 @@ object Eval {
           "ELSE (1000000 * dcg_code) div idcg_code END"))
   }
 
+  /** Kendall tau-b rank correlation per segment — "do these two
+    * signals ORDER the corpus the same way?", the assumption-free
+    * complement to q162's Pearson (which sees only linear structure).
+    * All five pair classes are exact longs from one id-ordered
+    * self-join; tau-b then takes q162's fixed-IEEE-op-sequence
+    * discipline: one sqrt each side, one division, `round(·2^14)` —
+    * identical instruction order in both engines, code 0 when either
+    * side is all-ties (no ordering to correlate).
+    *
+    * Scale: pairs are per-segment O(n²) — the EVAL-SET operator, like
+    * q65's exact oracle: right where segments are samples (thousands),
+    * deliberately not the corpus path. */
+  def kendallBySegment(df: DataFrame, segCol: String, xCol: String,
+                       yCol: String, idCol: String): DataFrame = {
+    val a = df.select(col(segCol), col(idCol).as("ia"),
+      col(xCol).cast("long").as("xa"), col(yCol).cast("long").as("ya"))
+    val b = df.select(col(segCol), col(idCol).as("ib"),
+      col(xCol).cast("long").as("xb"), col(yCol).cast("long").as("yb"))
+    val sgn = (col("xa") - col("xb")) * (col("ya") - col("yb"))
+    a.join(b, Seq(segCol)).filter(col("ia") < col("ib"))
+      .groupBy(col(segCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(sgn > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(sgn < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L)
+          .otherwise(0L)).as("tie_x"),
+        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1L)
+          .otherwise(0L)).as("tie_y"))
+      .withColumn("tau_b_code",
+        when(col("nc") + col("nd") + col("tie_x") === 0 ||
+          col("nc") + col("nd") + col("tie_y") === 0, lit(0L))
+          .otherwise(round(
+            (col("nc") - col("nd")).cast("double") /
+              (sqrt((col("nc") + col("nd") + col("tie_x")).cast("double"))
+                * sqrt((col("nc") + col("nd") + col("tie_y"))
+                  .cast("double"))) * lit(16384.0)).cast("long")))
+  }
+
   /** Per-segment confusion cells at `predicted = score >= threshold`,
     * plus 1e-6 fixed-point precision/recall/F1. Degenerate segments
     * emit NULL codes (no positives predicted, no positives present)

@@ -206,4 +206,38 @@ object Quantiles {
       .agg(count(lit(1)).as("n"),
         min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
   }
+
+  /** Quantile normalization: replace each row's value with the POOLED
+    * distribution's value at the row's within-segment relative rank —
+    * the distribution-alignment transform ("make every source's
+    * length profile look like the corpus's") that curriculum and
+    * mixture weighting want before comparing across sources. The
+    * mapping is the exact integer position `pos = (r·N) div n_seg`
+    * (r = within-segment rank, N = pooled size), so two engines — or
+    * two partitionings — produce byte-identical output; ties break on
+    * the id in both rankings.
+    *
+    * Scale: both rankings are [[segmentedRowNumber]] (boundary
+    * sketch + parallel per-bucket windows — the pooled ranking's
+    * "one segment" still fans out across buckets), and the value
+    * lookup is an equi-join on the rank. One bounded driver action
+    * fetches N (a scalar, the watermark discipline). */
+  def quantileNormalize(df: DataFrame, segCol: String, valCol: String,
+                        idCol: String, nBuckets: Int = 64): DataFrame = {
+    val base = df.select(col(segCol), col(idCol), col(valCol))
+    val nTotal = base.count()
+    val within = segmentedRowNumber(base, segCol, valCol,
+        Seq(col(valCol), col(idCol)), nBuckets)
+      .select(col(segCol), col(idCol), col(valCol),
+        col("__rn").as("r"), col("__n").as("n_seg"))
+      .withColumn("pos", expr(s"(r * ${nTotal}L) div n_seg"))
+    val pooled = segmentedRowNumber(
+        base.select(col(idCol).as("__pid"), col(valCol),
+          lit(0).as("__pool")),
+        "__pool", valCol, Seq(col(valCol), col("__pid")), nBuckets)
+      .select(col("__rn").as("pos"), col(valCol).as("norm_value"))
+    within.join(pooled, Seq("pos"))
+      .select(col(segCol), col(idCol), col(valCol), col("pos"),
+        col("norm_value"))
+  }
 }

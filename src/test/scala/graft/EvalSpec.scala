@@ -63,6 +63,26 @@ class EvalSpec extends SparkTestBase {
       m.getAs[Long]("ndcg_code") == 0L)
   }
 
+  test("Kendall tau-b: perfect agreement, reversal, the tie case, all-ties guard") {
+    def tau(rows: Seq[(String, Long, Long, Long)]) =
+      Eval.kendallBySegment(rows.toDF("seg", "id", "x", "y"),
+          "seg", "x", "y", "id")
+        .collect().map(r => r.getString(0) -> r).toMap
+    val m = tau(Seq(
+      ("up", 1L, 1L, 10L), ("up", 2L, 2L, 20L), ("up", 3L, 3L, 30L),
+      ("down", 1L, 1L, 30L), ("down", 2L, 2L, 20L), ("down", 3L, 3L, 10L),
+      // x ties once: nc=2, tie_x=1 -> 2/sqrt(6) -> 13377
+      ("tied", 1L, 1L, 1L), ("tied", 2L, 1L, 2L), ("tied", 3L, 2L, 3L),
+      // y constant: no ordering to correlate -> 0 by the guard
+      ("flat", 1L, 1L, 7L), ("flat", 2L, 2L, 7L), ("flat", 3L, 3L, 7L)))
+    assert(m("up").getAs[Long]("tau_b_code") == 16384L)
+    assert(m("down").getAs[Long]("tau_b_code") == -16384L)
+    val t = m("tied")
+    assert(t.getAs[Long]("nc") == 2 && t.getAs[Long]("tie_x") == 1)
+    assert(t.getAs[Long]("tau_b_code") == 13377L)
+    assert(m("flat").getAs[Long]("tau_b_code") == 0L)
+  }
+
   test("confusion cells and F1 at a threshold, with degenerate guards") {
     val df = Seq(
       ("s", 5L, 1), ("s", 5L, 0), ("s", -1L, 1), ("s", -2L, 0),

@@ -141,4 +141,43 @@ class QuantilesSpec extends SparkTestBase {
     assert(plan.contains("__bkt"), plan.take(2000))
     assert(!plan.contains("windowspecdefinition(v#"), plan.take(2000))
   }
+
+  test("quantileNormalize: single-segment identity, row preservation, monotone mapping") {
+    import spark.implicits._
+    // one segment: the mapping is the identity (pos == r, value == value)
+    val one = (1L to 20L).map(i => ("s", i, i * 3)).toDF("seg", "id", "v")
+    val idOut = Quantiles.quantileNormalize(one, "seg", "v", "id",
+      nBuckets = 4).collect()
+    assert(idOut.length == 20)
+    idOut.foreach(r =>
+      assert(r.getAs[Long]("norm_value") == r.getAs[Long]("v")))
+
+    // two skewed segments: every row survives, and within a segment
+    // the normalized value is monotone in the original
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 60L).map(i => ("small", i, rnd.nextInt(50).toLong)) ++
+      (61L to 160L).map(i => ("big", i, 1000L + rnd.nextInt(50)))
+    val out = Quantiles.quantileNormalize(rows.toDF("seg", "id", "v"),
+      "seg", "v", "id", nBuckets = 8).collect()
+    assert(out.length == 160)
+    out.groupBy(_.getAs[String]("seg")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("v"), r.getAs[Long]("id")))
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2)
+          assert(p(0).getAs[Long]("norm_value") <=
+            p(1).getAs[Long]("norm_value"))
+      }
+      // a segment's top rank maps to the pooled maximum
+      assert(sorted.last.getAs[Long]("pos") == 160L)
+    }
+    // after normalization both segments draw from the SAME pooled
+    // values — their medians coincide where the raw medians differ
+    // by ~1000
+    val med = out.groupBy(_.getAs[String]("seg")).map { case (s, rs) =>
+      s -> rs.map(_.getAs[Long]("norm_value")).sorted
+        .apply(rs.length / 2)
+    }
+    val gap = math.abs(med("small") - med("big"))
+    assert(gap <= 60L, s"medians still far apart: $med")
+  }
 }
