@@ -165,7 +165,9 @@ object Bench {
           Map("nyc_10x_gen" -> gen, "nyc_10x_pipeline" -> pipe)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] nyc_10x FAILED: ${e.getMessage}")
-          Map("nyc_10x_pipeline" -> -1.0)
+          // BOTH rows at -1: a failure must show as a visible marker,
+          // never as a vanished row in the artifact's line diff
+          Map("nyc_10x_gen" -> -1.0, "nyc_10x_pipeline" -> -1.0)
         }
       } else Map.empty[String, Double]
     dropAllState(gc = true)
@@ -240,8 +242,13 @@ object Bench {
     // row per line, sorted, so diffs between rounds are line-diffs.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_RESULTS.json")
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale would emit `2,137` — invalid JSON in
+    // a file whose whole point is machine-readability
     val rows = all.toSeq.sortBy(_._1)
-      .map { case (k, v) => f"""    "$k": $v%.3f""" }.mkString(",\n")
+      .map { case (k, v) => String.format(java.util.Locale.ROOT,
+        """    "%s": %.3f""", k, java.lang.Double.valueOf(v)) }
+      .mkString(",\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{\n  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n$rows\n  }\n}\n""")
     spark.stop()

@@ -1427,7 +1427,10 @@ object SparkEntry {
     // candidate generation and a merge decision, exact long
     // arithmetic end to end.
     "q172_linkage_score" -> ((s, dir) => {
-      val docs = documents(s, dir)
+      // null text is filtered explicitly: Spark sorts NULLs first,
+      // DuckDB's window ORDER BY sorts them last — unguarded, one
+      // null-text row would shift both ends of the neighbor order
+      val docs = documents(s, dir).where(col("text").isNotNull)
       val cands = graft.dedup.SortedNeighborhood.candidatePairs(
         docs, "doc_id", "text", window = 3, levPrefix = 48,
         threshold = 2)
@@ -2795,7 +2798,11 @@ object SparkEntry {
   private[graft] def schemaEpochs(s: SparkSession, dir: String): Seq[String] = {
     val base = artifactRoot + "/epochs_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val (e1, e2) = (s"$base/e1", s"$base/e2")
-    if (!new java.io.File(e1, "_SUCCESS").exists()) {
+    // fence on the LAST-written epoch (the standard artifact
+    // discipline here): a crash between the e1 and e2 writes leaves
+    // e2/_SUCCESS absent, so the next run rebuilds BOTH instead of
+    // serving a half-built pair forever
+    if (!new java.io.File(e2, "_SUCCESS").exists()) {
       val docs = documents(s, dir)
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"), col("lang"))
@@ -3347,10 +3354,13 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY n_chars, doc_id) AS pos FROM b),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b)
         |SELECT w.source, w.doc_id, w.n_chars,
-        |  CAST((w.r * n.nt) // w.n_seg AS BIGINT) AS pos,
+        |  CAST((w.r * CAST(n.nt AS HUGEINT)) // w.n_seg AS BIGINT)
+        |    AS pos,
         |  p.norm_value
         |FROM w CROSS JOIN n
-        |JOIN p ON p.pos = (w.r * n.nt) // w.n_seg""".stripMargin,
+        |JOIN p ON p.pos =
+        |  CAST((w.r * CAST(n.nt AS HUGEINT)) // w.n_seg AS BIGINT)"""
+        .stripMargin,
 
     // The full lattice + the standard GROUPING bitmask (first
     // grouping column = high bit in both engines; DuckDB's GROUPING
@@ -5493,7 +5503,7 @@ object SparkEntry {
     "q172_linkage_score" ->
       """WITH r AS (SELECT doc_id, text, lang, source, n_chars,
         |  row_number() OVER (ORDER BY text, doc_id) AS rn
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) <= 2
         |    AS title_agree,

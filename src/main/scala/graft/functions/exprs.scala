@@ -35,18 +35,30 @@ object ExprOps {
 
   /** Code-point histogram shared by [[charEntropyProxy]] and
     * [[charDistinctCp]]: ASCII counts in a flat array (the whole
-    * corpus in practice), anything above U+007F in a small map. One
-    * pass, zero allocation on pure-ASCII rows beyond the 128-slot
-    * array. */
+    * corpus in practice), anything above U+007F in a small map. The
+    * hot path walks the UTF8String's BYTES in place — for a pure
+    * ASCII row (byte == code point) that is one pass and zero
+    * allocation beyond the 128-slot array; the first non-ASCII byte
+    * bails to a String decode, whose cost the row's multi-byte text
+    * already implies. */
   private def cpHist(u: org.apache.spark.unsafe.types.UTF8String)
       : (Array[Long], java.util.HashMap[Integer, Long]) = {
     val ascii = new Array[Long](128)
+    val n = u.numBytes()
+    var i = 0
+    while (i < n && u.getByte(i) >= 0) {
+      ascii(u.getByte(i)) += 1L
+      i += 1
+    }
+    if (i == n) return (ascii, null)
+    // non-ASCII byte hit: restart cleanly on the decoded string
+    java.util.Arrays.fill(ascii, 0L)
     var wide: java.util.HashMap[Integer, Long] = null
     val s = u.toString
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      i += Character.charCount(cp)
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      j += Character.charCount(cp)
       if (cp < 128) ascii(cp) += 1L
       else {
         if (wide == null) wide = new java.util.HashMap[Integer, Long]()

@@ -36,7 +36,10 @@ object Eval {
     val ranked = df.select(col(segCol), col(scoreCol),
         col(labelCol).cast("long").as("y"))
       .withColumn("r2",
-        lit(2) * rank().over(w) + count(lit(1)).over(tie) - 1)
+        // rank() is IntegerType: widen BEFORE the doubling or a
+        // segment past 2^30 rows wraps r2 silently in non-ANSI mode
+        lit(2L) * rank().over(w).cast("long")
+          + count(lit(1)).over(tie) - 1)
     ranked.groupBy(col(segCol))
       .agg(sum("y").as("n_pos"),
         (count(lit(1)) - sum(col("y"))).as("n_neg"),

@@ -230,7 +230,11 @@ object Quantiles {
         Seq(col(valCol), col(idCol)), nBuckets)
       .select(col(segCol), col(idCol), col(valCol),
         col("__rn").as("r"), col("__n").as("n_seg"))
-      .withColumn("pos", expr(s"(r * ${nTotal}L) div n_seg"))
+      // r·N through DECIMAL(38,0): long·long wraps silently past 2^63
+      // (reachable at ~3e9 pooled rows with a dominant segment); the
+      // decimal product is exact to 10^38 and `div` stays integral
+      .withColumn("pos",
+        expr(s"(CAST(r AS DECIMAL(38,0)) * ${nTotal}) div n_seg"))
     val pooled = segmentedRowNumber(
         base.select(col(idCol).as("__pid"), col(valCol),
           lit(0).as("__pool")),

@@ -44,9 +44,15 @@ object TargetEncode {
     val tagged = df.select(col(catCol), col(idCol),
       col(targetCol).cast("long").as("t"),
       foldOf(idCol, folds, salt).as("fold"))
-    // global prior, frozen to a code FIRST (exact given this one div)
+    // global prior, frozen to a code FIRST (exact given this one div).
+    // An EMPTY frame has sum = NULL and count = 0: the prior is moot
+    // (the per-fold aggregate below is empty too), so take 0 instead
+    // of crashing — operators return empty on empty, never throw
+    // (EmptyInputSpec discipline).
     val g = tagged.agg(sum("t").as("p"), count(lit(1)).as("n")).head()
-    val priorCode = 1000000L * g.getLong(0) / g.getLong(1)
+    val priorCode =
+      if (g.isNullAt(0) || g.getLong(1) == 0L) 0L
+      else 1000000L * g.getLong(0) / g.getLong(1)
     val perFold = tagged.groupBy(col(catCol), col("fold"))
       .agg(count(lit(1)).as("n_in"), sum("t").as("s_in"))
     val perCat = perFold.groupBy(col(catCol))

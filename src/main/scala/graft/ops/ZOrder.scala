@@ -37,11 +37,17 @@ object ZOrder {
   }
 
   /** The same z-value as ANSI SQL text (the oracle twin — one source
-    * of truth for the term expansion, so Spark and SQL cannot drift). */
-  def zValueSql(x: String, y: String, bits: Int): String =
+    * of truth for the term expansion, so Spark and SQL cannot drift).
+    * The masked bit is pinned to BIGINT before shifting: a bare `& 1`
+    * over an INTEGER column keeps 32-bit arithmetic, and a shift past
+    * bit 31 would wrap or error where [[zValue]]'s `lit(1L)` widens. */
+  def zValueSql(x: String, y: String, bits: Int): String = {
+    val one = "CAST(1 AS BIGINT)"
     (0 until bits).map { i =>
-      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+      s"((($x >> $i) & $one) << ${2 * i}) + " +
+        s"((($y >> $i) & $one) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
+  }
 
   /** Physically lay `df` out in z-order: one range shuffle on the
     * z-value, sorted within partitions, so each output file covers a

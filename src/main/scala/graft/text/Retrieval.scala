@@ -65,6 +65,19 @@ object Retrieval {
                  catalog: TableCatalog, prefix: String,
                  nBuckets: Int = 64,
                  commitBatchId: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    // a maintenance REBUILD of a stream-fed index keeps the replay
+    // fence: the rebuilt corpus already contains every committed
+    // batch, so dropping batch_id here would invite the next restart
+    // to re-append the last one (see the appendToIndex carry note)
+    val carried = commitBatchId.orElse {
+      if (catalog.exists(spark, s"${prefix}_meta")) {
+        val m = catalog.read(spark, s"${prefix}_meta")
+        if (m.columns.contains("batch_id"))
+          Some(m.head().getAs[Long]("batch_id"))
+        else None
+      } else None
+    }
     val post = postings(docs, idCol, textCol)
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
     catalog.overwrite(post, s"${prefix}_postings", partitionBy = Seq("bucket"))
@@ -72,8 +85,8 @@ object Retrieval {
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
     catalog.overwrite(positions, s"${prefix}_positions",
       partitionBy = Seq("bucket"))
-    writeMeta(docs.sparkSession, catalog, prefix, docs.count(),
-      nBuckets.toLong, commitBatchId)
+    writeMeta(spark, catalog, prefix, docs.count(),
+      nBuckets.toLong, carried)
   }
 
   /** The one-row meta overwrite. When `commitBatchId` is set (the
@@ -113,9 +126,19 @@ object Retrieval {
       positionalPostings(delta, idCol, textCol)
         .withColumn("bucket", bucketOf(col("token"), nBuckets)),
       s"${prefix}_positions", partitionBy = Seq("bucket"))
+    // a direct (batch-unaware) append must CARRY the streaming fence
+    // forward, not drop it: overwriting _meta without batch_id would
+    // reset the sink's replay guard to -1 and the next restart would
+    // re-apply an already-committed batch — double postings AND a
+    // re-advanced n_docs, the exact drift the one-write design exists
+    // to prevent
+    val carried = commitBatchId.orElse(
+      if (meta.schema.fieldNames.contains("batch_id"))
+        Some(meta.getAs[Long]("batch_id"))
+      else None)
     writeMeta(spark, catalog, prefix,
       meta.getAs[Long]("n_docs") + delta.count(), nBuckets.toLong,
-      commitBatchId)
+      carried)
   }
 
   /** Top-k documents per query over in-memory postings. `queries` is

@@ -121,4 +121,42 @@ class EmptyInputSpec extends SparkTestBase {
       Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts"))
       .count() == 0)
   }
+
+  test("r10 operators return empty on empty frames") {
+    val noEv = Seq.empty[(String, java.sql.Timestamp)].toDF("k", "ts")
+    assert(graft.ops.Trend.dailyTrend(noEv, "k", "ts").count() == 0)
+    assert(graft.ops.Trend.theilSen(noEv, "k", "ts").count() == 0)
+    val noKv = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(graft.ops.IncAgg.state(noKv, Seq("k"), "v").count() == 0)
+    assert(graft.ops.IncAgg.merge(Seq("k"),
+      Seq(graft.ops.IncAgg.state(noKv, Seq("k"), "v"),
+        graft.ops.IncAgg.state(noKv, Seq("k"), "v"))).count() == 0)
+    val noDocs3 = Seq.empty[(String, Long, Long)].toDF("src", "id", "v")
+    assert(graft.ops.Bootstrap.replicateMeans(noDocs3, "src", "id", "v",
+      reps = 4, salt = "s").count() == 0)
+    assert(graft.ops.TargetEncode.encodingTable(
+      Seq.empty[(String, Long, Long)].toDF("src", "t", "id"),
+      "src", "t", "id", folds = 3, m = 5L, salt = "s").count() == 0)
+    val noScored = Seq.empty[(String, Long, Int)].toDF("seg", "score", "y")
+    assert(graft.ops.Eval.aucBySegment(noScored, "seg", "score", "y")
+      .count() == 0)
+    assert(graft.ops.Eval.confusionAt(noScored, "seg", "score", "y", 0L)
+      .count() == 0)
+    assert(graft.ops.Eval.kendallBySegment(
+      Seq.empty[(String, Long, Long, Long)].toDF("seg", "id", "x", "y"),
+      "seg", "x", "y", "id").count() == 0)
+    val noRanked = Seq.empty[(Long, String, Int)].toDF("qid", "doc_id", "rank")
+    val noRel = Seq.empty[(Long, String, Long)].toDF("qid", "doc_id", "grade")
+    assert(graft.ops.Eval.ndcgAtK(noRanked, noRel, k = 5).count() == 0)
+    val noXy = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(graft.ops.ZOrder.bucketStats(noXy, "x", "y", 8, 8).count() == 0)
+    assert(graft.ops.Quantiles.quantileNormalize(
+      Seq.empty[(String, Long, Long)].toDF("seg", "id", "v"),
+      "seg", "v", "id").count() == 0)
+    assert(graft.ops.Linkage.scorePairs(
+      Seq.empty[(Long, Long, String, String)]
+        .toDF("a_id", "b_id", "a_l", "b_l"),
+      Seq(graft.ops.Linkage.Field("l", col("a_l") === col("b_l"),
+        5L, -1L)), 3L).count() == 0)
+  }
 }

@@ -76,6 +76,40 @@ class RetrievalSpec extends SparkTestBase {
     assert(appended == inline)
   }
 
+  test("direct appends and rebuilds CARRY the streaming replay fence forward") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inv_").toString
+    val cat = new graft.catalog.ParquetCatalog(tmp)
+    val docs = Tables.documents(spark, sf).limit(60)
+    def fence(): Option[Long] = {
+      val m = cat.read(spark, "ix_meta")
+      if (m.columns.contains("batch_id"))
+        Some(m.head().getAs[Long]("batch_id"))
+      else None
+    }
+    // a stream committed batch 5...
+    Retrieval.buildIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", cat, "ix", nBuckets = 8,
+      commitBatchId = Some(5L))
+    assert(fence().contains(5L))
+    // ...then a batch-UNAWARE direct append must not reset it to -1:
+    // a restart would otherwise re-apply batch 5 (double postings and
+    // a re-advanced n_docs)
+    Retrieval.appendToIndex(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", cat, "ix")
+    assert(fence().contains(5L))
+    // a maintenance REBUILD (contains every committed batch) keeps it too
+    Retrieval.buildIndex(docs, "doc_id", "text", cat, "ix", nBuckets = 8)
+    assert(fence().contains(5L))
+    // an explicitly newer commit still advances
+    Retrieval.appendToIndex(docs.limit(1), "doc_id", "text", cat, "ix",
+      commitBatchId = Some(6L))
+    assert(fence().contains(6L))
+    // and a batch-naive index never grows a phantom fence
+    Retrieval.buildIndex(docs, "doc_id", "text", cat, "ix2", nBuckets = 8)
+    val m2 = cat.read(spark, "ix2_meta")
+    assert(!m2.columns.contains("batch_id"))
+  }
+
   test("phrase search: hand-computed occurrences, overlaps, no-hits") {
     val docs = Seq(
       (1L, "a b a b a"),   // "a b" at 0,2; "b a" at 1,3; "a b a" at 0,2
