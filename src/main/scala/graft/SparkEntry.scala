@@ -1513,6 +1513,15 @@ object SparkEntry {
       graft.ops.Trend.theilSen(events(s, dir), "event_type", "ts",
         anchor = "2024-01-01")),
 
+    // Content-defined chunking (TextFunctions.contentChunks): chunk
+    // boundaries keyed on token-hash content, not position — an edit
+    // perturbs only its own chunk, the property dedup storage needs;
+    // per-chunk XOR fingerprints, fully FNV-replayed by the oracle.
+    "q186_cdc_chunks" -> ((s, dir) =>
+      graft.text.TextFunctions.contentChunks(
+        documents(s, dir).where(col("text").isNotNull),
+        "doc_id", "text", modulus = 16)),
+
     // Kendall tau-b per source (ops.Eval.kendallBySegment): does the
     // classifier score ORDER documents the way length does? — the
     // assumption-free rank twin of q162's Pearson; five exact pair
@@ -3304,6 +3313,33 @@ object SparkEntry {
          | count(*) AS n_orders,
          | ${Exact.sql.sumMoney("o_totalprice")} AS sum_total
          |FROM orders GROUP BY ROLLUP (1, 2)""".stripMargin,
+
+    // Positional tokens (the q73 idx pattern), the FNV/fmix HUGEINT
+    // replay, two's-complement down-cast for the XOR leg, unsigned
+    // mod for the boundary test (u % m == 0 iff pmod(signed, m) == 0:
+    // 2^64 is divisible by any power-of-two modulus), then the same
+    // strictly-before running sum.
+    "q186_cdc_chunks" ->
+      s"""WITH base AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+         |  FROM documents WHERE text IS NOT NULL),
+         |idx AS (SELECT doc_id, T, unnest(range(1, len(T)+1)) AS i
+         |  FROM base),
+         |tk AS (SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos,
+         |  T[CAST(i AS INTEGER)] AS tok FROM idx),
+         |hh AS (SELECT doc_id, pos, ${Fnv64Sql.tokHash} AS u FROM tk),
+         |sg AS (SELECT doc_id, pos,
+         |  CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+         |    THEN u - ${Fnv64Sql.m64} ELSE u END AS BIGINT) AS h,
+         |  CASE WHEN u % 16 = 0 THEN 1 ELSE 0 END AS b FROM hh),
+         |c AS (SELECT doc_id, pos, h,
+         |  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS chunk FROM sg)
+         |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(min(pos) AS INTEGER) AS start_pos,
+         |  CAST(bit_xor(h) AS BIGINT) AS chunk_fp
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     // The q93 score CTE + the id-ordered pair join + the same five
     // counters and the same fixed op sequence into round(.*2^14).

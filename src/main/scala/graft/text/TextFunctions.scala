@@ -121,6 +121,42 @@ object TextFunctions {
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Content-defined chunking: split each document's token stream at
+    * tokens whose hash lands on the boundary mask (`tokenHash64 ≡ 0
+    * mod modulus` — a boundary token is the LAST token of its chunk),
+    * emitting per chunk its token count, start position, and an
+    * XOR-of-token-hashes fingerprint. Because boundaries are keyed on
+    * CONTENT, not position, an edit perturbs only its own chunk and
+    * at most its two neighbors — the shift-resistance fixed-width
+    * chunking (q35) lacks, and the property dedup storage (and chunk-
+    * level near-dup detection) is built on. Expected chunk length is
+    * `modulus` tokens.
+    *
+    * Scale: one generator pass + a per-DOCUMENT running sum (windows
+    * partition on the id — documents are the parallel unit, like the
+    * q17/q73 doc-local shapes), then a (doc, chunk) aggregate. */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+                    modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val toks = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("h", graft.functions.exprs.token_hash64(col("tok")))
+      .withColumn("b",
+        when(pmod(col("h"), lit(modulus.toLong)) === 0, 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    toks
+      // chunk = boundaries strictly BEFORE this token, so the
+      // boundary token itself closes its own chunk
+      .withColumn("chunk", coalesce(sum(col("b"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).as("start_pos"),
+        expr("bit_xor(h)").as("chunk_fp"))
+  }
+
   /** Top-k keywords per document by a log-free TF-IDF surrogate
     * (tf × nDocs / df — same ordering as tf·idf for ranking, and
     * bit-deterministic across engines, which log() is not: libm last-ulp

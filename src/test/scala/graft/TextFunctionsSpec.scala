@@ -129,4 +129,59 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(one[String](TextFunctions.redactPii(col("t")),
       "w 00256.1.1.1 x") == "w 00256.1.1.1 x")
   }
+
+  test("contentChunks: partition law, boundary law, shift resistance") {
+    val d = Tables.documents(spark, sf).limit(20)
+      .where(col("text").isNotNull).cache()
+    val out = TextFunctions.contentChunks(d, "doc_id", "text", 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    // chunks PARTITION each doc's tokens: counts sum to the token
+    // count, start positions are the running sums of chunk lengths
+    val tokCounts = d.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._3).sum == tokCounts(id))
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      var at = 0L
+      sorted.foreach { c => assert(c._4 == at); at += c._3 }
+    }
+    // boundary law: every chunk except a doc's last ENDS on a token
+    // whose pmod-16 hash is 0, and contains no earlier boundary token
+    val hs = d.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        pmod(graft.functions.exprs.token_hash64(col("tok")), lit(16L))
+          .as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    out.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      sorted.dropRight(1).foreach { c =>
+        val last = c._4 + c._3.toInt - 1
+        assert(hs((id, last)) == 0L, s"chunk $c does not end on a boundary")
+        (c._4 until last).foreach(p =>
+          assert(hs((id, p.toInt)) != 0L, s"early boundary inside $c"))
+      }
+    }
+    // SHIFT RESISTANCE: appending text changes ONLY each doc's last
+    // chunk — every earlier chunk row survives identically (the CDC
+    // property; a fixed-width chunker would reshuffle nothing here,
+    // but an INSERT shifts all its downstream windows; for CDC it
+    // cannot reach past the next boundary)
+    val edited = d.withColumn("text",
+      concat(col("text"), lit(" zz appended tail qq")))
+    val after = TextFunctions.contentChunks(edited, "doc_id", "text", 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSet
+    out.groupBy(_._1).foreach { case (_, cs) =>
+      cs.sortBy(_._2).dropRight(1).foreach(c =>
+        assert(after.contains(c), s"pre-edit chunk $c vanished"))
+    }
+  }
 }
