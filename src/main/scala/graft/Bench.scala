@@ -46,7 +46,10 @@ object Bench {
     // Row-name mapping: q47/q91/q43/q50/q61 share the pair graph
     // (reported once as q47_build); q89 = standing components;
     // q90 = prefix index (q89 probes it too); q84 = bloom; q77 = IVF;
-    // q78 = appended IVF.
+    // q78 = appended IVF. The dense-graph q147_build runs LAST: its
+    // 0.25-threshold pair blowup is the single largest allocator of
+    // the phase, and ordering it after everything else means a slow
+    // collection of its garbage can poison no successor.
     val builds: Seq[(String, () => Unit)] = Seq(
       "q47_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.4)),
       "q89_build" -> (() => SparkEntry.baseComponentsTable(spark, sfDir)),
@@ -57,10 +60,19 @@ object Bench {
       "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)),
       "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)),
       "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)),
-      "q147_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.25)),
       "q167_build" -> (() => SparkEntry.orcExport(spark, sfDir)),
-      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir)))
+      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir)),
+      "q147_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.25)))
+    // Every build row gets the SAME guaranteed-clean-heap fence the
+    // heavy queries get below: twelve one-shot artifact builds back to
+    // back are allocation-heavy and UNREPEATED (no min-of-two can mask
+    // a stall), so one build's dead buffers land the next build's full
+    // GC mid-measurement (r10 driver sweep: q90_build 1.89 -> 58.3 s =
+    // 31x while the 186 query rows sat at median 1.09x — the r9 q65
+    // harness-pollution mode one phase earlier). ~1 s x |builds| of
+    // untimed pauses buys build rows that measure the build.
     val buildRows = builds.map { case (name, build) =>
+      dropAllState(gc = true)
       try {
         val t0 = System.nanoTime()
         build()

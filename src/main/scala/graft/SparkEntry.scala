@@ -3870,13 +3870,13 @@ object SparkEntry {
          |  FROM (SELECT qid, grade, doc_id, row_number() OVER (
          |      PARTITION BY qid ORDER BY grade DESC, doc_id) AS irank
          |    FROM rel) WHERE irank <= 10 GROUP BY 1)
-         |SELECT CAST(i.qid AS BIGINT) AS qid,
+         |SELECT CAST(coalesce(i.qid, d.qid) AS BIGINT) AS qid,
          |  CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg_code,
          |  CAST(i.idcg AS BIGINT) AS idcg_code,
-         |  CASE WHEN i.idcg = 0 THEN NULL
+         |  CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN NULL
          |    ELSE CAST((1000000 * CAST(coalesce(d.dcg, 0) AS BIGINT))
          |      // CAST(i.idcg AS BIGINT) AS BIGINT) END AS ndcg_code
-         |FROM i LEFT JOIN d ON d.qid = i.qid""".stripMargin,
+         |FROM i FULL JOIN d ON d.qid = i.qid""".stripMargin,
 
     // The q65 cosine replay split train/probe: hit counts against
     // the held-out side, left-joined back so zero-hit rows survive.

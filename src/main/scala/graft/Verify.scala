@@ -4,6 +4,13 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** SPARK_GRAFT_ONLY matching: exact name or number-token prefix —
+    * "q16" selects q16_foo but never q160-q169 (the iteration footgun
+    * where a filtered run silently over-selects, masking a skipped
+    * query). Extracted so VerifySpec can pin the boundary. */
+  private[graft] def wanted(only: Option[Set[String]], name: String): Boolean =
+    only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,13 +29,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY="q101,q102" limits the dump
     // to those queries (driver never sets it → full sweep unchanged).
-    // Matching is exact-name or number-token prefix ("q1" must not also
-    // select q100-q166, nor "q16" select q160-q166).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def wanted(name: String): Boolean =
-      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
-    SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => wanted(only, kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

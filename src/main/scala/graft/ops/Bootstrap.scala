@@ -52,15 +52,25 @@ object Bootstrap {
                      valueCol: String, reps: Int,
                      salt: String): DataFrame = {
     require(reps >= 1, s"reps must be >= 1, got $reps")
+    // working columns use the repo's double-underscore convention: a
+    // bare withColumn("b", ...) would silently REPLACE an input column
+    // named b — and worse, corrupt the seeded uniform when keyCol or
+    // valueCol is itself "b"/"w" (the q185/ZOrder collision rule)
+    require(!Set("__b", "__w").contains(keyCol) &&
+      !Set("__b", "__w").contains(idCol) &&
+      !Set("__b", "__w").contains(valueCol),
+      "replicateMeans: __b/__w are reserved working column names")
+    require(keyCol != "b",
+      "replicateMeans: keyCol \"b\" collides with the output replicate-id column")
     val u = conv(substring(md5(concat(lit(s"$salt:"),
-      col("b").cast("string"), lit(":"),
+      col("__b").cast("string"), lit(":"),
       col(idCol).cast("string"))), 1, 7), 16, 10).cast("long")
     df.select(col(keyCol), col(idCol), col(valueCol))
-      .withColumn("b", explode(sequence(lit(0), lit(reps - 1))))
-      .withColumn("w", poissonWeight(u).cast("long"))
-      .groupBy(col(keyCol), col("b"))
-      .agg(sum("w").as("n_eff"),
-        sum(col("w") * col(valueCol)).as("sum_wx"))
+      .withColumn("__b", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__w", poissonWeight(u).cast("long"))
+      .groupBy(col(keyCol), col("__b").as("b"))
+      .agg(sum("__w").as("n_eff"),
+        sum(col("__w") * col(valueCol)).as("sum_wx"))
       .withColumn("mean_code",
         expr("CASE WHEN n_eff = 0 THEN NULL " +
           "ELSE (1000000 * sum_wx) div n_eff END"))

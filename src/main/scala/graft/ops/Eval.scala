@@ -76,9 +76,14 @@ object Eval {
     * `dcg_code = Σ grade·D(rank)` over ranked hits, `idcg_code` the
     * same sum over the ideal (grade-descending) order of that query's
     * relevant set truncated at k, `ndcg_code = (1e6·dcg) div idcg` —
-    * exact integers end to end. Queries with an empty relevant set
-    * emit NULL. `ranked` needs (qid, doc_id, rank); `relevant` needs
-    * (qid, doc_id, grade). */
+    * exact integers end to end. The output covers the UNION of qids
+    * seen in `ranked` (at rank <= k) and `relevant`: a query with an
+    * empty relevant set still appears, with idcg_code and ndcg_code
+    * NULL (undefined, never a silent drop and never 0 by fiat);
+    * a query that was never ranked appears with dcg_code = 0 and
+    * ndcg_code = 0 (it ranked nothing, the metric IS zero). `ranked`
+    * needs (qid, doc_id, rank); `relevant` needs (qid, doc_id,
+    * grade). */
   def ndcgAtK(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= ndcgDiscounts.size,
       s"k must be in [1, ${ndcgDiscounts.size}], got $k")
@@ -96,12 +101,16 @@ object Eval {
       .select(col("qid"),
         (col("grade") * discountCol(col("irank"))).as("g"))
       .groupBy("qid").agg(sum("g").as("idcg_code"))
-    idcg.join(dcg, Seq("qid"), "left")
+    // full outer: the output must be driven by the union of qids, or
+    // ranked-only queries (empty relevant set) silently vanish while
+    // relevant-only queries emit rows — an asymmetry a rank-eval
+    // report reader would misread as "those queries were fine"
+    idcg.join(dcg, Seq("qid"), "full_outer")
       .select(col("qid"),
         coalesce(col("dcg_code"), lit(0L)).as("dcg_code"),
         col("idcg_code"))
       .withColumn("ndcg_code",
-        expr("CASE WHEN idcg_code = 0 THEN NULL " +
+        expr("CASE WHEN idcg_code IS NULL OR idcg_code = 0 THEN NULL " +
           "ELSE (1000000 * dcg_code) div idcg_code END"))
   }
 

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * `(1e6·S_out + m·prior_code) div (C_out + m)` — exact long
   * arithmetic, replayable by the oracle, and overflow-safe to
   * corpus sizes of ~10⁹ positive rows per category (documented
-  * headroom, no 128-bit intermediate needed).
+  * headroom, no 128-bit intermediate needed). With m = 0 a category
+  * confined to a single fold has zero out-of-fold rows; its code is
+  * an explicit NULL (guarded CASE), not an engine-dependent div.
   *
   * Scale: one grouped aggregate to (category, fold) — |cats|·k state
   * rows — one tiny global aggregate for the prior, and the per-row
@@ -61,7 +63,12 @@ object TargetEncode {
       .select(col(catCol), col("fold"),
         (col("n_all") - col("n_in")).as("n_out"),
         (col("s_all") - col("s_in")).as("s_out"))
+      // m = 0 is legal (no smoothing) but then a category confined to
+      // a single fold has n_out + m = 0: emit an explicit NULL code
+      // (undefined — there is no out-of-fold evidence), never a bare
+      // div that NULLs silently in non-ANSI mode and THROWS under ANSI
       .withColumn("code",
-        expr(s"(1000000 * s_out + $m * ${priorCode}L) div (n_out + $m)"))
+        expr(s"CASE WHEN n_out + $m = 0 THEN NULL " +
+          s"ELSE (1000000 * s_out + $m * ${priorCode}L) div (n_out + $m) END"))
   }
 }

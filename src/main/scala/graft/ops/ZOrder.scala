@@ -24,23 +24,44 @@ import org.apache.spark.sql.functions._
   * query the exact fraction of buckets a reader must touch.
   */
 object ZOrder {
-  /** Bit-interleaved z-value of two non-negative dimensions, taking
-    * the low `bits` of each: bit i of x lands at 2i, bit i of y at
-    * 2i+1. Disjoint bit positions make the combination a plain SUM,
-    * which is exactly how the SQL twin spells it. */
+  /** Bit-interleaved z-value of two dimensions in `[0, 2^bits)`: bit
+    * i of x lands at 2i, bit i of y at 2i+1. Disjoint bit positions
+    * make the combination a plain SUM, which is exactly how the SQL
+    * twin spells it.
+    *
+    * The domain is ENFORCED: a value with bits above `bits` (or a
+    * negative, whose sign extension survives any shift) would
+    * silently interleave to a meaningless z — files laid out by
+    * garbage keys and a [[boxSkipReport]] whose boxes lie. One
+    * guard CASE per row (`raise_error`), added as a +0 term so the
+    * interleave itself stays a flat shift/and/add sum; the layout
+    * write is where corrupt keys do permanent damage, so the check
+    * belongs in the plan, not a comment. Callers with wider values
+    * must scale/offset them into the domain first. */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val guard = when(
+      shiftright(x.cast("long"), bits) =!= 0 ||
+        shiftright(y.cast("long"), bits) =!= 0,
+      raise_error(concat(
+        lit(s"zValue: input out of [0, 2^$bits): ("),
+        x.cast("string"), lit(", "), y.cast("string"), lit(")")))
+        .cast("long"))
+      .otherwise(lit(0L))
     (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    }.reduce(_ + _) + guard
   }
 
   /** The same z-value as ANSI SQL text (the oracle twin — one source
     * of truth for the term expansion, so Spark and SQL cannot drift).
     * The masked bit is pinned to BIGINT before shifting: a bare `& 1`
     * over an INTEGER column keeps 32-bit arithmetic, and a shift past
-    * bit 31 would wrap or error where [[zValue]]'s `lit(1L)` widens. */
+    * bit 31 would wrap or error where [[zValue]]'s `lit(1L)` widens.
+    * Domain `[0, 2^bits)` as for [[zValue]]; the SQL twin ASSUMES
+    * in-domain input (the Scala side raises at write time, so
+    * anything the oracle replays already passed the guard). */
   def zValueSql(x: String, y: String, bits: Int): String = {
     val one = "CAST(1 AS BIGINT)"
     (0 until bits).map { i =>

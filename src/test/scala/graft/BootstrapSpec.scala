@@ -70,4 +70,29 @@ class BootstrapSpec extends SparkTestBase {
         s"$s: true ${trueMean(s)} outside [${codes.head}, ${codes.last}]")
     }
   }
+
+  test("working columns are collision-safe: an input column named b or w is inert") {
+    // before the __b/__w rename, withColumn("b", ...) silently replaced
+    // a same-named input column — and a value column named "b" would
+    // have corrupted the seeded uniform itself
+    val base = Seq(("k", 1L, 10L), ("k", 2L, 30L), ("k", 3L, 50L))
+    val plain = Bootstrap.replicateMeans(
+      base.toDF("key", "id", "v"), "key", "id", "v",
+      reps = 8, salt = "s").collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val collide = Bootstrap.replicateMeans(
+      base.toDF("key", "id", "w"), "key", "id", "w",
+      reps = 8, salt = "s").collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(plain == collide, "a value column named w must not change results")
+    // reserved names fail loudly rather than corrupting silently
+    val ex = intercept[IllegalArgumentException](
+      Bootstrap.replicateMeans(base.toDF("__b", "id", "v"),
+        "__b", "id", "v", reps = 2, salt = "s"))
+    assert(ex.getMessage.contains("reserved"), ex.getMessage)
+    val exB = intercept[IllegalArgumentException](
+      Bootstrap.replicateMeans(base.toDF("b", "id", "v"),
+        "b", "id", "v", reps = 2, salt = "s"))
+    assert(exB.getMessage.contains("collides"), exB.getMessage)
+  }
 }

@@ -63,6 +63,27 @@ class EvalSpec extends SparkTestBase {
       m.getAs[Long]("ndcg_code") == 0L)
   }
 
+  test("NDCG output is the UNION of qids: ranked-only emits NULL, relevant-only emits 0") {
+    // qid 1: both sides; qid 2: ranked but NO relevant rows (must
+    // appear, ndcg NULL — undefined, not dropped); qid 3: relevant
+    // but never ranked (must appear, ndcg 0 — it ranked nothing)
+    val ranked = Seq((1L, "A", 1), (2L, "X", 1), (2L, "Y", 2))
+      .toDF("qid", "doc_id", "rank")
+    val rel = Seq((1L, "A", 3L), (3L, "B", 2L))
+      .toDF("qid", "doc_id", "grade")
+    val out = Eval.ndcgAtK(ranked, rel, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("dcg_code"),
+          if (r.isNullAt(r.fieldIndex("idcg_code"))) None
+          else Some(r.getAs[Long]("idcg_code")),
+          if (r.isNullAt(r.fieldIndex("ndcg_code"))) None
+          else Some(r.getAs[Long]("ndcg_code")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3000000L, Some(3000000L), Some(1000000L))))
+    assert(out(2L) == ((0L, None, None)))
+    assert(out(3L) == ((0L, Some(2000000L), Some(0L))))
+  }
+
   test("Kendall tau-b: perfect agreement, reversal, the tie case, all-ties guard") {
     def tau(rows: Seq[(String, Long, Long, Long)]) =
       Eval.kendallBySegment(rows.toDF("seg", "id", "x", "y"),

@@ -177,4 +177,26 @@ class PqSpec extends SparkTestBase {
       Pq.trainCodebooks(e, m = 3, k = 2, dim = dim))
     assert(ex.getMessage.contains("divisible"), ex.getMessage)
   }
+
+  test("ADC kernel fails loudly on an empty codes row") {
+    // a corrupt persisted index (empty code array) must surface as a
+    // named error, never a bare divide-by-zero out of codegen
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array.empty[Int]))
+      .toDF("lut", "codes")
+    val ex = intercept[Exception](
+      df.select(graft.functions.exprs.adc_sum_l(col("lut"), col("codes")))
+        .collect())
+    assert(ex.getMessage.contains("empty codes"), ex.getMessage)
+  }
+
+  test("ADC kernel fails loudly on a LUT that is not a multiple of m") {
+    // lut length 5 against m=2 codes: every lookup after block 0 would
+    // silently mis-stride — the guard names the mismatch instead
+    val df = Seq((Array(1L, 2L, 3L, 4L, 5L), Array(0, 1)))
+      .toDF("lut", "codes")
+    val ex = intercept[Exception](
+      df.select(graft.functions.exprs.adc_sum_l(col("lut"), col("codes")))
+        .collect())
+    assert(ex.getMessage.contains("not a multiple"), ex.getMessage)
+  }
 }

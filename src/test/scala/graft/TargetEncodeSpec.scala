@@ -55,6 +55,20 @@ class TargetEncodeSpec extends SparkTestBase {
     assert(table.nonEmpty)
   }
 
+  test("m = 0 with a single-fold category emits an explicit NULL code, never a bare div") {
+    // a one-row category is single-fold under ANY fold assignment, so
+    // its only cell has n_out = 0 — with m = 0 there is no evidence
+    // and no smoothing mass: the code must be an explicit NULL
+    val one = Seq(("cat", 1L, 1)).toDF("c", "id", "t")
+    val table = TargetEncode.encodingTable(one, "c", "t", "id",
+      folds = 2, m = 0L, salt = "s").collect()
+    assert(table.length == 1)
+    val r = table.head
+    assert(r.getAs[Long]("n_out") == 0L)
+    assert(r.isNullAt(r.fieldIndex("code")),
+      "zero out-of-fold evidence with m=0 must encode NULL")
+  }
+
   test("heavy smoothing collapses every cell onto the prior") {
     val table = TargetEncode.encodingTable(docs, "source", "quality",
       "doc_id", folds = 5, m = 100000000L, salt = "te42")

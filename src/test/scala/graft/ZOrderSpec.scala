@@ -98,4 +98,19 @@ class ZOrderSpec extends SparkTestBase {
     assert(report.exists(!_.getAs[Boolean]("touched")), "nothing pruned")
     assert(touchedRows >= inBox)
   }
+
+  test("zValue enforces the [0, 2^bits) domain: overflow and negatives raise, boundaries pass") {
+    // out-of-range or negative dimensions would interleave to
+    // meaningless z-values and silently lying skip reports — the
+    // guard raises with the offending pair instead
+    def z(x: Long, y: Long) = Seq((x, y)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), bits = 8).as("z"))
+      .collect().head.getLong(0)
+    assert(z(0L, 0L) == 0L)
+    assert(z(255L, 255L) == 65535L) // both boundaries: all 16 bits set
+    val over = intercept[Exception](z(256L, 0L))
+    assert(over.getMessage.contains("out of [0, 2^8)"), over.getMessage)
+    val neg = intercept[Exception](z(0L, -1L))
+    assert(neg.getMessage.contains("out of [0, 2^8)"), neg.getMessage)
+  }
 }
