@@ -69,7 +69,12 @@ object Retrieval {
     // a maintenance REBUILD of a stream-fed index keeps the replay
     // fence: the rebuilt corpus already contains every committed
     // batch, so dropping batch_id here would invite the next restart
-    // to re-append the last one (see the appendToIndex carry note)
+    // to re-append the last one (see the appendToIndex carry note).
+    // The flip side: a rebuild that will be fed by a NEW stream with
+    // a FRESH checkpoint (batch ids restarting at 0) must NOT carry
+    // the old fence — the sink would silently skip every batch up to
+    // the stale id. Such a rebuild uses a fresh prefix, or passes
+    // commitBatchId = Some(-1L) explicitly to reset the fence.
     val carried = commitBatchId.orElse {
       if (catalog.exists(spark, s"${prefix}_meta")) {
         val m = catalog.read(spark, s"${prefix}_meta")
@@ -378,46 +383,99 @@ object Retrieval {
   }
 
   /** The persisted index as a STREAMING SINK: each micro-batch of
-    * documents lands in the index (bootstrap [[buildIndex]] on the
-    * first batch, [[appendToIndex]] after), so retrieval state stays
-    * current as a corpus ingests. The last applied batch id rides IN
-    * the one-row `_meta` overwrite (the final write of both build and
-    * append), so "n_docs advanced" and "batch committed" are one
-    * atomic file swap: a replayed batch (at-least-once `foreachBatch`)
-    * is skipped, and a crash BETWEEN the postings append and that
-    * meta write replays the batch's postings rows WITHOUT
-    * re-advancing n_docs — df for the batch's tokens doubles until a
-    * rebuild, but the N side of idf never drifts. The fully fenced
-    * staged-marker discipline that closes even the postings-replay
-    * window lives in [[graft.streaming.IngestLoop]] — this sink is
-    * the lightweight path for rebuildable retrieval state, where the
-    * recovery is "rebuild the index", not "lose corpus truth". */
+    * documents lands in the index, so retrieval state stays current
+    * as a corpus ingests. Crash posture is IDEMPOTENT REPLAY, closed
+    * at both seams:
+    *
+    *   - the last applied batch id rides IN the one-row `_meta`
+    *     overwrite (the final write of every batch), so "n_docs
+    *     advanced" and "batch committed" are one atomic file swap —
+    *     a fully replayed batch (at-least-once `foreachBatch`) is
+    *     skipped outright;
+    *   - a sink-fed index is partitioned by (bucket, EPOCH = batch
+    *     id) and each batch lands via dynamic partition REPLACE, so
+    *     a crash between the postings write and the meta commit
+    *     replays the batch into ITS OWN partitions — overwriting the
+    *     half-landed files, never double-appending. df (a row count
+    *     per token) and n_docs both converge to the truth; nothing
+    *     drifts until a rebuild (RetrievalSpec kills a batch at each
+    *     write boundary and pins convergence).
+    *
+    * Requires a catalog with real partition-replace semantics —
+    * checked at setup, because a backend that throws mid-batch after
+    * some writes landed is exactly the torn state the design exists
+    * to prevent. Attaching a sink to a pre-existing BATCH-BUILT index
+    * (no epoch layout) falls back to plain appends for compatibility;
+    * that legacy mode keeps the n_docs fence but reverts to the
+    * weaker "df doubles until rebuild" posture — rebuild into a fresh
+    * sink-owned prefix to get the closed seam. */
   def indexSink(stream: DataFrame, idCol: String, textCol: String,
                 catalog: TableCatalog, prefix: String,
                 checkpoint: String, nBuckets: Int = 64)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(catalog.supportsPartitionReplace,
+      s"indexSink needs partition-replace semantics for idempotent " +
+        s"batch replay; ${catalog.getClass.getName} does not provide it")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val committed =
-          if (catalog.exists(s, s"${prefix}_meta")) {
-            val m = catalog.read(s, s"${prefix}_meta")
-            if (m.columns.contains("batch_id"))
-              m.head().getAs[Long]("batch_id")
-            else -1L // pre-existing batch-unaware index: append once
-          } else -1L
-        if (batchId > committed && !batch.isEmpty) {
-          if (catalog.exists(s, s"${prefix}_meta"))
-            appendToIndex(batch, idCol, textCol, catalog, prefix,
-              commitBatchId = Some(batchId))
-          else
-            buildIndex(batch, idCol, textCol, catalog, prefix, nBuckets,
-              commitBatchId = Some(batchId))
-        }
-        ()
+        applySinkBatch(batch, batchId, idCol, textCol, catalog,
+          prefix, nBuckets)
       }
       .start()
+  }
+
+  /** One sink micro-batch, replay-idempotent (see [[indexSink]]).
+    * `onStage` fires immediately before each state write — the
+    * kill-injection seam the crash tests drive, the
+    * [[graft.streaming.IngestLoop]] discipline. */
+  private[graft] def applySinkBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, catalog: TableCatalog,
+      prefix: String, nBuckets: Int,
+      onStage: String => Unit = _ => ()): Unit = {
+    val s = batch.sparkSession
+    val metaExists = catalog.exists(s, s"${prefix}_meta")
+    val meta = if (metaExists)
+      Some(catalog.read(s, s"${prefix}_meta").head()) else None
+    val committed = meta match {
+      case Some(m) if m.schema.fieldNames.contains("batch_id") =>
+        m.getAs[Long]("batch_id")
+      case Some(_) => -1L // pre-existing batch-unaware index: append once
+      case None => -1L
+    }
+    if (batchId > committed && !batch.isEmpty) {
+      val legacyAttach = metaExists && !catalog.read(s,
+        s"${prefix}_postings").columns.contains("epoch")
+      if (legacyAttach) {
+        // batch-built index without the epoch layout: plain append
+        // (the documented weaker posture — replay of a torn batch
+        // doubles the batch's postings rows until a rebuild)
+        appendToIndex(batch, idCol, textCol, catalog, prefix,
+          commitBatchId = Some(batchId))
+      } else {
+        val (nPrev, nb) = meta match {
+          case Some(m) =>
+            (m.getAs[Long]("n_docs"), m.getAs[Long]("n_buckets").toInt)
+          case None => (0L, nBuckets)
+        }
+        onStage("postings")
+        catalog.replacePartitions(
+          postings(batch, idCol, textCol)
+            .withColumn("bucket", bucketOf(col("token"), nb))
+            .withColumn("epoch", lit(batchId)),
+          s"${prefix}_postings", partitionBy = Seq("bucket", "epoch"))
+        onStage("positions")
+        catalog.replacePartitions(
+          positionalPostings(batch, idCol, textCol)
+            .withColumn("bucket", bucketOf(col("token"), nb))
+            .withColumn("epoch", lit(batchId)),
+          s"${prefix}_positions", partitionBy = Seq("bucket", "epoch"))
+        onStage("meta")
+        writeMeta(s, catalog, prefix, nPrev + batch.count(),
+          nb.toLong, Some(batchId))
+      }
+    }
+  }
 
   /** [[searchTopK]] over a persisted index, scanning ONLY the buckets
     * the query terms hash into: one tiny action over the literal

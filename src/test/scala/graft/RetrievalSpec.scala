@@ -252,6 +252,46 @@ class RetrievalSpec extends SparkTestBase {
     assert(replayed == inline)
   }
 
+  test("a sink batch killed at each write boundary rolls forward: replay converges, nothing doubles") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ixk_").toString
+    val docs = Tables.documents(spark, sf)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    val queries = SparkEntry.keywordQueryFrame(spark)
+    val want = Retrieval.searchTopKInline(docs, "doc_id", "text",
+      queries, 10).as[(Long, Long, Long, Int)].collect().toSeq.sorted
+    val cleanPostings = Retrieval.postings(docs, "doc_id", "text").count()
+    val cleanPositions =
+      Retrieval.positionalPostings(docs, "doc_id", "text").count()
+    for (stage <- Seq("postings", "positions", "meta")) {
+      val cat = new graft.catalog.ParquetCatalog(s"$root/$stage")
+      Retrieval.applySinkBatch(b0, 0L, "doc_id", "text", cat, "ix", 16)
+      // the crash: batch 1 dies immediately before this stage's write
+      val boom = intercept[RuntimeException](
+        Retrieval.applySinkBatch(b1, 1L, "doc_id", "text", cat, "ix", 16,
+          onStage = s =>
+            if (s == stage) throw new RuntimeException(s"kill@$s")))
+      assert(boom.getMessage == s"kill@$stage")
+      // foreachBatch replays the SAME batch with the SAME id: the
+      // epoch partition replace overwrites the half-landed files
+      Retrieval.applySinkBatch(b1, 1L, "doc_id", "text", cat, "ix", 16)
+      // nothing doubled: postings/positions row counts equal a clean
+      // build (df is a per-token ROW count — doubling skews idf)
+      assert(cat.read(spark, "ix_postings").count() == cleanPostings,
+        s"postings rows drifted after kill@$stage")
+      assert(cat.read(spark, "ix_positions").count() == cleanPositions,
+        s"positions rows drifted after kill@$stage")
+      val meta = cat.read(spark, "ix_meta").head()
+      assert(meta.getAs[Long]("n_docs") == docs.count(),
+        s"n_docs drifted after kill@$stage")
+      assert(meta.getAs[Long]("batch_id") == 1L)
+      // and the recovered index serves exactly the inline ranking
+      val got = Retrieval.searchTopKFromCatalog(spark, cat, "ix",
+        queries, 10).as[(Long, Long, Long, Int)].collect().toSeq.sorted
+      assert(got == want, s"ranking drifted after kill@$stage")
+    }
+  }
+
   test("search is partition-independent on real docs") {
     val docs = Tables.documents(spark, sf)
     val q = SparkEntry.keywordQueryFrame(spark)
