@@ -1537,6 +1537,22 @@ object SparkEntry {
         "doc_id")
     }),
 
+    // The CORPUS-SCALE Kendall twin (ops.Eval.kendallBySegmentScalable):
+    // identical output to q184 from a segmented O(n log n) inversion
+    // count — merge-sort rank rounds over segmentedRowNumber plus a
+    // per-bucket Fenwick pass — with NO self-join in the plan (pinned
+    // by KendallScalableSpec). Carries q184's own oracle, the q38/q52
+    // pattern.
+    "q187_kendall_scalable" -> ((s, dir) => {
+      val scored = documents(s, dir).where(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").as("x"),
+          graft.functions.exprs.classifier_score(
+            graft.text.TextFunctions.tokens(col("text"))).as("y"))
+      graft.ops.Eval.kendallBySegmentScalable(scored, "source", "x",
+        "y", "doc_id")
+    }),
+
     // Quantile normalization (ops.Quantiles.quantileNormalize): every
     // source's length profile mapped onto the pooled distribution at
     // the same relative rank — exact integer positions, the
@@ -3122,6 +3138,44 @@ object SparkEntry {
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
   }
 
+  /** q184's pair-join oracle SQL — shared verbatim by q187's
+    * join-free scalable twin (the q38/q52 oracle-sharing pattern). */
+  private lazy val kendallOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
+         |    AS tok FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.source, d.doc_id,
+         |  CAST(d.n_chars AS BIGINT) AS x,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS y
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |p AS (SELECT a.source,
+         |  (a.x - b.x) * (a.y - b.y) AS sgn,
+         |  (a.x = b.x) AS ex, (a.y = b.y) AS ey
+         |  FROM sc a JOIN sc b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id),
+         |m AS (SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS nc,
+         |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS nd,
+         |  CAST(sum(CASE WHEN ex AND NOT ey THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tie_x,
+         |  CAST(sum(CASE WHEN ey AND NOT ex THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tie_y
+         |  FROM p GROUP BY 1)
+         |SELECT source, n_pairs, nc, nd, tie_x, tie_y,
+         |  CASE WHEN nc + nd + tie_x = 0 OR nc + nd + tie_y = 0 THEN 0
+         |    ELSE CAST(round(CAST(nc - nd AS DOUBLE)
+         |      / (sqrt(CAST(nc + nd + tie_x AS DOUBLE))
+         |        * sqrt(CAST(nc + nd + tie_y AS DOUBLE)))
+         |      * 16384.0) AS BIGINT) END AS tau_b_code
+         |FROM m""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -3343,41 +3397,14 @@ object SparkEntry {
 
     // The q93 score CTE + the id-ordered pair join + the same five
     // counters and the same fixed op sequence into round(.*2^14).
-    "q184_kendall" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")})
-         |    AS tok FROM documents WHERE text IS NOT NULL),
-         |w AS (SELECT doc_id,
-         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
-         |    - 32768 AS w FROM toks),
-         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
-         |sc AS (SELECT d.source, d.doc_id,
-         |  CAST(d.n_chars AS BIGINT) AS x,
-         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS y
-         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-         |  WHERE d.text IS NOT NULL),
-         |p AS (SELECT a.source,
-         |  (a.x - b.x) * (a.y - b.y) AS sgn,
-         |  (a.x = b.x) AS ex, (a.y = b.y) AS ey
-         |  FROM sc a JOIN sc b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id),
-         |m AS (SELECT source,
-         |  CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS nc,
-         |  CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS nd,
-         |  CAST(sum(CASE WHEN ex AND NOT ey THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS tie_x,
-         |  CAST(sum(CASE WHEN ey AND NOT ex THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS tie_y
-         |  FROM p GROUP BY 1)
-         |SELECT source, n_pairs, nc, nd, tie_x, tie_y,
-         |  CASE WHEN nc + nd + tie_x = 0 OR nc + nd + tie_y = 0 THEN 0
-         |    ELSE CAST(round(CAST(nc - nd AS DOUBLE)
-         |      / (sqrt(CAST(nc + nd + tie_x AS DOUBLE))
-         |        * sqrt(CAST(nc + nd + tie_y AS DOUBLE)))
-         |      * 16384.0) AS BIGINT) END AS tau_b_code
-         |FROM m""".stripMargin,
+    "q184_kendall" -> kendallOracleSql,
+
+    // q187 computes the SAME statistic join-free (merge-sort rank
+    // rounds + per-bucket Fenwick); the oracle is q184's pair SQL
+    // verbatim — the q38/q52 "scale twin carries the window form's
+    // oracle" pattern.
+    "q187_kendall_scalable" -> kendallOracleSql,
+
 
     // Both rankings as plain windows, the same exact position map.
     "q185_quantile_norm" ->

@@ -152,6 +152,198 @@ object Eval {
                   .cast("double"))) * lit(16384.0)).cast("long")))
   }
 
+  /** CORPUS-SCALE twin of [[kendallBySegment]] — byte-identical
+    * output (it carries q184's own DuckDB oracle as q187, the q38/q52
+    * pattern) from a segmented O(n log n) inversion count instead of
+    * the per-segment O(n²) pair join.
+    *
+    * The algebra: order each segment by the tie-free total order
+    * (x, y, id) and let `D` be the strict y-inversions over that
+    * order — pairs earlier-position/larger-y. An x-tied pair is
+    * ordered y-ascending, so it can never invert, and y-ties are
+    * excluded by strictness: `D` is EXACTLY the discordant count
+    * {x_a < x_b ∧ y_a > y_b}. Every other pair class is a group-by:
+    * one (seg, x, y) cell frame yields the both-tied, x-tied and
+    * y-tied pair counts (Σ C(c,2) over the right marginals), and
+    * concordant falls out by subtraction from n(n−1)/2.
+    *
+    * `D` itself is the merge-sort rank trick run on the
+    * [[Quantiles.segmentedRowNumber]] machinery q52/q185 use:
+    *  1. position `rn` within (segment, (x, y, id)) — two-phase, no
+    *     per-segment reducer — splits each segment into `nBuckets`
+    *     balanced position ranges;
+    *  2. log2(nBuckets) merge rounds: at round r, buckets pair into
+    *     groups of 2^r, and for an element of a LEFT (even) sub-block
+    *     the difference `rank within round-r group − rank within its
+    *     round-(r−1) sub-block` under the tie-free key (y, rn) counts
+    *     exactly the right-sibling elements with smaller key — i.e.
+    *     the cross-sub-block inversions that pair contributes, each
+    *     pair split at exactly one round. Each round's rank is
+    *     another segmentedRowNumber — every pass a linear scan, no
+    *     join of the data against itself anywhere in the plan;
+    *  3. within-bucket inversions: a per-(segment, bucket) Fenwick
+    *     pass ([[bufferedInversions]]) — O(m log m) time, O(m) memory
+    *     for m ≈ n/nBuckets rows; raise nBuckets as segments grow, the
+    *     way q52 raises its bucket count. Parallelism is
+    *     |segments|·nBuckets throughout.
+    *
+    * Inputs must be non-null in `xCol`/`yCol` (enforced in-plan, the
+    * ZOrder guard discipline): the O(n²) form's pair algebra counts a
+    * null-valued pair in n_pairs but NO class, a semantics nothing
+    * downstream should rely on. Like the pair form, single-row
+    * segments emit nothing (no pairs to classify). n(n−1)/2 is exact
+    * through DECIMAL(38,0) then lands in the oracle's BIGINT. */
+  def kendallBySegmentScalable(df: DataFrame, segCol: String,
+                               xCol: String, yCol: String, idCol: String,
+                               nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
+      s"nBuckets must be a power of two >= 2, got $nBuckets")
+    val rounds = java.lang.Integer.numberOfTrailingZeros(nBuckets)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def guarded(c: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"kendallBySegmentScalable: null $c — the pair form counts " +
+          "null pairs in n_pairs but no class; filter or impute first")))
+        .otherwise(col(c).cast("long"))
+    val base = df.select(col(segCol), guarded(xCol).as("__x"),
+      guarded(yCol).as("__y"), col(idCol).as("__id"))
+
+    // -- pair classes that are pure group-bys: one (seg, x, y) cell
+    // frame, then tiny marginal rollups (pairsOf = C(c, 2), exact).
+    val cells = base.groupBy(col(segCol).as("__tseg"), col("__x"),
+      col("__y")).agg(count(lit(1)).as("__c"))
+    val byX = cells.groupBy(col("__tseg").as("__xseg"), col("__x"))
+      .agg(sum("__c").as("__cx"),
+        sum(expr("(__c * (__c - 1)) div 2")).as("__pxy"))
+    val frameA = byX.groupBy(col("__xseg"))
+      .agg(sum("__cx").as("__nseg"),
+        sum(expr("(__cx * (__cx - 1)) div 2")).as("__tx_all"),
+        sum("__pxy").as("__txy"))
+    val frameB = cells.groupBy(col("__tseg").as("__yseg"), col("__y"))
+      .agg(sum("__c").as("__cy"))
+      .groupBy(col("__yseg"))
+      .agg(sum(expr("(__cy * (__cy - 1)) div 2")).as("__ty_all"))
+
+    // -- discordant = y-inversions over the (x, y, id) position order.
+    // Position + balanced position-range buckets (rn is uniform by
+    // construction, so the bucket split needs no second sketch).
+    val positioned = Quantiles.segmentedRowNumber(base, segCol, "__x",
+        Seq(col("__x"), col("__y"), col("__id")), nBuckets)
+      .withColumn("__xbkt", expr(
+        s"CAST((CAST(__rn - 1 AS DECIMAL(38,0)) * $nBuckets) div __n AS INT)"))
+      .withColumn("__ord", col("__rn"))
+      // a null segment is one real partition to the pair form too —
+      // the sentinel only needs to be distinct from cast output
+      .withColumn("__segs",
+        coalesce(col(segCol).cast("string"), lit(" ")))
+      .select(col("__segs"), col("__xbkt"), col("__ord"), col("__y"))
+    val segMap = base.select(col(segCol),
+        coalesce(col(segCol).cast("string"), lit(" ")).as("__segs"))
+      .distinct()
+
+    // merge rounds: rank under (y, ord) within (seg, bucket >> r);
+    // ord is unique per segment, so every rank is tie-free. Each
+    // round is pinned via eager localCheckpoint — segmentedRowNumber
+    // branches its input's lineage (bounds, offsets), so chaining
+    // log2(B) calls lazily grows the LOGICAL plan ~4^rounds and
+    // analysis time with it; the checkpoint truncates to a LogicalRDD
+    // per round, the IngestLoop/Dedup discipline. The per-segment
+    // totals then come back via one BOUNDED collect (|segments| rows,
+    // the watermark rule) so the returned frame holds no block refs.
+    def rankRound(d: DataFrame, r: Int): DataFrame =
+      Quantiles.segmentedRowNumber(
+        d.withColumn("__grp", concat(col("__segs"), lit("|"),
+          shiftright(col("__xbkt"), r).cast("string"))),
+        "__grp", "__y", Seq(col("__y"), col("__ord")), 8)
+        .drop("__n", "__grp")
+    var cur = rankRound(positioned, 0)
+      .withColumnRenamed("__rn", "__rprev")
+      .withColumn("__d", lit(0L))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      cur = rankRound(cur, r)
+        .withColumn("__d", col("__d") +
+          when(shiftright(col("__xbkt"), r - 1) % 2 === 0,
+            col("__rn") - col("__rprev")).otherwise(lit(0L)))
+        .drop("__rprev").withColumnRenamed("__rn", "__rprev")
+        .localCheckpoint(true)
+    }
+    val dCrossRows = cur.groupBy(col("__segs"))
+      .agg(sum("__d").as("__d_cross")).collect()
+    val dCross = spark.createDataFrame(
+      spark.sparkContext.parallelize(dCrossRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cseg",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__d_cross",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val dIntra = positioned
+      .select(col("__segs"), col("__xbkt"), col("__ord"), col("__y"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (k, it) =>
+        (k._1, bufferedInversions(it.map(t => (t._3, t._4)).toArray))
+      }
+      .toDF("__iseg", "__di")
+      .groupBy(col("__iseg")).agg(sum("__di").as("__d_intra"))
+
+    // -- assembly: every frame here is |segments| rows — broadcast.
+    frameA
+      .join(broadcast(frameB), col("__xseg") <=> col("__yseg"))
+      .join(broadcast(segMap), col(segCol) <=> col("__xseg"))
+      .join(broadcast(dCross), col("__segs") === col("__cseg"))
+      .join(broadcast(dIntra), col("__segs") === col("__iseg"))
+      .withColumn("n_pairs", expr(
+        "CAST((CAST(__nseg AS DECIMAL(38,0)) * (__nseg - 1)) div 2 AS BIGINT)"))
+      .filter(col("n_pairs") > 0)
+      .withColumn("nd", col("__d_cross") + col("__d_intra"))
+      .withColumn("tie_x", col("__tx_all") - col("__txy"))
+      .withColumn("tie_y", col("__ty_all") - col("__txy"))
+      .withColumn("nc", col("n_pairs") - col("nd") - col("__tx_all")
+        - col("__ty_all") + col("__txy"))
+      .withColumn("tau_b_code",
+        when(col("nc") + col("nd") + col("tie_x") === 0 ||
+          col("nc") + col("nd") + col("tie_y") === 0, lit(0L))
+          .otherwise(round(
+            (col("nc") - col("nd")).cast("double") /
+              (sqrt((col("nc") + col("nd") + col("tie_x")).cast("double"))
+                * sqrt((col("nc") + col("nd") + col("tie_y"))
+                  .cast("double"))) * lit(16384.0)).cast("long")))
+      .select(col(segCol), col("n_pairs"), col("nc"), col("nd"),
+        col("tie_x"), col("tie_y"), col("tau_b_code"))
+  }
+
+  /** Strict y-inversions of one buffered bucket: pairs with smaller
+    * `ord` and strictly larger `y`. Sort by ord, compress y to dense
+    * ranks, then one Fenwick-tree pass — each element adds the count
+    * of already-inserted elements whose y exceeds its own. O(m log m)
+    * time, O(m) space; the in-memory endgame of the merge-sort
+    * decomposition, bounded by the bucket split above it. */
+  private[graft] def bufferedInversions(rows: Array[(Long, Long)]): Long = {
+    if (rows.length < 2) return 0L
+    scala.util.Sorting.stableSort(rows,
+      (a: (Long, Long), b: (Long, Long)) => a._1 < b._1)
+    val ys = rows.map(_._2).distinct.sorted
+    val tree = new Array[Long](ys.length + 1)
+    var inv = 0L
+    var inserted = 0L
+    var i = 0
+    while (i < rows.length) {
+      val r = java.util.Arrays.binarySearch(ys, rows(i)._2) + 1
+      // prefix(r) = inserted with y <= y_i; the rest are strictly above
+      var j = r
+      var le = 0L
+      while (j > 0) { le += tree(j); j -= j & -j }
+      inv += inserted - le
+      j = r
+      while (j <= ys.length) { tree(j) += 1L; j += j & -j }
+      inserted += 1L
+      i += 1
+    }
+    inv
+  }
+
   /** Per-segment confusion cells at `predicted = score >= threshold`,
     * plus 1e-6 fixed-point precision/recall/F1. Degenerate segments
     * emit NULL codes (no positives predicted, no positives present)
