@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ONE artifact store shared by this JVM and every BenchChild it
+    // spawns (set BEFORE anything touches SparkEntry's lazy root):
+    // a child-built pair graph must serve the parent's dependent
+    // queries, and a child query must find the parent-built indexes.
+    val artifactRoot = sys.props.getOrElseUpdate("graft.artifact.root",
+      java.nio.file.Files.createTempDirectory("graft_artifacts_shared_")
+        .toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,6 +37,68 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       if (gc) { System.gc(); Thread.sleep(1000) }
     }
+    // Spawn one chronic row in a FRESH JVM ([[BenchChild]]) and parse
+    // its `[bench-child] <row> <sec>` lines. Fences and forced GC
+    // (r9-r11) provably cannot protect composite/late rows inside one
+    // 40-minute 200-row JVM — the r11 sweep read nyc_10x at 163 s
+    // against 47 s isolated with identical code; a fresh heap is the
+    // only guaranteed-clean state. Child gets the parent's classpath
+    // (run/fork:=true hands this JVM a real -cp), the same -Xmx, the
+    // JDK-17 --add-opens set Spark needs, and the shared artifact
+    // root. Failure (nonzero exit / no parseable row) reports -1 under
+    // `fallback` — a visible marker, never a vanished row.
+    def runChild(kind: String, row: String,
+                 fallback: Seq[String]): Map[String, Double] = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd: Seq[String] =
+        Seq(javaBin) ++ addOpens ++ Seq(
+          s"-Xmx${Runtime.getRuntime.maxMemory()}",
+          s"-Dgraft.artifact.root=$artifactRoot",
+          "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.BenchChild", kind, row, sfDir)
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(
+          p.getInputStream, "UTF-8").getLines().toList
+        val code = p.waitFor()
+        val parsed = out.filter(_.startsWith("[bench-child] ")).flatMap {
+          l =>
+            l.stripPrefix("[bench-child] ").split(" ") match {
+              case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+              case _ => None
+            }
+        }.toMap
+        if (code != 0 || parsed.isEmpty) {
+          System.err.println(
+            s"[bench] child $kind/$row exit=$code rows=${parsed.size}")
+          fallback.map(_ -> -1.0).toMap ++ parsed
+        } else parsed
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] child $kind/$row FAILED: ${e.getMessage}")
+        fallback.map(_ -> -1.0).toMap
+      }
+    }
+    // Chronic BUILD rows first, each in a fresh JVM — before the
+    // parent warmup so each child's own sf0.001 warm-build actually
+    // executes (the shared store would otherwise memoize it away).
+    // Their sfDir artifacts land in the shared store, where the
+    // parent's dependent queries (q43/q50/q61/q91, components,
+    // triangles) read them exactly as before.
+    val childBuildRows = Seq("q47_build", "q89_build", "q147_build")
+      .map(b => runChild("build", b, Seq(b)))
+      .foldLeft(Map.empty[String, Double])(_ ++ _)
     // untimed warmup on the tiny sf to JIT scan/codegen paths
     SparkEntry.queries.foreach { case (n, f) =>
       try run(n, f, "/root/testdata/sf0.001")
@@ -46,13 +115,12 @@ object Bench {
     // Row-name mapping: q47/q91/q43/q50/q61 share the pair graph
     // (reported once as q47_build); q89 = standing components;
     // q90 = prefix index (q89 probes it too); q84 = bloom; q77 = IVF;
-    // q78 = appended IVF. The dense-graph q147_build runs LAST: its
-    // 0.25-threshold pair blowup is the single largest allocator of
-    // the phase, and ordering it after everything else means a slow
-    // collection of its garbage can poison no successor.
+    // q78 = appended IVF. The graph-family builds (q47/q89/q147) ran
+    // as childBuildRows above — the heaviest allocators and the rows
+    // the in-JVM fence kept failing to protect; the rest stay in-JVM
+    // where the r11 fence demonstrably works (q90 58.3->5.0 s,
+    // q77 12.6->1.2 s).
     val builds: Seq[(String, () => Unit)] = Seq(
-      "q47_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.4)),
-      "q89_build" -> (() => SparkEntry.baseComponentsTable(spark, sfDir)),
       "q90_build" -> (() => SparkEntry.prefixIndexTable(spark, sfDir)),
       "q84_build" -> (() => SparkEntry.bloomIndexTable(spark, sfDir)),
       "q77_build" -> (() => SparkEntry.ivfIndexTable(spark, sfDir)),
@@ -61,8 +129,7 @@ object Bench {
       "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)),
       "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)),
       "q167_build" -> (() => SparkEntry.orcExport(spark, sfDir)),
-      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir)),
-      "q147_build" -> (() => SparkEntry.pairGraphTable(spark, sfDir, 0.25)))
+      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir)))
     // Every build row gets the SAME guaranteed-clean-heap fence the
     // heavy queries get below: twelve one-shot artifact builds back to
     // back are allocation-heavy and UNREPEATED (no min-of-two can mask
@@ -98,10 +165,21 @@ object Bench {
     // sweep vs 2.1 s isolated; code identical). ~1 s × |heavy| extra
     // untimed pauses.
     val heavy = Set("q65_knn_graph", "q92_knn_graph_lsh",
-      "q89_incremental_components", "q90_indexed_pairs",
+      "q89_incremental_components",
       "q147_triangles", "q158_component_churn", "q163_weighted_median",
-      "q24_ngram_jaccard_pairs", "q64_incremental_pairs")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      "q64_incremental_pairs")
+    // Chronic QUERY rows, isolated in fresh JVMs (r11 judge: q43 8.1 s
+    // sweep vs 3.2 isolated, q48 8.9 vs 4.6, q90 8.2 vs 4.2, q24 the
+    // r9 pollution case) — AFTER the in-JVM builds so q90's child
+    // finds the parent-built prefix index in the shared store.
+    val childQueryNames = Seq("q24_ngram_jaccard_pairs",
+      "q43_curated_corpus", "q48_ann_ivf_kmeans", "q90_indexed_pairs")
+    val childQueryRows = childQueryNames
+      .map(q => runChild("query", q, Seq(q)))
+      .foldLeft(Map.empty[String, Double])(_ ++ _)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => childQueryNames.contains(n) }
+      .zipWithIndex
       .map { case ((name, fn), idx) =>
       if (heavy(name)) dropAllState(gc = true)
       def once(): Double = {
@@ -165,84 +243,20 @@ object Bench {
     dropAllState(gc = true)
     // The same pipeline at 10x the reference's volume (7.9M rows — the
     // scale its README concedes crashes the reference's platinum
-    // layer): deterministic amplification + full year, temp-rooted and
-    // deleted after. Two rows so the generator's cost never pollutes
-    // the pipeline reading. Measured family (docs/SCALE.md): wall =
-    // ~37.5 s orchestration floor + ~0.95 s per 787k rows — linear in
-    // data, constant in structure.
+    // layer) and the production ingest loop (seed 80%, tick a held-out
+    // 10%, quiescent re-ingest) — both composite multi-write rows, the
+    // two worst in-JVM flappers, each in a fresh child JVM. BOTH rows
+    // of a failed pair report -1: a failure must show as a visible
+    // marker, never as a vanished row in the artifact's line diff.
     val nyc10xRow =
-      if (graft.nyc.NycScaleBench.available) {
-        try {
-          val (gen, pipe) = graft.nyc.NycScaleBench.run(spark, 10)
-          Map("nyc_10x_gen" -> gen, "nyc_10x_pipeline" -> pipe)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] nyc_10x FAILED: ${e.getMessage}")
-          // BOTH rows at -1: a failure must show as a visible marker,
-          // never as a vanished row in the artifact's line diff
-          Map("nyc_10x_gen" -> -1.0, "nyc_10x_pipeline" -> -1.0)
-        }
-      } else Map.empty[String, Double]
-    dropAllState(gc = true)
-    // The production ingest loop, composed: seed the standing corpus
-    // artifacts from 90% of the documents table (UNTIMED — that is the
-    // one-time build), then time ONE tick folding the held-out 10%
-    // through gate → pair discovery → component fold → fenced state
-    // appends, and one quiescent tick re-ingesting the same batch (the
-    // steady-state "nothing new" cost: gate scan + empty short-circuit).
-    val ingestRows = {
-      val root = java.nio.file.Files.createTempDirectory("graft_bench_ingest_")
-      try {
-        import org.apache.spark.sql.functions.col
-        val cat = new graft.catalog.ParquetCatalog(root.toString)
-        val st = graft.streaming.IngestLoop.State(
-          "corpus", "bloom", "pfx", "comps")
-        // the loop's code paths run exactly once below — JIT them on
-        // the tiny sf first (the query sweep's warmup doesn't touch
-        // the ingest/gate/fence code)
-        locally {
-          val wcat = new graft.catalog.ParquetCatalog(
-            root.resolve("warm").toString)
-          val wdocs = Tables.documents(spark, "/root/testdata/sf0.001")
-            .select("doc_id", "text")
-          graft.streaming.IngestLoop.build(
-            wdocs.filter(col("doc_id") % 10 =!= 0), wcat, st)
-          graft.streaming.IngestLoop.ingest(
-            wdocs.filter(col("doc_id") % 10 === 0), wcat, st)
-        }
-        dropAllState(gc = false)
-        val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-        // seed from 80%; TWO disjoint 10% ticks give a min-of-two for
-        // the tick row (a single first-tick sample rides whatever GC /
-        // page-cache state the build left behind — observed 2x spread)
-        graft.streaming.IngestLoop.build(
-          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
-          cat, st)
-        def tickOn(slice: Int): Double = {
-          val batch = docs.filter(col("doc_id") % 10 === slice)
-            .localCheckpoint(true) // charge the tick, not the scan
-          val t0 = System.nanoTime()
-          graft.streaming.IngestLoop.ingest(batch, cat, st)
-          (System.nanoTime() - t0) / 1e9
-        }
-        val tick = math.min(tickOn(5), tickOn(0))
-        // quiescent: re-ingest an already-landed slice (pure gate cost)
-        val batch0 = docs.filter(col("doc_id") % 10 === 0)
-          .localCheckpoint(true)
-        val t1 = System.nanoTime()
-        graft.streaming.IngestLoop.ingest(batch0, cat, st)
-        val quiet = (System.nanoTime() - t1) / 1e9
-        Map("ingest_loop_tick" -> tick, "ingest_loop_quiescent" -> quiet)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ingest_loop_tick FAILED: ${e.getMessage}")
-        Map("ingest_loop_tick" -> -1.0)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
-    val all = results ++ buildRows ++ nycRow ++ nyc10xRow ++ ingestRows
+      if (graft.nyc.NycScaleBench.available)
+        runChild("nyc10x", "nyc_10x",
+          Seq("nyc_10x_gen", "nyc_10x_pipeline"))
+      else Map.empty[String, Double]
+    val ingestRows = runChild("ingest", "ingest_loop",
+      Seq("ingest_loop_tick", "ingest_loop_quiescent"))
+    val all = results ++ buildRows ++ childBuildRows ++ childQueryRows ++
+      nycRow ++ nyc10xRow ++ ingestRows
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum
@@ -264,5 +278,13 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{\n  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n$rows\n  }\n}\n""")
     spark.stop()
+    // the shared artifact store is bench-run-scoped — delete it so
+    // repeated driver runs don't strand the pair graphs/indexes in /tmp
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(artifactRoot))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * MEASURE the exponent that makes them eval-set-only, not to pay it
   * at 10×. Output: BENCH_SF1.json, one row per line:
   * {"row": name, "tiers": {"x1": sec, ...}, "exponent": slope of the
-  * log-log least-squares fit across valid tiers}.
+  * log-log least-squares fit across valid tiers}. A FAILED tier is
+  * serialized as `null` (matching the exponent's convention) and
+  * excluded from the fit.
   */
 object BenchSf1 {
   private val tiers = Seq(1, 2, 5, 10)
@@ -130,7 +132,8 @@ object BenchSf1 {
     val fmt = new java.text.DecimalFormat("0.###",
       java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
     val lines = rows.map { case (name, m) =>
-      val ts = m.map { case (t, s) => s""""x$t":${fmt.format(s)}""" }
+      val ts = m.map { case (t, s) =>
+        s""""x$t":${if (s > 0) fmt.format(s) else "null"}""" }
         .mkString("{", ",", "}")
       val ex = exponent(m).map(fmt.format).getOrElse("null")
       s"""{"row":"$name","tiers":$ts,"exponent":$ex}"""
@@ -143,10 +146,12 @@ object BenchSf1 {
   }
 
   /** Materialize the replica tiers (idempotent: skips a tier whose
-    * directory already holds both tables). Replica 0 is the original
-    * sf0.1 data byte-for-value; replica k>0 re-keys ids by k·10⁷,
-    * salts every document token with `k<k>_`, and rotates embeddings
-    * by k positions. */
+    * `_TIER_OK` marker names the SAME source sfDir — a marker from a
+    * different source means stale replicas, so the tier regenerates
+    * rather than silently benchmarking the old data). Replica 0 is
+    * the original sf0.1 data byte-for-value; replica k>0 re-keys ids
+    * by k·10⁷, salts every document token with `k<k>_`, and rotates
+    * embeddings by k positions. */
   private[graft] def generateTiers(spark: SparkSession, sfDir: String,
                                    root: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
@@ -154,7 +159,9 @@ object BenchSf1 {
     for (t <- tiers) {
       val dir = s"$root/x$t"
       val done = new java.io.File(s"$dir/_TIER_OK")
-      if (!done.exists()) {
+      val fresh = done.exists() &&
+        java.nio.file.Files.readString(done.toPath).trim == sfDir
+      if (!fresh) {
         val dTier = (0 until t).map { k =>
           if (k == 0) docs
           else {
@@ -184,7 +191,7 @@ object BenchSf1 {
         eTier.repartition(math.max(4, t * 2))
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         done.getParentFile.mkdirs()
-        java.nio.file.Files.writeString(done.toPath, "ok\n")
+        java.nio.file.Files.writeString(done.toPath, sfDir + "\n")
       }
     }
   }

@@ -63,7 +63,8 @@ object Explain {
     "q174_bootstrap_means", "q175_scd_asof", "q176_schema_evolution",
     "q177_session_window", "q178_theil_sen", "q179_target_encode",
     "q180_auc", "q181_confusion", "q182_ndcg", "q183_cube_report",
-    "q184_kendall", "q185_quantile_norm", "q186_cdc_chunks")
+    "q184_kendall", "q185_quantile_norm", "q186_cdc_chunks",
+    "q187_kendall_scalable")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -285,9 +285,21 @@ object SparkEntry {
     * dedup gates, audits — reads the tiny (id_a, id_b, jaccard) table
     * instead of re-running the join. Scoped to this JVM (a fresh
     * process always recomputes), keyed by source dir, so reuse can
-    * never serve one scale factor's graph to another. */
+    * never serve one scale factor's graph to another. The
+    * `graft.artifact.root` system property overrides the per-JVM temp
+    * dir — set ONLY by [[Bench]] so the fresh child JVMs it spawns for
+    * the chronic rows share one artifact store with the parent sweep
+    * (a child-built pair graph must serve the parent's dependent
+    * queries); everything else keeps the recompute-per-process
+    * default. */
   private lazy val artifactRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_artifacts_").toString
+    sys.props.get("graft.artifact.root") match {
+      case Some(p) =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        p
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft_artifacts_").toString
+    }
   private[graft] def pairGraphTable(s: SparkSession, dir: String,
                                     threshold: Double): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)

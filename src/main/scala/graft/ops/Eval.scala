@@ -187,15 +187,32 @@ object Eval {
     *     way q52 raises its bucket count. Parallelism is
     *     |segments|·nBuckets throughout.
     *
+    * Each rank round is pinned through `pin` — by default an eager
+    * `localCheckpoint(true)`, which truncates the ~4^rounds logical
+    * plan growth but stores blocks on executors, so it is NOT
+    * executor-loss-tolerant: on a real cluster a lost executor fails
+    * the job. Cluster deployments pass a reliable pin instead — a
+    * write-read through the table catalog (see KendallScalableSpec's
+    * catalog-pin test) or `checkpoint(true)` against a replicated
+    * checkpoint dir — trading one round-trip write per round for
+    * fault tolerance; output is pin-independent.
+    *
     * Inputs must be non-null in `xCol`/`yCol` (enforced in-plan, the
     * ZOrder guard discipline): the O(n²) form's pair algebra counts a
     * null-valued pair in n_pairs but NO class, a semantics nothing
-    * downstream should rely on. Like the pair form, single-row
-    * segments emit nothing (no pairs to classify). n(n−1)/2 is exact
-    * through DECIMAL(38,0) then lands in the oracle's BIGINT. */
+    * downstream should rely on. `idCol` must be UNIQUE within each
+    * segment (not enforced — checking costs a corpus-wide group-by):
+    * the pair form's `a.id < b.id` predicate silently drops
+    * duplicate-id pairs, while this form counts all C(n,2) pairs via
+    * the (x, y, id) total order, so duplicated ids make the two forms
+    * diverge without error. Like the pair form, single-row segments
+    * emit nothing (no pairs to classify). n(n−1)/2 is exact through
+    * DECIMAL(38,0) then lands in the oracle's BIGINT. */
   def kendallBySegmentScalable(df: DataFrame, segCol: String,
                                xCol: String, yCol: String, idCol: String,
-                               nBuckets: Int = 32): DataFrame = {
+                               nBuckets: Int = 32,
+                               pin: DataFrame => DataFrame =
+                                 _.localCheckpoint(true)): DataFrame = {
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two >= 2, got $nBuckets")
     val rounds = java.lang.Integer.numberOfTrailingZeros(nBuckets)
@@ -233,22 +250,26 @@ object Eval {
       .withColumn("__xbkt", expr(
         s"CAST((CAST(__rn - 1 AS DECIMAL(38,0)) * $nBuckets) div __n AS INT)"))
       .withColumn("__ord", col("__rn"))
-      // a null segment is one real partition to the pair form too —
-      // the sentinel only needs to be distinct from cast output
+      // a null segment is one real partition to the pair form too.
+      // The U+0000 sentinel collides only with a segment whose cast
+      // output is itself the one-char NUL string — no cast of the
+      // supported segment types produces it
       .withColumn("__segs",
-        coalesce(col(segCol).cast("string"), lit(" ")))
+        coalesce(col(segCol).cast("string"), lit("\u0000")))
       .select(col("__segs"), col("__xbkt"), col("__ord"), col("__y"))
     val segMap = base.select(col(segCol),
-        coalesce(col(segCol).cast("string"), lit(" ")).as("__segs"))
+        coalesce(col(segCol).cast("string"), lit("\u0000")).as("__segs"))
       .distinct()
 
     // merge rounds: rank under (y, ord) within (seg, bucket >> r);
     // ord is unique per segment, so every rank is tie-free. Each
-    // round is pinned via eager localCheckpoint — segmentedRowNumber
-    // branches its input's lineage (bounds, offsets), so chaining
-    // log2(B) calls lazily grows the LOGICAL plan ~4^rounds and
-    // analysis time with it; the checkpoint truncates to a LogicalRDD
-    // per round, the IngestLoop/Dedup discipline. The per-segment
+    // round is pinned via `pin` (default eager localCheckpoint) —
+    // segmentedRowNumber branches its input's lineage (bounds,
+    // offsets), so chaining log2(B) calls lazily grows the LOGICAL
+    // plan ~4^rounds and analysis time with it; the pin truncates to
+    // a materialized plan per round, the IngestLoop/Dedup discipline
+    // (see the scaladoc for the cluster-scale reliable pin). The
+    // per-segment
     // totals then come back via one BOUNDED collect (|segments| rows,
     // the watermark rule) so the returned frame holds no block refs.
     def rankRound(d: DataFrame, r: Int): DataFrame =
@@ -257,17 +278,15 @@ object Eval {
           shiftright(col("__xbkt"), r).cast("string"))),
         "__grp", "__y", Seq(col("__y"), col("__ord")), 8)
         .drop("__n", "__grp")
-    var cur = rankRound(positioned, 0)
+    var cur = pin(rankRound(positioned, 0)
       .withColumnRenamed("__rn", "__rprev")
-      .withColumn("__d", lit(0L))
-      .localCheckpoint(true)
+      .withColumn("__d", lit(0L)))
     for (r <- 1 to rounds) {
-      cur = rankRound(cur, r)
+      cur = pin(rankRound(cur, r)
         .withColumn("__d", col("__d") +
           when(shiftright(col("__xbkt"), r - 1) % 2 === 0,
             col("__rn") - col("__rprev")).otherwise(lit(0L)))
-        .drop("__rprev").withColumnRenamed("__rn", "__rprev")
-        .localCheckpoint(true)
+        .drop("__rprev").withColumnRenamed("__rn", "__rprev"))
     }
     val dCrossRows = cur.groupBy(col("__segs"))
       .agg(sum("__d").as("__d_cross")).collect()
