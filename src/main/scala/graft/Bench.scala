@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Parse a [[BenchChild]] stdout capture into its measured rows:
+    * `[bench-child] <row> <seconds>` lines only, anything else
+    * (Spark chatter that reaches stdout, partial writes from a dying
+    * child) ignored; a malformed number drops its line rather than
+    * failing the whole sweep. */
+  private[graft] def parseChildLines(out: Seq[String]): Map[String, Double] =
+    out.filter(_.startsWith("[bench-child] ")).flatMap { l =>
+      l.stripPrefix("[bench-child] ").split(" ") match {
+        case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+        case _ => None
+      }
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,13 +86,7 @@ object Bench {
         val out = scala.io.Source.fromInputStream(
           p.getInputStream, "UTF-8").getLines().toList
         val code = p.waitFor()
-        val parsed = out.filter(_.startsWith("[bench-child] ")).flatMap {
-          l =>
-            l.stripPrefix("[bench-child] ").split(" ") match {
-              case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
-              case _ => None
-            }
-        }.toMap
+        val parsed = parseChildLines(out)
         if (code != 0 || parsed.isEmpty) {
           System.err.println(
             s"[bench] child $kind/$row exit=$code rows=${parsed.size}")

@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   *
   * Tier construction preserves WORKLOAD DENSITY by design, so the
   * exponent measures the algorithm, not a drifting input:
-  *  - documents: replica k salts every token with a replica prefix, so
-  *    replicas share zero shingles — near-dup structure (pair count,
-  *    component sizes, triangle counts) is exactly k× the original's,
-  *    never an artificial k²-dup blowup of identical copies;
+  *  - documents: replica k applies a BIJECTIVE character rotation
+  *    (a→(a+k) mod 26; spaces fixed) to the text. A char bijection
+  *    maps the char-n-gram multiset bijectively, so within-replica
+  *    similarity structure — char-5-gram Jaccard, token shingles,
+  *    prefix-index candidates — is EXACTLY the original's, while
+  *    distinct rotations share no n-gram containing a letter (and the
+  *    single-spaced corpus has no all-space n-gram): pair count,
+  *    component sizes, and triangle counts are exactly k× the
+  *    original's, never an artificial k²-dup blowup. (The first
+  *    design salted each token with a `k<k>_` prefix — token-shingle
+  *    disjoint, but it injected universal char-5-grams like " k1_f"
+  *    at every token boundary, densifying the 0.25-threshold char
+  *    n-gram graph toward a clique at x≥2 and exploding the triangle
+  *    shuffle onto disk. Rotation has no such boundary artifact.)
   *  - embeddings: replica k rotates each vector by k positions (norm
   *    and pairwise-within-replica geometry preserved); ids offset so
   *    the `% 10` corpus/query splits keep their proportions.
@@ -146,32 +156,36 @@ object BenchSf1 {
   }
 
   /** Materialize the replica tiers (idempotent: skips a tier whose
-    * `_TIER_OK` marker names the SAME source sfDir — a marker from a
-    * different source means stale replicas, so the tier regenerates
-    * rather than silently benchmarking the old data). Replica 0 is
-    * the original sf0.1 data byte-for-value; replica k>0 re-keys ids
-    * by k·10⁷, salts every document token with `k<k>_`, and rotates
-    * embeddings by k positions. */
+    * `_TIER_OK` marker names the SAME source sfDir AND generation
+    * scheme — a marker from a different source or scheme means stale
+    * replicas, so the tier regenerates rather than silently
+    * benchmarking the old data). Replica 0 is the original sf0.1 data
+    * byte-for-value; replica k>0 re-keys ids by k·10⁷, rotates every
+    * letter of the text by k (the bijection argument above), and
+    * rotates embeddings by k positions. */
+  private val tierScheme = "rot26"
   private[graft] def generateTiers(spark: SparkSession, sfDir: String,
                                    root: String): Unit = {
     val docs = Tables.documents(spark, sfDir)
     val embs = Tables.embeddings(spark, sfDir)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
     for (t <- tiers) {
       val dir = s"$root/x$t"
       val done = new java.io.File(s"$dir/_TIER_OK")
       val fresh = done.exists() &&
-        java.nio.file.Files.readString(done.toPath).trim == sfDir
+        java.nio.file.Files.readString(done.toPath).trim ==
+          s"$sfDir $tierScheme"
       if (!fresh) {
         val dTier = (0 until t).map { k =>
           if (k == 0) docs
           else {
-            val salted = array_join(
-              transform(split(col("text"), " "),
-                w => concat(lit(s"k${k}_"), w)), " ")
+            val rotated = alphabet.drop(k % 26) + alphabet.take(k % 26)
             docs.select(
               (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-              salted.as("text"), col("lang"), col("source"),
-              length(salted).cast("long").as("n_chars"))
+              translate(col("text"), alphabet, rotated).as("text"),
+              col("lang"), col("source"),
+              // a char bijection preserves length byte-for-byte
+              col("n_chars"))
           }
         }.reduce(_.unionByName(_))
         dTier.repartition(math.max(4, t * 4))
@@ -191,7 +205,8 @@ object BenchSf1 {
         eTier.repartition(math.max(4, t * 2))
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         done.getParentFile.mkdirs()
-        java.nio.file.Files.writeString(done.toPath, sfDir + "\n")
+        java.nio.file.Files.writeString(done.toPath,
+          s"$sfDir $tierScheme\n")
       }
     }
   }
