@@ -62,30 +62,10 @@ object Bench {
     // `fallback` — a visible marker, never a vanished row.
     def runChild(kind: String, row: String,
                  fallback: Seq[String]): Map[String, Double] = {
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd: Seq[String] =
-        Seq(javaBin) ++ addOpens ++ Seq(
-          s"-Xmx${Runtime.getRuntime.maxMemory()}",
-          s"-Dgraft.artifact.root=$artifactRoot",
-          "-Dspark.ui.enabled=false",
-          "-cp", System.getProperty("java.class.path"),
-          "graft.BenchChild", kind, row, sfDir)
       try {
-        val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        val p = pb.start()
-        val out = scala.io.Source.fromInputStream(
-          p.getInputStream, "UTF-8").getLines().toList
-        val code = p.waitFor()
+        val (code, out) = ChildJvm.spawn("graft.BenchChild",
+          Seq(kind, row, sfDir),
+          Map("graft.artifact.root" -> artifactRoot))
         val parsed = parseChildLines(out)
         if (code != 0 || parsed.isEmpty) {
           System.err.println(

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   *    and pairwise-within-replica geometry preserved); ids offset so
   *    the `% 10` corpus/query splits keep their proportions.
   *
+  * Each ROW runs in a FRESH child JVM (all its tiers back to back,
+  * min-of-two per tier) — the [[ChildJvm]] isolation discipline: a
+  * 25-minute single-JVM sweep left big-tier samples flapping 3-4×
+  * between identical runs (q147_triangles x10: 8.6 s vs 31.0 s),
+  * which is fatal for a log-log fit. Row-major tiers inside one young
+  * JVM give the fit four like-conditioned points; build rows are
+  * JIT-warmed by the same build at sf0.001 first.
+  *
   * Quadratic-by-design eval-set rows (q24, q65 — the exact oracles
   * whose corpus twins are q90/q92) run only at 1×/2×: the point is to
   * MEASURE the exponent that makes them eval-set-only, not to pay it
@@ -40,91 +48,74 @@ import org.apache.spark.sql.functions._
   */
 object BenchSf1 {
   private val tiers = Seq(1, 2, 5, 10)
+  private val tinySf = "/root/testdata/sf0.001"
+
+  /** One-shot artifact builds (timed once per tier after a tiny-sf
+    * JIT warm; the artifact memoizes per dir so a second call is a
+    * no-op). */
+  private def builds(spark: SparkSession): Map[String, String => Unit] = Map(
+    "q89_build" -> ((d: String) => { SparkEntry.baseComponentsTable(spark, d); () }),
+    "q90_build" -> ((d: String) => { SparkEntry.prefixIndexTable(spark, d); () }),
+    "q107_build" -> ((d: String) => { SparkEntry.invertedIndexTable(spark, d); () }),
+    "q77_build" -> ((d: String) => { SparkEntry.ivfIndexTable(spark, d); () }),
+    "q96_build" -> ((d: String) => { SparkEntry.pqIndexTable(spark, d); () }),
+    "q147_build" -> ((d: String) => { SparkEntry.pairGraphTable(spark, d, 0.25); () }))
+
+  private val buildOrder = Seq("q89_build", "q90_build", "q107_build",
+    "q77_build", "q96_build", "q147_build")
+  private val queryRows = Seq("q147_triangles", "q158_component_churn",
+    "q89_incremental_components", "q90_indexed_pairs",
+    "q92_knn_graph_lsh", "q107_keyword_indexed",
+    "q187_kendall_scalable", "q24_ngram_jaccard_pairs", "q65_knn_graph")
+  private val quad = Set("q24_ngram_jaccard_pairs", "q65_knn_graph")
+  private val scaledRow = "q92_knn_graph_lsh_scaledplanes"
+  /** Build rows FIRST: query children read the build children's
+    * artifacts through the shared store. */
+  private def allRows = buildOrder ++ queryRows ++ Seq(scaledRow)
 
   def main(args: Array[String]): Unit = {
+    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/sf_scale")
+    if (args.nonEmpty) childMain(args(0), root) else parentMain(root)
+  }
+
+  // ------------------------------------------------------------- parent
+  private def parentMain(root: String): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val root = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      "target/sf_scale")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    generateTiers(spark, sfDir, root)
-
-    def dropAllState(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc(); Thread.sleep(1000)
+    val artifactRoot = sys.props.getOrElseUpdate("graft.artifact.root",
+      java.nio.file.Files.createTempDirectory("graft_artifacts_sf1_")
+        .toString)
+    locally { // tier generation only; measurement happens in children
+      val spark = session()
+      generateTiers(spark, sfDir, root)
+      spark.stop()
     }
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def runQ(name: String, dir: String): Double = timed {
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-    }
-    // JIT warmup on the tiny sf (same rationale as Bench)
-    val warmQs = Seq("q147_triangles", "q158_component_churn",
-      "q89_incremental_components", "q90_indexed_pairs",
-      "q24_ngram_jaccard_pairs", "q65_knn_graph", "q92_knn_graph_lsh",
-      "q107_keyword_indexed", "q187_kendall_scalable")
-    warmQs.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-
-    // (row name, tiers it runs at, action) — builds are one-shot (the
-    // artifact memoizes per dir, a second call is a no-op), queries
-    // min-of-two like Bench
-    val quad = Set("q24_ngram_jaccard_pairs", "q65_knn_graph")
-    val builds = Seq(
-      "q89_build" -> ((d: String) => { SparkEntry.baseComponentsTable(spark, d); () }),
-      "q90_build" -> ((d: String) => { SparkEntry.prefixIndexTable(spark, d); () }),
-      "q107_build" -> ((d: String) => { SparkEntry.invertedIndexTable(spark, d); () }),
-      "q77_build" -> ((d: String) => { SparkEntry.ivfIndexTable(spark, d); () }),
-      "q96_build" -> ((d: String) => { SparkEntry.pqIndexTable(spark, d); () }),
-      "q147_build" -> ((d: String) => { SparkEntry.pairGraphTable(spark, d, 0.25); () }))
-    val queries = Seq("q147_triangles", "q158_component_churn",
-      "q89_incremental_components", "q90_indexed_pairs",
-      "q92_knn_graph_lsh", "q107_keyword_indexed",
-      "q187_kendall_scalable", "q24_ngram_jaccard_pairs", "q65_knn_graph")
-
     val rows = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.LinkedHashMap[Int, Double]]()
-    def record(name: String, tier: Int, sec: Double): Unit =
-      rows.getOrElseUpdate(name,
-        scala.collection.mutable.LinkedHashMap[Int, Double]())
-        .update(tier, sec)
-
-    for (t <- tiers) {
-      val dir = s"$root/x$t"
-      for ((name, build) <- builds) {
-        dropAllState()
-        try record(name, t, timed(build(dir)))
-        catch { case e: Throwable =>
-          System.err.println(s"[sf1] $name x$t FAILED: ${e.getMessage}")
-          record(name, t, -1.0)
+    for (row <- allRows) {
+      val tiersOf = scala.collection.mutable.LinkedHashMap[Int, Double]()
+      try {
+        val (code, out) = ChildJvm.spawn("graft.BenchSf1", Seq(row),
+          Map("graft.artifact.root" -> artifactRoot))
+        val parsed = out.filter(_.startsWith("[sf1-child] ")).flatMap {
+          l =>
+            l.stripPrefix("[sf1-child] ").split(" ") match {
+              case Array(t, v) if t.startsWith("x") =>
+                scala.util.Try(t.drop(1).toInt -> v.toDouble).toOption
+              case _ => None
+            }
         }
+        if (code != 0 || parsed.isEmpty)
+          System.err.println(
+            s"[sf1] child $row exit=$code rows=${parsed.size}")
+        parsed.foreach { case (t, v) => tiersOf.update(t, v) }
+      } catch { case e: Throwable =>
+        System.err.println(s"[sf1] child $row FAILED: ${e.getMessage}")
       }
-      for (name <- queries if !(quad(name) && t > 2)) {
-        dropAllState()
-        try {
-          val a = runQ(name, dir); val b = runQ(name, dir)
-          record(name, t, math.min(a, b))
-        } catch { case e: Throwable =>
-          System.err.println(s"[sf1] $name x$t FAILED: ${e.getMessage}")
-          record(name, t, -1.0)
-        }
-      }
+      // any tier the child never reported is a visible null, not a
+      // vanished cell
+      for (t <- tiers if !(quad(row) && t > 2))
+        tiersOf.getOrElseUpdate(t, -1.0)
+      rows.update(row, tiersOf)
     }
 
     // log-log least squares: slope = measured scaling exponent
@@ -142,7 +133,7 @@ object BenchSf1 {
     val fmt = new java.text.DecimalFormat("0.###",
       java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT))
     val lines = rows.map { case (name, m) =>
-      val ts = m.map { case (t, s) =>
+      val ts = m.toSeq.sortBy(_._1).map { case (t, s) =>
         s""""x$t":${if (s > 0) fmt.format(s) else "null"}""" }
         .mkString("{", ",", "}")
       val ex = exponent(m).map(fmt.format).getOrElse("null")
@@ -152,7 +143,101 @@ object BenchSf1 {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       lines.mkString("[\n", ",\n", "\n]\n"))
     println(lines.mkString("[\n", ",\n", "\n]"))
+    // bench-run-scoped shared store — don't strand it in /tmp
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(artifactRoot))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  // -------------------------------------------------------------- child
+  private def childMain(row: String, root: String): Unit = {
+    val spark = session()
+    def dropAllState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc(); Thread.sleep(1000)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def runQ(name: String, dir: String): Double = timed {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def emit(t: Int, sec: Double): Unit =
+      println(String.format(java.util.Locale.ROOT,
+        "[sf1-child] x%d %.4f", Integer.valueOf(t),
+        java.lang.Double.valueOf(sec)))
+
+    builds(spark).get(row) match {
+      case Some(build) =>
+        try { build(tinySf) } catch { case _: Throwable => () } // JIT warm
+        for (t <- tiers) {
+          dropAllState()
+          try emit(t, timed(build(s"$root/x$t")))
+          catch { case e: Throwable =>
+            System.err.println(s"[sf1] $row x$t FAILED: ${e.getMessage}")
+          }
+        }
+      case None if row == scaledRow =>
+        // q92 with DENSITY-HELD bucket space: the declared query's
+        // nPlanes=3 is the sf0.1-calibrated recall point — 2³ buckets
+        // per table, so a k× corpus densifies every bucket k× and the
+        // bucket-local pair work grows k²; the unscaled exponent
+        // measures that, not a flaw in the join. The 100 TB operating
+        // point raises nPlanes with log₂(corpus) to hold per-bucket
+        // occupancy ~constant (standard LSH sizing); this row measures
+        // the SAME operator under that sizing rule.
+        def once(dir: String, planes: Int): Double = timed {
+          graft.sim.Ann.knnJoin(Tables.embeddings(spark, dir), k = 5,
+              nPlanes = planes)
+            .write.format("noop").mode("overwrite").save()
+        }
+        try { once(tinySf, 3) } catch { case _: Throwable => () }
+        for (t <- tiers) {
+          dropAllState()
+          val planes =
+            3 + (math.log(t.toDouble) / math.log(2.0)).round.toInt
+          try {
+            val a = once(s"$root/x$t", planes)
+            val b = once(s"$root/x$t", planes)
+            emit(t, math.min(a, b))
+          } catch { case e: Throwable =>
+            System.err.println(s"[sf1] $row x$t FAILED: ${e.getMessage}")
+          }
+        }
+      case None =>
+        try runQ(row, tinySf) catch { case _: Throwable => () } // JIT warm
+        for (t <- tiers if !(quad(row) && t > 2)) {
+          dropAllState()
+          try {
+            val a = runQ(row, s"$root/x$t")
+            val b = runQ(row, s"$root/x$t")
+            emit(t, math.min(a, b))
+          } catch { case e: Throwable =>
+            System.err.println(s"[sf1] $row x$t FAILED: ${e.getMessage}")
+          }
+        }
+    }
     spark.stop()
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
   }
 
   /** Materialize the replica tiers (idempotent: skips a tier whose
