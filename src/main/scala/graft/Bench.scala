@@ -152,6 +152,7 @@ object Bench {
     // sweep vs 2.1 s isolated; code identical). ~1 s × |heavy| extra
     // untimed pauses.
     val heavy = Set("q65_knn_graph", "q92_knn_graph_lsh",
+      "q188_knn_graph_lsh_scaled",
       "q89_incremental_components",
       "q147_triangles", "q158_component_churn", "q163_weighted_median",
       "q64_incremental_pairs")

@@ -191,20 +191,22 @@ object BenchSf1 {
         // measures that, not a flaw in the join. The 100 TB operating
         // point raises nPlanes with log₂(corpus) to hold per-bucket
         // occupancy ~constant (standard LSH sizing); this row measures
-        // the SAME operator under that sizing rule.
-        def once(dir: String, planes: Int): Double = timed {
-          graft.sim.Ann.knnJoin(Tables.embeddings(spark, dir), k = 5,
-              nPlanes = planes)
+        // the SAME operator under that sizing rule — since r12 the
+        // PRODUCTION operator itself (Ann.knnJoinScaled, declared as
+        // q188 with its own dynamic-r oracle), whose integer doubling
+        // rule gives 3+ceil(log2(k)) planes at tier xk, one more at
+        // x5 than the round-to-nearest inline rule the committed
+        // BENCH_SF1.json x5 sample used.
+        def once(dir: String): Double = timed {
+          graft.sim.Ann.knnJoinScaled(Tables.embeddings(spark, dir), k = 5)
             .write.format("noop").mode("overwrite").save()
         }
-        try { once(tinySf, 3) } catch { case _: Throwable => () }
+        try { once(tinySf) } catch { case _: Throwable => () }
         for (t <- tiers) {
           dropAllState()
-          val planes =
-            3 + (math.log(t.toDouble) / math.log(2.0)).round.toInt
           try {
-            val a = once(s"$root/x$t", planes)
-            val b = once(s"$root/x$t", planes)
+            val a = once(s"$root/x$t")
+            val b = once(s"$root/x$t")
             emit(t, math.min(a, b))
           } catch { case e: Throwable =>
             System.err.println(s"[sf1] $row x$t FAILED: ${e.getMessage}")

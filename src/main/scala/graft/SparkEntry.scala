@@ -903,6 +903,20 @@ object SparkEntry {
     "q92_knn_graph_lsh" -> ((s, dir) =>
       graft.sim.Ann.knnJoin(embeddings(s, dir), k = 5)),
 
+    // The same LSH k-NN graph under the PRODUCTION sizing rule
+    // (Ann.knnJoinScaled): one extra hyperplane per corpus doubling
+    // past the recall-calibrated reference size, holding per-bucket
+    // occupancy ~constant. BENCH_SF1 measured the difference — fixed
+    // planes fit exponent 1.35 over 1×–10× corpora, this rule 0.83 at
+    // 2.7× less wall at 10× — so the scaled form is the 100 TB path
+    // and q92 the fixed-recall-point twin. Oracle computes the SAME
+    // integer doubling rule in SQL (rsel) and masks the shared
+    // 12-plane LCG prefix down to r bits, exploiting that
+    // seededPlanes draws are sequential per table: planes at r are a
+    // strict prefix of planes at 12.
+    "q188_knn_graph_lsh_scaled" -> ((s, dir) =>
+      graft.sim.Ann.knnJoinScaled(embeddings(s, dir), k = 5)),
+
     // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means
     // clusters bound the candidate space, within-cluster cosine pairs
     // drop the higher id. FULLY oracle-gated since r8 (kmeansCteSql
@@ -1817,6 +1831,25 @@ object SparkEntry {
         .select(TF.tokenCount(col("text")).as("n_tokens"))
       graft.ops.Snapshot.driftReport(oldSnap, newSnap, "n_tokens",
         binWidth = 10, tolerance = 2000)
+    }),
+
+    // Per-source two-sample KS drift (ops.Snapshot.ksDrift): the
+    // binless ECDF companion to q138 over the same snapshot pair —
+    // grouped by source so each upstream feed gets its own verdict.
+    // KS in integer micro-units (each ECDF quantized by integral DIV
+    // before differencing — bit-identical in both engines, overflow-
+    // safe to ~9e12 rows/group); a feed empty on either side reports
+    // the full statistic and always flags.
+    "q189_ks_drift" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("source"), TF.tokenCount(col("text")).as("n_tokens"))
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .select(col("source"), TF.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Snapshot.ksDrift(oldSnap, newSnap, "source", "n_tokens",
+        toleranceFp = 100000L)
     }),
 
     // Burst detection (ops.Bursts.burstScore): hourly event-type
@@ -3631,6 +3664,44 @@ object SparkEntry {
          |buckets AS (
          |  SELECT e.vec_id, CAST(p.t AS INT) AS tbl,
          |    SUM(CASE WHEN list_dot_product(e.v, p.pw) > 0
+         |        THEN CAST(1 << CAST(p.p AS INT) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM e, planes p GROUP BY e.vec_id, p.t),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS id
+         |  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT cd.qid, cd.id,
+         |    list_dot_product(eq.v, ec.v) /
+         |      (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim
+         |  FROM cand cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ec ON ec.vec_id = cd.id),
+         |mirrored AS (
+         |  SELECT qid, id, sim FROM scored
+         |  UNION ALL SELECT id AS qid, qid AS id, sim FROM scored)
+         |SELECT qid, id AS vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+         |  SELECT qid, id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rnk
+         |  FROM mirrored) WHERE rnk <= 5""".stripMargin,
+
+    // q92's replay under the production sizing rule: the plane CTE
+    // generates the 12-plane LCG prefix per table (valid to
+    // 2000·2^9 ≈ 1M vectors — far past any oracle-comparison scale),
+    // rsel replays Ann.planeDoublings in INTEGER arithmetic
+    // (smallest e with 2000·2^e ≥ n — no float log2 to disagree at
+    // exact powers of two), and the bucket sum masks each table's
+    // planes down to the first r. Everything downstream is q92's
+    // oracle verbatim.
+    "q188_knn_graph_lsh_scaled" ->
+      s"""WITH RECURSIVE ${lshPlanesCte(16, 12, 64)},
+         |cnt AS (SELECT COUNT(*) AS n FROM e),
+         |rsel AS (
+         |  SELECT 3 + COALESCE(MIN(ee.e), 32) AS r
+         |  FROM range(0, 33) ee(e), cnt
+         |  WHERE 2000 * (CAST(1 AS BIGINT) << ee.e) >= cnt.n),
+         |buckets AS (
+         |  SELECT e.vec_id, CAST(p.t AS INT) AS tbl,
+         |    SUM(CASE WHEN CAST(p.p AS INT) < (SELECT r FROM rsel)
+         |             AND list_dot_product(e.v, p.pw) > 0
          |        THEN CAST(1 << CAST(p.p AS INT) AS BIGINT) ELSE 0 END) AS bucket
          |  FROM e, planes p GROUP BY e.vec_id, p.t),
          |cand AS (

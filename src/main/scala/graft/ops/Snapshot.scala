@@ -77,4 +77,57 @@ object Snapshot {
       .withColumn("drifted", coalesce(
         abs(col("ratio_fp") - 10000) > tolerance, lit(true)))
   }
+
+  /** Per-group two-sample Kolmogorov–Smirnov drift between two
+    * snapshots of a numeric feature — the binless companion to
+    * [[driftReport]]: KS compares whole ECDFs, so it catches a shift
+    * that re-buckets nothing (every value moves 3% right inside its
+    * bin) and needs no binWidth choice. Grouped by `groupCol`
+    * (source, language, shard), it answers the per-feed question
+    * "which upstream changed distribution since the last crawl".
+    *
+    *   ks_fp = max over distinct values v of
+    *           |cum_old(v)·10^6 div old_n  −  cum_new(v)·10^6 div new_n|
+    *
+    * i.e. the KS statistic in micro-units, each ECDF quantized to
+    * 1e-6 BEFORE the difference: two integral divisions on
+    * non-negative longs, so Spark's DIV and DuckDB's // agree bit-
+    * for-bit and no product ever exceeds rows·10^6 (overflow-safe to
+    * ~9·10^12 rows per group, where a cross-multiplied exact form
+    * would overflow int64 at ~3·10^9). Quantization error is ≤2e-6 —
+    * noise against any usable tolerance. A group with either side
+    * empty reports ks_fp = 10^6 (ECDF vs nothing) and always flags.
+    *
+    * Shape: union-with-tag → one (group, value) aggregate (map-side
+    * combined), then cumulative sums under ONE window partitioned by
+    * group and ordered by value — groups parallelize across the
+    * cluster; within a group the sort is over DISTINCT values, which
+    * for discrete features (token counts, lengths) is bounded far
+    * below row count. */
+  def ksDrift(oldSnap: DataFrame, newSnap: DataFrame, groupCol: String,
+              valueCol: String, toleranceFp: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(d: DataFrame, o: Int, n: Int) =
+      d.select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"),
+        lit(o.toLong).as("__o"), lit(n.toLong).as("__n"))
+    val perValue = side(oldSnap, 1, 0).unionAll(side(newSnap, 0, 1))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__o")).as("__oc"), sum(col("__n")).as("__nc"))
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGrp = Window.partitionBy("__g")
+    val stepped = perValue
+      .withColumn("__co", sum(col("__oc")).over(wCum))
+      .withColumn("__cn", sum(col("__nc")).over(wCum))
+      .withColumn("old_n", sum(col("__oc")).over(wGrp))
+      .withColumn("new_n", sum(col("__nc")).over(wGrp))
+      .withColumn("__dfp",
+        when(col("old_n") === 0 || col("new_n") === 0, lit(1000000L))
+          .otherwise(abs(expr("(__co * 1000000) DIV old_n") -
+            expr("(__cn * 1000000) DIV new_n"))))
+    stepped.groupBy(col("__g").as(groupCol))
+      .agg(max(col("old_n")).as("old_n"), max(col("new_n")).as("new_n"),
+        max(col("__dfp")).as("ks_fp"))
+      .withColumn("drifted", col("ks_fp") > toleranceFp)
+  }
 }

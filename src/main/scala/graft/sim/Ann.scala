@@ -575,4 +575,45 @@ object Ann {
       .select(col("qid"), (-col("t.ni")).as(idCol),
         col("t.s").as("sim"), (col("r") + 1).cast("int").as("rank"))
   }
+
+  /** Corpus doublings above `refSize`: the smallest e ≥ 0 with
+    * refSize·2^e ≥ n, computed in INTEGER arithmetic so the DuckDB
+    * oracle's replay (`MIN(e) WHERE refSize * (1 << e) >= n`) cannot
+    * diverge from a floating `ceil(log2(n/refSize))` at exact powers
+    * of two. n ≤ 0 and n ≤ refSize both give 0. */
+  def planeDoublings(n: Long, refSize: Long): Int = {
+    require(refSize > 0, s"planeDoublings: refSize must be positive, got $refSize")
+    var e = 0
+    while (e < 32 && (refSize << e) < n) e += 1
+    e
+  }
+
+  /** [[knnJoin]] under the standard LSH sizing rule: hold per-bucket
+    * occupancy ~constant by raising the plane count with the corpus —
+    * `nPlanes = basePlanes + planeDoublings(n, refSize)`, one extra
+    * sign bit per corpus doubling past the recall-calibrated reference
+    * size. BENCH_SF1 measured why this is the 100 TB default: the
+    * fixed-plane form fits exponent 1.35 over 1×–10× corpora (2³
+    * buckets/table densify k-fold at a k-fold corpus, so bucket-local
+    * pair work grows k²) while this sizing measures 0.83 and runs
+    * 2.7× faster at 10× — linear-or-better candidate mass at the cost
+    * of recall that must be bought back with `nTables` (RECALL.md).
+    *
+    * Costs ONE count() job up front — the corpus size decides the
+    * plan, exactly as an index build inspects its input. Because
+    * [[graft.sim.Vectors.seededPlanes]] draws planes sequentially from
+    * one seeded stream per table, the planes used at `basePlanes + e`
+    * are a strict prefix-extension of the planes at `basePlanes`:
+    * below `refSize` this is bit-identical to `knnJoin` with the same
+    * `basePlanes` (pinned by KnnScaledSpec). */
+  def knnJoinScaled(emb: DataFrame, k: Int, basePlanes: Int = 3,
+                    refSize: Long = 2000L, nTables: Int = 16, dim: Int = 64,
+                    maxBucket: Int = 10000, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(emb, idCol, "knnJoinScaled")
+    val n = emb.count()
+    knnJoin(emb, k, nPlanes = basePlanes + planeDoublings(n, refSize),
+      nTables = nTables, dim = dim, maxBucket = maxBucket,
+      idCol = idCol, vecCol = vecCol)
+  }
 }
