@@ -4705,6 +4705,36 @@ object SparkEntry {
          |    TRUE) AS drifted
          |FROM t""".stripMargin,
 
+    // q138's snapshot pair, per-source ECDFs: the KS statistic in
+    // micro-units with each ECDF quantized by integral division
+    // BEFORE differencing, exactly the Spark operator's arithmetic
+    // (DuckDB // on non-negative integers ≡ Spark DIV).
+    "q189_ks_drift" ->
+      s"""WITH o AS (SELECT source AS grp, ${TF.sql.tokenCount("text")} AS v
+         |  FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+         |n AS (SELECT source AS grp, ${TF.sql.tokenCount(
+               "CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END")} AS v
+         |  FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+         |u AS (SELECT grp, v, 1 AS oc, 0 AS nc FROM o
+         |  UNION ALL SELECT grp, v, 0, 1 FROM n),
+         |pv AS (SELECT grp, v, SUM(oc) AS oc, SUM(nc) AS nc
+         |  FROM u GROUP BY 1, 2),
+         |c AS (SELECT grp,
+         |    SUM(oc) OVER w AS co, SUM(nc) OVER w AS cn,
+         |    SUM(oc) OVER (PARTITION BY grp) AS old_n,
+         |    SUM(nc) OVER (PARTITION BY grp) AS new_n
+         |  FROM pv
+         |  WINDOW w AS (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         |d AS (SELECT grp, old_n, new_n,
+         |    CASE WHEN old_n = 0 OR new_n = 0 THEN 1000000
+         |      ELSE abs(co * 1000000 // old_n - cn * 1000000 // new_n)
+         |    END AS dfp
+         |  FROM c)
+         |SELECT grp AS source, CAST(old_n AS BIGINT) AS old_n,
+         |  CAST(new_n AS BIGINT) AS new_n, CAST(max(dfp) AS BIGINT) AS ks_fp,
+         |  max(dfp) > 100000 AS drifted
+         |FROM d GROUP BY 1, 2, 3""".stripMargin,
+
     // The q56 epoch-bin convention + a RANGE window baseline and the
     // same integer ratio.
     "q135_burst_detect" ->

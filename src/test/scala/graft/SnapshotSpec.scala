@@ -59,4 +59,61 @@ class SnapshotSpec extends SparkTestBase {
       .select("ratio_fp").distinct().as[Long].collect().toSeq
     assert(doubled == Seq(10000L))
   }
+
+  test("ksDrift: hand-built ECDFs, identity, volume-independence, empty side") {
+    def grab(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+    // group "a": old {1,2,3,4}, new {3,4,5,6} — ECDFs diverge most at
+    // v=2: old 2/4=0.5, new 0 → 500000 micro-units exactly.
+    // group "b": identical sides → ks 0.
+    // group "c": old-only → sentinel 1000000, always drifted.
+    val oldS = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 7L), ("b", 9L), ("c", 1L)).toDF("g", "v")
+    val newS = Seq(("a", 3L), ("a", 4L), ("a", 5L), ("a", 6L),
+      ("b", 7L), ("b", 9L)).toDF("g", "v")
+    val r = grab(Snapshot.ksDrift(oldS, newS, "g", "v", toleranceFp = 100000L))
+    assert(r("a") == ((4L, 4L, 500000L, true)))
+    assert(r("b") == ((2L, 2L, 0L, false)))
+    assert(r("c") == ((1L, 0L, 1000000L, true)))
+
+    // KS compares SHAPES: doubling one side's volume changes nothing
+    val dbl = grab(Snapshot.ksDrift(oldS, newS.union(newS), "g", "v"))
+    assert(dbl("a") == ((4L, 8L, 500000L, true)))
+    assert(dbl("b") == ((2L, 4L, 0L, false)))
+
+    // quantization floor: n=3 vs an identical-shape side still reads 0
+    // (each ECDF quantizes identically before the difference)
+    val third = Seq(("d", 1L), ("d", 2L), ("d", 3L)).toDF("g", "v")
+    val same3 = grab(Snapshot.ksDrift(third, third.union(third), "g", "v"))
+    assert(same3("d") == ((3L, 6L, 0L, false)))
+  }
+
+  test("ksDrift matches a driver-side brute-force KS on real documents") {
+    import graft.text.{TextFunctions => TF}
+    val d = Tables.documents(spark, sf).where(col("text").isNotNull)
+    val o = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("source"), TF.tokenCount(col("text")).cast("long").as("v"))
+    val n = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("source"), TF.tokenCount(col("text")).cast("long").as("v"))
+    val got = Snapshot.ksDrift(o, n, "source", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // brute force with the same micro-unit quantization
+    val oRows = o.collect().map(r => (r.getString(0), r.getLong(1)))
+    val nRows = n.collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = (oRows.map(_._1) ++ nRows.map(_._1)).distinct.map { g =>
+      val ov = oRows.filter(_._1 == g).map(_._2)
+      val nv = nRows.filter(_._1 == g).map(_._2)
+      val ks =
+        if (ov.isEmpty || nv.isEmpty) 1000000L
+        else (ov ++ nv).distinct.sorted.map { v =>
+          math.abs(ov.count(_ <= v).toLong * 1000000L / ov.length -
+            nv.count(_ <= v).toLong * 1000000L / nv.length)
+        }.max
+      g -> ks
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
