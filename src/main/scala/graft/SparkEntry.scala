@@ -1218,6 +1218,17 @@ object SparkEntry {
       graft.text.Vocab.collocations(documents(s, dir), "text",
         topK = 20, minCount = 5)),
 
+    // Chi-square token–label feature selection (text.Vocab
+    // .chiSquareTokens): the top-50 tokens most associated with the
+    // lang='en' label — the feature pass behind n-gram language-ID
+    // and quality-classifier vocabularies. 2×2 presence contingency
+    // per token, chi2 in 10^-4 fixed point via DECIMAL(38,0)
+    // integral divisions (exact envelope ~2·10^9 docs; DuckDB
+    // replays in HUGEINT), hapax-pruned before arithmetic.
+    "q190_chi2_tokens" -> ((s, dir) =>
+      graft.text.Vocab.chiSquareTokens(documents(s, dir), "text",
+        col("lang") === "en", topK = 50, minDf = 5)),
+
     // Corpus snapshot reconciliation (ops.Snapshot.diff): two
     // deterministically-derived snapshots of the documents table
     // (old drops doc_id%7==0; new drops %5==0 and revises %11==0)
@@ -4143,6 +4154,38 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (
          |    ORDER BY lift_fp DESC, n_pair DESC, pair ASC) AS cr FROM sc)
          |WHERE cr <= 20""".stripMargin,
+
+    // The 2×2 chi-square replayed in HUGEINT: same presence counts
+    // (list_distinct ≡ array_distinct for counting), same two
+    // integral divisions in the same grouping, so the fixed-point
+    // ranking is bit-identical.
+    "q190_chi2_tokens" ->
+      s"""WITH base AS (SELECT lang = 'en' AS lbl,
+         |    list_distinct(${TF.sql.tokens("text")}) AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |tot AS (SELECT COUNT(*) AS n,
+         |    SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS c1 FROM base),
+         |pt AS (SELECT token, COUNT(*) AS df,
+         |    SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS a
+         |  FROM (SELECT lbl, unnest(tk) AS token FROM base)
+         |  GROUP BY 1 HAVING COUNT(*) >= 5),
+         |sc AS (SELECT token, df, a, df - a AS b, c1 - a AS cc,
+         |    n - df - (c1 - a) AS dd, n, c1
+         |  FROM pt, tot WHERE df < n),
+         |ch AS (SELECT token, df, a AS label_df,
+         |  CASE WHEN c1 > 0 AND n > c1 THEN
+         |    CAST((CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * cc)
+         |      * (CAST(a AS HUGEINT) * dd - CAST(b AS HUGEINT) * cc)
+         |      // (CAST(df AS HUGEINT) * (n - df))
+         |      * CAST(10000 AS HUGEINT) * n
+         |      // (CAST(c1 AS HUGEINT) * (n - c1)) AS BIGINT)
+         |  END AS chi2_fp FROM sc)
+         |SELECT token, CAST(df AS BIGINT) AS df,
+         |  CAST(label_df AS BIGINT) AS label_df, chi2_fp,
+         |  CAST(cr AS INTEGER) AS crank
+         |FROM (SELECT *, row_number() OVER (
+         |    ORDER BY chi2_fp DESC, df DESC, token ASC) AS cr FROM ch)
+         |WHERE cr <= 50""".stripMargin,
 
     // The diff spelled as a FULL OUTER id join; text equality stands
     // in for the md5-fingerprint equality (same verdict, no collision

@@ -284,4 +284,63 @@ object Vocab {
       .select(col("pair"), col("n_pair"), col("n1"), col("n2"),
         col("lift_fp"), col("crank"))
   }
+
+  /** Chi-square token–label feature selection: the top-K tokens most
+    * associated with a boolean document label — the feature-selection
+    * pass behind n-gram language-ID models, fastText-style quality
+    * classifiers, and domain-tagger vocabularies (pick the discrimina-
+    * tive features BEFORE training, Yang & Pedersen 1997). Per token,
+    * the 2×2 presence/label contingency (a,b,c,d) yields
+    *
+    *   chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * emitted as `chi2_fp` in 10^-4 units via two integral divisions
+    * over DECIMAL(38,0) intermediates — the widest product is
+    * (ad−bc)² ≤ N⁴/16, inside 38 digits to N ≈ 2·10⁹ documents and
+    * replayed identically by DuckDB's HUGEINT, so the full ranking
+    * hash-matches (the [[collocations]] discipline; shard corpora
+    * past that envelope). The floor in the first division costs at
+    * most ~10⁴·N/((a+c)(b+d)) fixed-point units — ≲1 chi2 unit even
+    * for heavily imbalanced labels, and identical in both engines.
+    *
+    * Shape: one array_distinct token explode (presence, not
+    * frequency) → ONE map-side-combined (token) aggregate carrying
+    * the label side-sum — vocabulary cardinality, not corpus — then
+    * per-row scalar arithmetic against broadcast totals and a
+    * distributed sort-limit. `minDf` prunes the hapax tail before
+    * any arithmetic; tokens present in EVERY document are excluded
+    * (degenerate margin). Ties: (df DESC, token ASC). */
+  def chiSquareTokens(docs: DataFrame, textCol: String, label: Column,
+                      topK: Int, minDf: Long = 5): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(label.cast("boolean").as("__lbl"),
+        array_distinct(TextFunctions.tokens(col(textCol))).as("__toks"))
+    val perToken = base
+      .select(col("__lbl"), explode(col("__toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(when(col("__lbl"), 1L).otherwise(0L)).as("a"))
+    val totals = base.agg(count(lit(1)).as("__n"),
+      sum(when(col("__lbl"), 1L).otherwise(0L)).as("__c1"))
+    val scored = perToken
+      .crossJoin(broadcast(totals))
+      .filter(col("df") >= minDf && col("df") < col("__n"))
+      .withColumn("b", col("df") - col("a"))       // token & !label
+      .withColumn("cc", col("__c1") - col("a"))    // label & !token
+      .withColumn("dd", col("__n") - col("df") - col("cc")) // neither
+      .withColumn("chi2_fp", when(
+        col("__c1") > 0 && col("__n") > col("__c1"), expr(
+          """((CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * cc)
+            |  * (CAST(a AS DECIMAL(38,0)) * dd - CAST(b AS DECIMAL(38,0)) * cc)
+            |  DIV (CAST(df AS DECIMAL(38,0)) * (__n - df)))
+            | * CAST(10000 AS DECIMAL(38,0)) * __n
+            | DIV (CAST(__c1 AS DECIMAL(38,0)) * (__n - __c1))""".stripMargin)))
+      .select(col("token"), col("df"), col("a").as("label_df"),
+        col("chi2_fp"))
+      .orderBy(col("chi2_fp").desc, col("df").desc, col("token").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chi2_fp").desc, col("df").desc, col("token").asc)
+    scored.withColumn("crank", row_number().over(w))
+  }
 }

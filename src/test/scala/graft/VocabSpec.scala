@@ -139,4 +139,43 @@ class VocabSpec extends SparkTestBase {
     assert(got.map(_._4).sliding(2).forall(p => p.head <= p.last))
     assert(got.map(_._5).distinct.length == 1)
   }
+
+  test("chiSquareTokens: hand-computed 2x2, presence not frequency, guards") {
+    import org.apache.spark.sql.functions._
+    // 6 docs, label = lang=='en'. Token "aa" in all 3 en docs and no
+    // others (perfect association); "zz" in all 3 non-en; "cc" in all
+    // 6 docs (degenerate margin — excluded); "mm" split 2/1 (weak).
+    val d = Seq(
+      (1L, "aa cc mm", "en"), (2L, "aa cc mm", "en"), (3L, "aa aa cc", "en"),
+      (4L, "zz cc mm", "de"), (5L, "zz cc", "de"), (6L, "zz cc", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = Vocab.chiSquareTokens(d, "text", col("lang") === "en",
+        topK = 10, minDf = 1)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4)))).toMap
+    // "aa": a=3 b=0 c=0 d=3 → chi2 = 6*(9-0)^2/(3*3*3*3) = 6 → 60000.
+    // doc 3 has "aa" twice: presence counting keeps df=3, not 4.
+    assert(r("aa") == ((3L, 3L, 60000L, 1)))
+    // "zz": mirror image, same chi2; tie broken token ASC → rank 2
+    assert(r("zz") == ((3L, 0L, 60000L, 2)))
+    // "cc" in every doc: df == N excluded (zero margin)
+    assert(!r.contains("cc"))
+    // "mm": a=2 b=1 c=1 d=2 → chi2 = 6*(4-1)^2/(3*3*3*3) = 54/81
+    //   fp: (9 DIV 9)=1 → 1*10000*6 DIV 9 = 6666 (floor of 6666.67)
+    assert(r("mm") == ((3L, 2L, 6666L, 3)))
+  }
+
+  test("chiSquareTokens: minDf prunes before ranking; topK bounds output") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "aa rare1", "en"), (2L, "aa", "en"),
+      (3L, "bb rare2", "de"), (4L, "bb", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = Vocab.chiSquareTokens(d, "text", col("lang") === "en",
+      topK = 1, minDf = 2)
+    val rows = r.collect()
+    assert(rows.length == 1) // topK honored
+    assert(Set("aa", "bb").contains(rows.head.getString(0))) // hapax pruned
+    assert(rows.head.getInt(4) == 1)
+  }
 }
