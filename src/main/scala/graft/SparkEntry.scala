@@ -1109,6 +1109,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Label-propagation communities (ops.LinkAnalysis
+    // .labelPropagation): deterministic synchronous LPA, 3 rounds,
+    // most-frequent-neighbor-label votes with (cnt DESC, label ASC)
+    // ties — splits a weakly-bridged dup component into its dense
+    // cores, the signal between q47's components and q147's
+    // triangles; shares the same pair-graph artifact.
+    "q191_label_propagation" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      graft.ops.LinkAnalysis.labelPropagation(cat.read(s, table))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Semantic eval-set decontamination (sim.Ann.semanticDecon): the
     // embedding-side leakage gate — every train vector's hit count
     // against the held-out probe set at cosine >= 0.35, kept = zero
@@ -4874,6 +4886,30 @@ object SparkEntry {
          |${round(3)}
          |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fixed
          |FROM r3""".stripMargin
+    },
+
+    // Three synchronous LPA rounds as chained CTEs over the q123 edge
+    // list: the min(struct(-cnt,label)) heap is row_number over
+    // (cnt DESC, label ASC) — the same heap/window equivalence the
+    // green q65/q92 oracles pin.
+    "q191_label_propagation" -> {
+      def round(i: Int): String =
+        s"""v$i AS (SELECT e.src, l${i - 1}.label, count(*) AS cnt
+           |  FROM ed e JOIN l${i - 1} ON l${i - 1}.id = e.dst
+           |  GROUP BY 1, 2),
+           |l$i AS (SELECT src AS id, label FROM (
+           |  SELECT src, label, row_number() OVER (
+           |    PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+           |  FROM v$i) WHERE rn = 1)""".stripMargin
+      s"""WITH ${charPairsCte(0.4)},
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id AS doc_id, CAST(label AS BIGINT) AS label
+         |FROM l3""".stripMargin
     },
 
     // Stage minima as chained conditional aggregates — the strict

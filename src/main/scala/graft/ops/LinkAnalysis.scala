@@ -58,6 +58,52 @@ object LinkAnalysis {
     ranks.select(col("id"), col("r").as("rank_fixed"))
   }
 
+  /** Synchronous label-propagation communities over an undirected
+    * (aCol, bCol) pair frame — (id, label) after `rounds` updates
+    * (Raghavan et al. 2007's near-linear community detection, in its
+    * deterministic synchronous form). Communities are the graph
+    * signal BETWEEN connected components and triangles: a component
+    * tells you what's transitively linked at all, LPA splits a big
+    * weakly-bridged component into its dense cores — the template
+    * family vs the two content clusters it accidentally chains
+    * together.
+    *
+    * Every node starts as its own label (its id); each round every
+    * node adopts the most frequent label among its NEIGHBORS, ties
+    * broken by smallest label — a total order, so the fixed round
+    * count yields one deterministic answer (the classic random-order
+    * asynchronous variant does not replay). The vote is
+    * `min(struct(-cnt, label))` — a k=1 heap that map-side combines,
+    * so the exchange carries one candidate per (node, label), never
+    * the neighbor list.
+    *
+    * Cost per round: one join of the edge list against the |V|-row
+    * label frame (both hash-partitioned on the id — the shuffle is
+    * the label frame's, the edge list reuses its partitioning across
+    * rounds under AQE) and two map-side-combined aggregates. Rounds
+    * are a fixed small constant (3 here, like [[pageRankFixed]]) —
+    * at corpus scale LPA converges in a handful of sweeps and the
+    * fixed count is what the SQL replay pins. */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 3,
+                       aCol: String = "id_a",
+                       bCol: String = "id_b"): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to rounds).foreach { _ =>
+      val votes = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes.groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("src").as("id"), col("m.l").as("label"))
+    }
+    labels
+  }
+
   /** Triangle enumeration over an undirected (aCol, bCol) pair frame —
     * one row per triangle as the id-sorted triple (id_a < id_b < id_c).
     * Triangles are the cohesion signal PageRank can't give: a dup

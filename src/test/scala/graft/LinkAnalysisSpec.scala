@@ -67,4 +67,37 @@ class LinkAnalysisSpec extends SparkTestBase {
     } yield (a, b, c)).toSet
     assert(fast == naive && naive.nonEmpty)
   }
+
+  test("labelPropagation: barbell splits into its two dense cores") {
+    // two triangles {1,2,3} {4,5,6} joined by the bridge 3-4: ONE
+    // connected component, but LPA's dense-core vote separates them.
+    // Hand-simulated 3 synchronous rounds (ties -> smallest label):
+    //   l1 = (1->2, 2->1, 3->1, 4->3, 5->4, 6->4)
+    //   l2 = (1->1, 2->1, 3->1, 4->4, 5->3, 6->3)
+    //   l3 = (1->1, 2->1, 3->1, 4->3, 5->3, 6->3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = LinkAnalysis.labelPropagation(pairs, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // intermediate rounds match the hand simulation too
+    val g1 = LinkAnalysis.labelPropagation(pairs, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(g1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("labelPropagation: clique collapses to one label; deterministic") {
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val a = LinkAnalysis.labelPropagation(k3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val b = LinkAnalysis.labelPropagation(k3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // every node labeled exactly once, labels drawn from node ids
+    val nodes = Set(1L, 2L, 3L)
+    assert(a.keySet == nodes && a.values.toSet.subsetOf(nodes))
+  }
 }
