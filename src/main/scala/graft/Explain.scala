@@ -64,7 +64,9 @@ object Explain {
     "q177_session_window", "q178_theil_sen", "q179_target_encode",
     "q180_auc", "q181_confusion", "q182_ndcg", "q183_cube_report",
     "q184_kendall", "q185_quantile_norm", "q186_cdc_chunks",
-    "q187_kendall_scalable", "q188_knn_graph_lsh_scaled")
+    "q187_kendall_scalable", "q188_knn_graph_lsh_scaled",
+    "q189_ks_drift", "q190_chi2_tokens", "q191_label_propagation",
+    "q192_isotonic_calibration")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

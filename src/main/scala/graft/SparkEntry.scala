@@ -1891,6 +1891,29 @@ object SparkEntry {
       graft.text.FilterStack.calibratedScores(documents(s, dir),
         "doc_id", "text", "source")),
 
+    // Isotonic (PAV) calibration of the q93 classifier score against
+    // the lang='en' label, per source (aggs.IsotonicFit): the
+    // monotone score→probability curve in 10^-6 fixed point, eval
+    // slice doc_id%3=0. The Spark side runs the O(n log n) PAV
+    // stack; the oracle derives the SAME values by the independent
+    // minimax identity fit(i)=max_{j<=i} min_{k>=i} mean(y[j..k]) —
+    // floor commutes with max/min, so quantized candidate means give
+    // the quantized fit exactly (two distinct algorithms, one
+    // answer — the q184/q187 discipline).
+    "q192_isotonic_calibration" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .where(col("text").isNotNull && col("doc_id") % 3 === 0)
+      val scored = d.select(col("source"), col("doc_id"),
+        graft.functions.exprs.classifier_score(
+          TF.tokens(col("text"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      scored.groupBy(col("source"))
+        .agg(graft.functions.aggs.isotonic_fit(
+          struct(col("score"), col("doc_id"), col("y"))).as("fits"))
+        .select(col("source"), explode(col("fits")).as("f"))
+        .select(col("source"), col("f.id").as("doc_id"), col("f.fit_fp"))
+    }),
+
     // Per-source budget cap (ops.Balance.sourceBudget): each source
     // keeps its best 15 docs by (classifier score DESC, id ASC) —
     // the C4/RefinedWeb anti-domination quota; bounded-heap per
@@ -4825,6 +4848,43 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY source
          |    ORDER BY score, doc_id) AS pct
          |FROM sc""".stripMargin,
+
+    // The q93 score CTE on the eval slice + the minimax identity for
+    // the isotonic fit: fit(i) = max_{j<=i} min_{k>=i} of the
+    // floor-quantized mean of y[j..k] — an O(n²) windowed replay that
+    // must equal the Spark PAV stack's pool means exactly (floor
+    // commutes with max/min; // and Math.floorDiv agree at all
+    // signs).
+    "q192_isotonic_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL AND d.doc_id % 3 = 0),
+         |seq AS (SELECT source, doc_id, y, score,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY score, doc_id) AS rn,
+         |  SUM(y) OVER (PARTITION BY source ORDER BY score, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS ps
+         |  FROM sc),
+         |jk AS (SELECT j.source AS src, j.rn AS j, k.rn AS k,
+         |  ((k.ps - j.ps + j.y) * 1000000) // (k.rn - j.rn + 1) AS afp
+         |  FROM seq j JOIN seq k
+         |    ON k.source = j.source AND k.rn >= j.rn),
+         |sm AS (SELECT src, j, k, min(afp) OVER (
+         |    PARTITION BY src, j ORDER BY k DESC
+         |    ROWS UNBOUNDED PRECEDING) AS m
+         |  FROM jk),
+         |fit AS (SELECT src, k AS rn, max(m) AS fit_fp
+         |  FROM sm WHERE j <= k GROUP BY 1, 2)
+         |SELECT q.source, q.doc_id, CAST(f.fit_fp AS BIGINT) AS fit_fp
+         |FROM seq q JOIN fit f ON f.src = q.source AND f.rn = q.rn""".stripMargin,
 
     // The q93 score CTE + the naive per-source rank gate.
     "q137_source_budget" ->

@@ -242,6 +242,138 @@ case class TopKOrdered(
     copy(child = newChild)
 }
 
+/** Isotonic regression fit (pool-adjacent-violators) per group:
+  * input `struct(x, id, y)` (all LONG — x the score, id the unique
+  * total-order tiebreak, y the 0/1 label or integer target), output
+  * `array<struct<id, fit_fp>>` where `fit_fp = floor(pool_mean·10^6)`
+  * and the fit is non-decreasing along (x ASC, id ASC) — the
+  * calibration curve mapping a classifier's raw score to an empirical
+  * probability (Zadrozny & Elkan 2002's isotonic calibration).
+  *
+  * Algorithm: the classic PAV stack — append each point as its own
+  * pool, merge backwards while a predecessor pool's mean is ≥ the
+  * current's. Means never materialize: the violator test is the exact
+  * integer cross-multiply `s₁·c₂ ≥ s₂·c₁`, and the emitted value is
+  * one integral division of exact longs — so the output replays
+  * bit-for-bit in any engine. The DuckDB oracle (q192) computes the
+  * SAME numbers by a DIFFERENT algorithm — the minimax identity
+  * `fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k])` as an O(n²) windowed
+  * SQL — valid because floor commutes with max/min over finite sets,
+  * so quantizing each candidate mean quantizes the fit. Two
+  * independent derivations agreeing is the correctness statement
+  * (the q184/q187 discipline).
+  *
+  * Scale posture: one buffer per (group, partition), merged by
+  * concatenation, SORTED AT EVAL — memory is the group's point count,
+  * so this is an EVAL-SET operator (calibration sets are thousands of
+  * points, not corpora), declared like the exact-oracle forms of
+  * q24/q65/q184. X ties are sequenced by id, not pooled — both
+  * engines apply the identical convention, and with distinct-x data
+  * the fit is the textbook one. Null structs are ignored; an empty
+  * group yields an empty array. Overflow: |y|·10^6 per pool must fit
+  * int64 — sums use Math.addExact/multiplyExact and throw loudly. */
+case class IsotonicFit(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StructType(fs) if fs.length == 3 && fs.forall(_.dataType == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"isotonic_fit expects struct<x:bigint,id:bigint,y:bigint>, got $other")
+    }
+  }
+
+  override def prettyName: String = "isotonic_fit"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("fit_fp", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[(Long, Long, Long)] =
+    scala.collection.mutable.ArrayBuffer.empty
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
+                      input: InternalRow): scala.collection.mutable.ArrayBuffer[(Long, Long, Long)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val r = v.asInstanceOf[InternalRow]
+      buf += ((r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    buf
+  }
+
+  override def merge(a: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
+                     b: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]): scala.collection.mutable.ArrayBuffer[(Long, Long, Long)] = {
+    a ++= b; a
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]): Any = {
+    val pts = buf.sortBy(t => (t._1, t._2)) // (x, id) total order
+    val n = pts.length
+    // PAV stack of pools (ySum, count, firstIndex)
+    val sums = new Array[Long](n); val cnts = new Array[Long](n)
+    val starts = new Array[Int](n)
+    var top = -1
+    var i = 0
+    while (i < n) {
+      top += 1
+      sums(top) = pts(i)._3; cnts(top) = 1L; starts(top) = i
+      // merge while the previous pool's mean >= this pool's mean
+      while (top > 0 && Math.multiplyExact(sums(top - 1), cnts(top)) >=
+               Math.multiplyExact(sums(top), cnts(top - 1))) {
+        sums(top - 1) = Math.addExact(sums(top - 1), sums(top))
+        cnts(top - 1) += cnts(top)
+        top -= 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    var p = 0
+    while (p <= top) {
+      // floorDiv, not /: DuckDB's // floors, and a negative integer
+      // target must not round toward zero on one side only
+      val fp = Math.floorDiv(Math.multiplyExact(sums(p), 1000000L), cnts(p))
+      val end = if (p == top) n else starts(p + 1)
+      var j = starts(p)
+      while (j < end) {
+        out(j) = InternalRow(pts(j)._2, fp)
+        j += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 24 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach { t => bb.putLong(t._1); bb.putLong(t._2); bb.putLong(t._3) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[(Long, Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf += ((bb.getLong, bb.getLong, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): IsotonicFit =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): IsotonicFit =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): IsotonicFit =
+    copy(child = newChild)
+}
+
 /** Count-Min frequency sketch of a string key (Cormode &
   * Muthukrishnan 2005): a d×w grid of counters; each key increments
   * one counter per row (bucket = low bits of an affine image of the
@@ -357,6 +489,13 @@ object aggs {
   def top_k(c: Column, k: Int, asc: Boolean = false): Column =
     ColumnBridge.column(
       TopKOrdered(ColumnBridge.expression(c), k, asc).toAggregateExpression())
+
+  /** Per-group isotonic (PAV) calibration fit (see [[IsotonicFit]]):
+    * input `struct(x, id, y)` all-long, output `array<struct<id,
+    * fit_fp>>` with the non-decreasing fitted mean in 10^-6 units. */
+  def isotonic_fit(c: Column): Column =
+    ColumnBridge.column(
+      IsotonicFit(ColumnBridge.expression(c)).toAggregateExpression())
 
   /** Element-wise mean vector (`array<double>`) at fixed-point `scale`:
     * `(double) sums[i] / 10^scale / n` — exact integer sum, then two
