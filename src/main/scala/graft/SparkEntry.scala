@@ -1436,6 +1436,16 @@ object SparkEntry {
       graft.ops.Trend.dailyTrend(events(s, dir), "event_type", "ts",
         anchor = "2024-01-01")),
 
+    // Daily-seasonality detector (ops.Trend.autocorrFixed): lag-24
+    // autocorrelation of hourly event volume per type — zero-filled
+    // over each type's whole bin span (gaps ARE signal), then q162's
+    // integer-moment Pearson with one guarded IEEE division. The
+    // periodicity check that validates q135's trailing-baseline burst
+    // alarm.
+    "q193_autocorr" -> ((s, dir) =>
+      graft.ops.Trend.autocorrFixed(events(s, dir), "ts", "event_type",
+        binSeconds = 3600L, lag = 24)),
+
     // Character-diversity quality gate (functions.exprs
     // .char_entropy_proxy / char_distinct_cp): whole-bit entropy
     // proxy Σ count·floor(log2 count) plus distinct code points, one
@@ -5784,6 +5794,37 @@ object SparkEntry {
         |  n*sxy - sx*sy AS slope_num,
         |  sy*sxx - sx*sxy AS intercept_num,
         |  n*sxx - sx*sx AS den
+        |FROM m""".stripMargin,
+
+    // q135's hourly bin + zero-filled span densify (range is
+    // end-exclusive, matching Spark's inclusive sequence(lo,hi)) +
+    // the lag-24 self-join + q162's exact-moment Pearson.
+    "q193_autocorr" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(bin) AS lo, max(bin) AS hi
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT event_type,
+        |  CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS bin FROM sp),
+        |dense AS (SELECT g.event_type, g.bin, COALESCE(b.n, 0) AS n
+        |  FROM g LEFT JOIN b ON b.event_type = g.event_type
+        |    AND b.bin = g.bin),
+        |p AS (SELECT d.event_type, d.n AS x, l.n AS y
+        |  FROM dense d JOIN dense l ON l.event_type = d.event_type
+        |    AND l.bin = d.bin + 24),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0
+        |    ELSE CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |      * 16384.0) AS BIGINT) END AS corr_code
         |FROM m""".stripMargin,
 
     // One row per CHARACTER, histogram per doc, then the whole-bit

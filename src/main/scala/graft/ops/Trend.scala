@@ -94,4 +94,50 @@ object Trend {
       .select(col("k").as(keyCol), col("n_pairs"),
         col("slope_milli").as("slope_milli_med"))
   }
+
+  /** Lag-L autocorrelation of per-key event volume — the seasonality
+    * detector behind "is this feed daily-periodic?" (lag 24 on hourly
+    * bins) and the alarm-tuning input [[graft.ops.Bursts]]' trailing
+    * baseline assumes. Bins events like Bursts (`epoch_us div
+    * binSeconds·10^6`), DENSIFIES every key's [min, max] bin range
+    * with zero counts first — autocorrelation over only-present bins
+    * would silently skip the gaps that ARE the signal — then pairs
+    * each bin with its lag-L successor and hands the (x, y) series to
+    * [[Robust.pearsonFixed]] (integer moments, one guarded IEEE
+    * division, `corr_code = round(r·scale)`; zero variance → 0).
+    *
+    * Output: (event_type, n, corr_code) with n the pair count
+    * (span − lag bins). Keys whose whole span is ≤ lag emit nothing
+    * (no pairs exist). Cost: one map-side-combined bin aggregate at
+    * corpus scale, then everything runs at BIN cardinality — the
+    * densify explode, the lag self-join (bin-keyed equi-join), and
+    * the per-key moment fold. The sequence explode is bounded by the
+    * observed span per key; a key with a pathological span (one
+    * event in 1970, one today) costs span/binSeconds rows — bound
+    * the scan's time range upstream, as any telemetry query does. */
+  def autocorrFixed(events: DataFrame, tsCol: String, typeCol: String,
+                    binSeconds: Long, lag: Int,
+                    scale: Int = 16384): DataFrame = {
+    require(binSeconds > 0 && lag > 0,
+      s"autocorrFixed: binSeconds and lag must be > 0, got $binSeconds/$lag")
+    val binUs = binSeconds * 1000000L
+    val bin = call_function("div",
+      unix_micros(col(tsCol).cast("timestamp")), lit(binUs))
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val spans = counts.groupBy(col("event_type"))
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"))
+    val dense = spans
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("bin"))
+      .join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val lagged = dense.select(col("event_type"),
+      (col("bin") - lag).as("bin"), col("n").as("y"))
+    val pairs = dense.join(lagged, Seq("event_type", "bin"))
+      .select(col("event_type"), col("n").as("x"), col("y"))
+    Robust.pearsonFixed(pairs, "event_type", "x", "y", scale)
+  }
 }

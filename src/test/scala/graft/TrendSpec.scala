@@ -92,4 +92,39 @@ class TrendSpec extends SparkTestBase {
     // symmetric series: equal magnitude
     assert(out("up")._1 == -out("down")._1)
   }
+
+  test("autocorrFixed: perfect period-2 square wave reads -1 at lag 1, +1 at lag 2") {
+    // hours 0..7 alternate 2 events / 1 event — a period-2 wave
+    val rows = for {
+      h <- 0 to 7
+      c <- 1 to (if (h % 2 == 0) 2 else 1)
+    } yield ("a", f"2024-01-01 $h%02d:30:00")
+    val e = ev(rows: _*)
+    def corr(lag: Int) =
+      Trend.autocorrFixed(e, "ts", "k", binSeconds = 3600L, lag = lag)
+        .head()
+    val l1 = corr(1); val l2 = corr(2)
+    assert(l1.getAs[Long]("corr_code") == -16384L)
+    assert(l1.getAs[Long]("n") == 7)
+    assert(l2.getAs[Long]("corr_code") == 16384L)
+    assert(l2.getAs[Long]("n") == 6)
+  }
+
+  test("autocorrFixed: gaps zero-fill (the gap IS the signal); short spans vanish") {
+    // events only at hours 0, 2, 4, 6 — the densified series is
+    // (1,0,1,0,1,0,1): lag-2 correlation of a period-2 wave is +1,
+    // which only holds if the empty hours really entered as zeros
+    val rows = for (h <- Seq(0, 2, 4, 6)) yield ("a", f"2024-01-01 $h%02d:15:00")
+    val e = ev(rows: _*)
+    val r = Trend.autocorrFixed(e, "ts", "k", binSeconds = 3600L, lag = 2)
+      .head()
+    assert(r.getAs[Long]("corr_code") == 16384L)
+    assert(r.getAs[Long]("n") == 5)
+    // span (7 bins) <= lag: no pairs, key absent
+    assert(Trend.autocorrFixed(e, "ts", "k", 3600L, lag = 7).count() == 0)
+    // constant series: zero variance -> code 0, not a crash
+    val flat = ev((0 to 5).map(h => ("a", f"2024-01-01 $h%02d:00:00")): _*)
+    assert(Trend.autocorrFixed(flat, "ts", "k", 3600L, lag = 1)
+      .head().getAs[Long]("corr_code") == 0L)
+  }
 }
