@@ -1121,6 +1121,18 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Modularity audit of the q191 partition (ops.LinkAnalysis
+    // .modularity): per community, the exact integer contribution
+    // q_num = 4m·e_in − deg_sum² (Q = Σ q_num / 4m², Newman & Girvan
+    // 2004) — negative rows are worse-than-random groupings. No
+    // division or float anywhere; envelope m ≤ 1.5e9 edges.
+    "q194_modularity" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val g = cat.read(s, table)
+      graft.ops.LinkAnalysis.modularity(g,
+        graft.ops.LinkAnalysis.labelPropagation(g))
+    }),
+
     // Semantic eval-set decontamination (sim.Ann.semanticDecon): the
     // embedding-side leakage gate — every train vector's hit count
     // against the held-out probe set at cosine >= 0.35, kept = zero
@@ -4980,6 +4992,43 @@ object SparkEntry {
          |${round(3)}
          |SELECT id AS doc_id, CAST(label AS BIGINT) AS label
          |FROM l3""".stripMargin
+    },
+
+    // q191's CTE chain extended with the modularity aggregates: e_in
+    // over same-label edges, degree sums per community, q_num in
+    // exact BIGINT.
+    "q194_modularity" -> {
+      def round(i: Int): String =
+        s"""v$i AS (SELECT e.src, l${i - 1}.label, count(*) AS cnt
+           |  FROM ed e JOIN l${i - 1} ON l${i - 1}.id = e.dst
+           |  GROUP BY 1, 2),
+           |l$i AS (SELECT src AS id, label FROM (
+           |  SELECT src, label, row_number() OVER (
+           |    PARTITION BY src ORDER BY cnt DESC, label ASC) AS rn
+           |  FROM v$i) WHERE rn = 1)""".stripMargin
+      s"""WITH ${charPairsCte(0.4)},
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |ein AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+         |  FROM pairs p
+         |  JOIN l3 la ON la.id = p.id_a
+         |  JOIN l3 lb ON lb.id = p.id_b
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM ed GROUP BY 1),
+         |ds AS (SELECT l3.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+         |  FROM deg JOIN l3 ON l3.id = deg.id GROUP BY 1)
+         |SELECT CAST(ds.label AS BIGINT) AS label, ds.n_nodes,
+         |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, ds.deg_sum,
+         |  CAST(4 * m.m * COALESCE(ein.e_in, 0)
+         |    - ds.deg_sum * ds.deg_sum AS BIGINT) AS q_num
+         |FROM ds LEFT JOIN ein ON ein.label = ds.label, m""".stripMargin
     },
 
     // Stage minima as chained conditional aggregates — the strict

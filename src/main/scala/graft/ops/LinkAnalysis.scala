@@ -104,6 +104,51 @@ object LinkAnalysis {
     labels
   }
 
+  /** Newman modularity of a node partition over an undirected (aCol,
+    * bCol) pair frame — the quality audit for [[labelPropagation]]'s
+    * communities (Newman & Girvan 2004): per community c,
+    *
+    *   Q_c = e_c/m − (d_c/2m)²,   Q = Σ_c Q_c
+    *
+    * with e_c the within-community edge count, d_c the degree sum, m
+    * the total edge count. Emitted EXACTLY: each row carries
+    * `q_num = 4m·e_c − d_c²`, so Q = Σ q_num / (4m²) with no division
+    * or float anywhere — a community whose q_num is negative is a
+    * worse-than-random grouping (collapse it before acting on it);
+    * `labels` covering a near-clique reads q_num ≈ 4m·e_c. Exactness
+    * envelope: 4m² must fit int64 → m ≤ 1.5·10⁹ edges per graph
+    * (the [[graft.text.Vocab.collocations]] discipline — shard or
+    * sample the graph past that).
+    *
+    * Cost: two label-keyed joins of the edge list (the same keying
+    * [[labelPropagation]] already shuffles on), two map-side-combined
+    * aggregates at community cardinality, and one broadcast scalar
+    * attachment for m. `labels` must assign every edge endpoint
+    * (inner joins drop unlabeled nodes loudly via the q_num sum
+    * changing — pass the propagation output over the same graph). */
+  def modularity(pairs: DataFrame, labels: DataFrame,
+                 aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val tagged = e
+      .join(labels.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+    val mDf = e.agg(count(lit(1)).as("m"))
+    val ein = tagged.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg.join(labels, Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      .join(ein, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"))
+      .crossJoin(broadcast(mDf))
+      .withColumn("q_num", expr("4 * m * e_in - deg_sum * deg_sum"))
+      .drop("m")
+  }
+
   /** Triangle enumeration over an undirected (aCol, bCol) pair frame —
     * one row per triangle as the id-sorted triple (id_a < id_b < id_c).
     * Triangles are the cohesion signal PageRank can't give: a dup

@@ -100,4 +100,31 @@ class LinkAnalysisSpec extends SparkTestBase {
     val nodes = Set(1L, 2L, 3L)
     assert(a.keySet == nodes && a.values.toSet.subsetOf(nodes))
   }
+
+  test("modularity: hand-computed barbell contributions; trivial partition scores 0") {
+    val barbell = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val labels = LinkAnalysis.labelPropagation(barbell, rounds = 3)
+    val r = LinkAnalysis.modularity(barbell, labels)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // m=7. community 1 = {1,2,3}: e_in=3, deg_sum=2+2+3=7 →
+    // q_num = 4·7·3 − 49 = 35; community 3 = {4,5,6} mirrors it.
+    // global Q = (35+35)/(4·49) = 0.357 — the textbook barbell value.
+    assert(r == Map(1L -> ((3L, 3L, 7L, 35L)), 3L -> ((3L, 3L, 7L, 35L))))
+    // one-community partition of a clique: Q exactly 0 (4·3·3 − 6²)
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val one = LinkAnalysis.modularity(k3,
+      LinkAnalysis.labelPropagation(k3, rounds = 3))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(one.toSeq == Seq((1L, 3L, 3L, 6L, 0L)))
+    // singleton partition (each node its own label): every community
+    // has e_in=0, q_num = −deg_sum² < 0 — worse than random, loudly
+    import org.apache.spark.sql.functions.col
+    val singletons = k3.select(col("id_a")).union(k3.select(col("id_b")))
+      .distinct().select(col("id_a").as("id"), col("id_a").as("label"))
+    val bad = LinkAnalysis.modularity(k3, singletons)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(bad.forall(t => t._3 == 0L && t._5 == -(t._4 * t._4)))
+  }
 }
