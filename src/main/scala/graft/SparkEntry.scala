@@ -1133,6 +1133,17 @@ object SparkEntry {
         graft.ops.LinkAnalysis.labelPropagation(g))
     }),
 
+    // 2-core of the dup graph (ops.LinkAnalysis.kCore): docs whose
+    // near-dup relations are corroborated by a CYCLE — a pendant edge
+    // is one accidental 5-gram collision; a 2-core member is
+    // confirmed twice over. Three peel rounds, fixed for the SQL
+    // replay; surviving deg < k tells non-convergence.
+    "q195_kcore" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      graft.ops.LinkAnalysis.kCore(cat.read(s, table), k = 2)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Semantic eval-set decontamination (sim.Ann.semanticDecon): the
     // embedding-side leakage gate — every train vector's hit count
     // against the held-out probe set at cosine >= 0.35, kept = zero
@@ -5029,6 +5040,26 @@ object SparkEntry {
          |  CAST(4 * m.m * COALESCE(ein.e_in, 0)
          |    - ds.deg_sum * ds.deg_sum AS BIGINT) AS q_num
          |FROM ds LEFT JOIN ein ON ein.label = ds.label, m""".stripMargin
+    },
+
+    // Three peel rounds as chained CTEs over the q123 edge list:
+    // degree filter >= 2, then edges restricted to survivors on both
+    // endpoints.
+    "q195_kcore" -> {
+      def peel(i: Int): String =
+        s"""k$i AS (SELECT src FROM e${i - 1}
+           |  GROUP BY 1 HAVING count(*) >= 2),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON a.src = e.src
+           |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+      s"""WITH ${charPairsCte(0.4)},
+         |e0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |${peel(1)},
+         |${peel(2)},
+         |${peel(3)}
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e3 GROUP BY 1""".stripMargin
     },
 
     // Stage minima as chained conditional aggregates — the strict

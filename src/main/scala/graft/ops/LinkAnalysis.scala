@@ -104,6 +104,39 @@ object LinkAnalysis {
     labels
   }
 
+  /** Fixed-round k-core peel of an undirected (aCol, bCol) pair frame
+    * — (id, deg) for nodes surviving `rounds` rounds of "drop every
+    * node with degree < k, then drop its edges" (Seidman 1983's
+    * k-core, the standard dup-graph denoiser: a pendant edge is one
+    * accidental 5-gram collision, a 2-core member is corroborated by
+    * a CYCLE of near-dup relations). `deg` is the node's degree in
+    * the surviving subgraph.
+    *
+    * Fixed `rounds` (not loop-to-fixpoint) for the same reason as
+    * [[labelPropagation]]/[[pageRankFixed]]: the SQL replay pins an
+    * exact round count, and peeling converges geometrically on real
+    * dup graphs — a long pendant CHAIN peels one node per round, so
+    * callers wanting the true core on adversarial topology raise
+    * `rounds`; a surviving node with deg < k is the tell that
+    * convergence wasn't reached. Cost per round: one map-side
+    * degree aggregate + one semi-join of the edge list against the
+    * surviving-node frame, both keyed on the id the edge list is
+    * already partitioned by. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 3,
+            aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(k >= 1 && rounds >= 1,
+      s"kCore: k and rounds must be >= 1, got k=$k rounds=$rounds")
+    var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    (1 to rounds).foreach { _ =>
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      e = e.join(keep, Seq("src"))
+        .join(keep.select(col("src").as("dst")), Seq("dst"))
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Newman modularity of a node partition over an undirected (aCol,
     * bCol) pair frame — the quality audit for [[labelPropagation]]'s
     * communities (Newman & Girvan 2004): per community c,

@@ -127,4 +127,27 @@ class LinkAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(bad.forall(t => t._3 == 0L && t._5 == -(t._4 * t._4)))
   }
+
+  test("kCore: pendant chain peels one node per round into the triangle core") {
+    // triangle {1,2,3} + chain 3-4-5: the 2-core is the triangle, and
+    // the chain peels exactly one node per round (5 first, then 4)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val r2 = LinkAnalysis.kCore(g, k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // after 2 rounds node 4 is gone but convergence is complete
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // ONE round leaves node 4 with deg 1 < k — the non-convergence tell
+    val r1 = LinkAnalysis.kCore(g, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // k above the max degree empties the graph
+    assert(LinkAnalysis.kCore(g, k = 4, rounds = 1).count() == 0)
+    // a clique at k=2 survives untouched with full degrees
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val rc = LinkAnalysis.kCore(k4, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
