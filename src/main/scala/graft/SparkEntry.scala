@@ -1144,6 +1144,19 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Seed-expansion curation score (ops.LinkAnalysis
+    // .personalizedPageRank): proximity to the trusted seed docs
+    // (doc_id % 17 == 0) through the dup/similarity graph — the
+    // TrustRank-style signal for growing a curated set from a vetted
+    // one; rank 0 = unreached within 3 hops.
+    "q196_seed_expansion" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val seeds = documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 17 === 0)
+      graft.ops.LinkAnalysis.personalizedPageRank(cat.read(s, table), seeds)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Semantic eval-set decontamination (sim.Ann.semanticDecon): the
     // embedding-side leakage gate — every train vector's hit count
     // against the held-out probe set at cosine >= 0.35, kept = zero
@@ -5060,6 +5073,32 @@ object SparkEntry {
          |${peel(3)}
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
          |FROM e3 GROUP BY 1""".stripMargin
+    },
+
+    // q123's round CTEs with the teleport restricted to the seed set:
+    // seeds start at 1e6, re-teleport 150000 each round; non-seeds
+    // accumulate diffused mass only.
+    "q196_seed_expansion" -> {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst, r${i - 1}.r // d.deg AS c
+           |  FROM ed e JOIN deg d ON d.src = e.src
+           |  JOIN r${i - 1} ON r${i - 1}.id = e.src),
+           |r$i AS (SELECT dst AS id,
+           |  CASE WHEN dst % 17 = 0 THEN 150000 ELSE 0 END
+           |    + (85 * sum(c)) // 100 AS r
+           |  FROM c$i GROUP BY 1)""".stripMargin
+      s"""WITH ${charPairsCte(0.4)},
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+         |r0 AS (SELECT src AS id,
+         |  CAST(CASE WHEN src % 17 = 0 THEN 1000000 ELSE 0 END AS BIGINT)
+         |    AS r FROM deg),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fixed
+         |FROM r3""".stripMargin
     },
 
     // Stage minima as chained conditional aggregates — the strict

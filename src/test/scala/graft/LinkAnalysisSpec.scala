@@ -150,4 +150,25 @@ class LinkAnalysisSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(rc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("personalizedPageRank: hand-computed diffusion from one seed") {
+    // path 1-2-3 plus a seed-free island 5-6; seed = {1}
+    val g = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    // round 1: r=(150000, 850000, 0); round 2 (div floors):
+    //   r(1)=150000+85·425000 div 100=511250, r(2)=85·150000 div
+    //   100=127500, r(3)=85·425000 div 100=361250
+    val r2 = LinkAnalysis.personalizedPageRank(g, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L,
+      5L -> 0L, 6L -> 0L))
+    // the island never receives mass at any round count
+    val r3 = LinkAnalysis.personalizedPageRank(g, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(5L) == 0L && r3(6L) == 0L && r3(3L) > 0L)
+    // duplicate seed rows don't double the teleport
+    val dup = LinkAnalysis.personalizedPageRank(g,
+      seeds.union(seeds), rounds = 2).as[(Long, Long)].collect().toMap
+    assert(dup == r2)
+  }
 }
