@@ -917,6 +917,18 @@ object SparkEntry {
     "q188_knn_graph_lsh_scaled" -> ((s, dir) =>
       graft.sim.Ann.knnJoinScaled(embeddings(s, dir), k = 5)),
 
+    // Matryoshka truncation audit (Ann.matryoshkaRecall): recall@5 of
+    // prefix-dim cosine top-5 (d = 8/16/32/64) against the full-width
+    // graph on the corpus's own vectors (Kusupati et al. 2022's MRL
+    // question: how many dims can we drop before neighbor structure
+    // degrades). Integer recall in 1e-6 units; the d=64 row reads
+    // exactly 1.0 by construction — a built-in self-check. Eval
+    // slice vec_id%5=0, the q65 brute-force regime.
+    "q197_matryoshka" -> ((s, dir) =>
+      graft.sim.Ann.matryoshkaRecall(
+        embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        dims = Seq(8, 16, 32, 64), k = 5)),
+
     // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means
     // clusters bound the candidate space, within-cluster cosine pairs
     // drop the higher id. FULLY oracle-gated since r8 (kmeansCteSql
@@ -5704,6 +5716,31 @@ object SparkEntry {
         |  SELECT qid, vec_id, sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+
+    // q65's all-pairs cosine generalized over a dims lateral: per-d
+    // prefix slices inside the same (sim DESC, id ASC) rank law, then
+    // the d=64 set is the ground truth every d intersects against.
+    "q197_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |g AS (SELECT d, qid, vec_id FROM (
+        |  SELECT d.d, q.vec_id AS qid, e.vec_id,
+        |    row_number() OVER (PARTITION BY d.d, q.vec_id ORDER BY
+        |      list_dot_product(q.v[1:d.d], e.v[1:d.d]) /
+        |        (sqrt(list_dot_product(q.v[1:d.d], q.v[1:d.d]))
+        |         * sqrt(list_dot_product(e.v[1:d.d], e.v[1:d.d]))) DESC,
+        |      e.vec_id) AS rnk
+        |  FROM (SELECT unnest([8, 16, 32, 64]) AS d) d, e q, e
+        |  WHERE e.vec_id <> q.vec_id) WHERE rnk <= 5),
+        |fg AS (SELECT qid, vec_id FROM g WHERE d = 64),
+        |nq AS (SELECT count(DISTINCT qid) AS n_queries FROM fg),
+        |h AS (SELECT g.d AS dim, count(*) AS hits
+        |  FROM g JOIN fg USING (qid, vec_id) GROUP BY 1)
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        |  CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(hits AS BIGINT) AS hits,
+        |  CAST(hits * 1000000 // (5 * n_queries) AS BIGINT) AS recall_fp
+        |FROM h, nq""".stripMargin,
 
     // Same fixed-point image (floor(x*1e9) longs) — exact integer
     // sums in both engines; joined to a string at the output

@@ -606,6 +606,46 @@ object Ann {
     * are a strict prefix-extension of the planes at `basePlanes`:
     * below `refSize` this is bit-identical to `knnJoin` with the same
     * `basePlanes` (pinned by KnnScaledSpec). */
+  /** Matryoshka truncation audit: recall@k of PREFIX-dimension cosine
+    * top-k against the full-dimension ground truth, one row per
+    * truncation width — the storage/latency question MRL embeddings
+    * (Kusupati et al. 2022) pose: "how many dims can this corpus
+    * drop before neighbor structure degrades?" Answered on the
+    * corpus's OWN vectors, not the model card's benchmark.
+    *
+    * For each d in `dims`, the top-k graph over `vecCol[1..d]` is
+    * intersected with the full-width graph ([[exactKnnGraph]] both
+    * sides — same (sim DESC, id ASC) tie law, so the intersection is
+    * well-defined), and the row is (dim, n_queries, hits,
+    * recall_fp = hits·10⁶ div (k·n_queries)) — all integer once the
+    * two top-k sets are fixed. Brute-force scoring bounds this to
+    * eval-set corpora exactly like [[exactKnnGraph]] itself; at
+    * corpus scale run it on a sampled slice (the q65/q92 split).
+    * Prefix vectors must not be all-zero at the smallest d (cosine
+    * undefined) — embedding models never emit zero leading blocks,
+    * but a preprocessing bug could; the NaN sims would differ
+    * between engines rather than fail silently. */
+  def matryoshkaRecall(emb: DataFrame, dims: Seq[Int], k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "matryoshkaRecall: dims must be non-empty")
+    val full = exactKnnGraph(emb, k, idCol, vecCol)
+      .select(col("qid"), col(idCol))
+    val nq = broadcast(full.select(countDistinct(col("qid")).as("n_queries")))
+    dims.map { d =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      exactKnnGraph(sliced, k, idCol, vecCol)
+        .select(col("qid"), col(idCol))
+        .join(full, Seq("qid", idCol))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dim"), col("hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(nq)
+      .select(col("dim"), col("n_queries"), col("hits"),
+        expr(s"(hits * 1000000) DIV (${k}L * n_queries)").as("recall_fp"))
+  }
+
   def knnJoinScaled(emb: DataFrame, k: Int, basePlanes: Int = 3,
                     refSize: Long = 2000L, nTables: Int = 16, dim: Int = 64,
                     maxBucket: Int = 10000, idCol: String = "vec_id",

@@ -68,4 +68,30 @@ class KnnScaledSpec extends SparkTestBase {
     assert(sKeys.subsetOf(fKeys)) // same sims on shared edges, too
     assert(sKeys.size < fKeys.size)
   }
+
+  test("matryoshkaRecall: hand-computed prefix inversion; full width reads 1.0") {
+    import spark.implicits._
+    // 2-D corpus where the 1-D prefix inverts one neighbor: full top-1
+    // is 0→1, 1→0, 2→1; at d=1 vector 2 ties (-1 cosine to both) and
+    // id ASC picks 0 instead → hits 2/3 = 666666 in 1e-6 units
+    val e = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(-1.0, 5.0))).toDF("vec_id", "embedding")
+    val r = graft.sim.Ann.matryoshkaRecall(e, dims = Seq(1, 2), k = 1)
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1) == ((3L, 2L, 666666L)))
+    assert(r(2) == ((3L, 3L, 1000000L)))
+  }
+
+  test("matryoshkaRecall on real embeddings: full-dim row exact 1.0, prefixes bounded") {
+    val e = Tables.embeddings(spark, sf).filter(
+      org.apache.spark.sql.functions.col("vec_id") % 5 === 0)
+    val rows = graft.sim.Ann.matryoshkaRecall(e, Seq(8, 64), k = 5)
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    val (nq, hits64, r64) = rows(64)
+    assert(r64 == 1000000L && hits64 == 5 * nq)
+    val (_, hits8, r8) = rows(8)
+    assert(hits8 <= hits64 && r8 <= 1000000L && r8 >= 0L)
+  }
 }
