@@ -67,7 +67,8 @@ object Explain {
     "q187_kendall_scalable", "q188_knn_graph_lsh_scaled",
     "q189_ks_drift", "q190_chi2_tokens", "q191_label_propagation",
     "q192_isotonic_calibration", "q193_autocorr", "q194_modularity",
-    "q195_kcore", "q196_seed_expansion", "q197_matryoshka")
+    "q195_kcore", "q196_seed_expansion", "q197_matryoshka",
+    "q198_benford")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1898,6 +1898,17 @@ object SparkEntry {
         Expectation.inSet("l_returnflag", Seq("A", "N", "R"))))
     }),
 
+    // Benford first-digit audit (ops.Profiler.benford) of the
+    // extended-price cents image — the fabricated-feed screen: a
+    // uniform generator or a truncating bug flattens the digit
+    // histogram long before row checks fire. Digit from the BIGINT's
+    // decimal string (identical in both engines; no float log10
+    // boundary), expected table in per-million units summing to
+    // exactly 1e6.
+    "q198_benford" -> ((s, dir) =>
+      graft.ops.Profiler.benford(lineitem(s, dir),
+        graft.ops.Exact.cents(col("l_extendedprice")))),
+
     // Inter-snapshot distribution drift (ops.Snapshot.driftReport):
     // token-length bins (width 10) of the q134 snapshots, per-bin
     // share ratio in fixed point — the population-shift monitor the
@@ -4814,6 +4825,30 @@ object SparkEntry {
           "NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)")
       ).mkString("\nUNION ALL\n")
     },
+
+    // First digit from the cents image's decimal string; the same
+    // per-million expected table (sums to exactly 1e6) inlined as a
+    // list literal.
+    "q198_benford" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit FROM c WHERE v > 0),
+        |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS total FROM cnt),
+        |alld AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit)
+        |SELECT a.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |  CAST(([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+        |         51153, 45757])[a.digit] AS BIGINT) AS expected_fp,
+        |  CAST(CASE WHEN t.total > 0
+        |    THEN COALESCE(c.n, 0) * 1000000 // t.total END AS BIGINT)
+        |    AS observed_fp,
+        |  CAST(abs(CASE WHEN t.total > 0
+        |      THEN COALESCE(c.n, 0) * 1000000 // t.total END
+        |    - ([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+        |        51153, 45757])[a.digit]) AS BIGINT) AS dev_fp
+        |FROM alld a LEFT JOIN cnt c ON c.digit = a.digit, t""".stripMargin,
 
     // The q134 snapshots re-bucketed by token-length bin and the
     // same fixed-point share ratio.

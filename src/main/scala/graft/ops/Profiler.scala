@@ -104,4 +104,49 @@ object Profiler {
         expr("bit_xor(__c)").as("xor_digest"),
         sum(pmod(col("__c"), lit(2147483647L))).as("sum_digest"))
   }
+
+  /** log10(1+1/d)·10⁶ for d = 1..9 — rounds to per-million units that
+    * sum to EXACTLY 1 000 000, so deviations are comparable across
+    * digits with no residual. */
+  private val benfordFp =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** Benford first-digit audit of a positive integer measure — the
+    * classic fabricated-or-corrupted-feed screen (Benford 1938;
+    * Nigrini's forensic use): natural multi-magnitude quantities
+    * (prices, populations, file sizes) put ~30.1% of first digits at
+    * 1, and a generator that draws uniformly (or a pipeline bug that
+    * truncates a field) shows up as a flat digit histogram long
+    * before any row-level check fires.
+    *
+    * `intCol` must be an integral image of the measure (e.g.
+    * [[Exact.cents]] of a money column) — the first digit is taken
+    * from the DECIMAL STRING of the value, which both engines format
+    * identically for BIGINT (no float log10 whose boundary rounding
+    * at exact powers of ten could disagree). Non-positive values are
+    * excluded (Benford is undefined there); all nine digits are
+    * emitted even at zero count. Output per digit:
+    * (digit, n, expected_fp, observed_fp = n·10⁶ div total, dev_fp)
+    * — all integer; consumers alarm on max(dev_fp) or a chi-square
+    * over `n`. One scan, a 9-row aggregate, a broadcast total. */
+  def benford(df: DataFrame, intCol: Column): DataFrame = {
+    val digits = df.select(intCol.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum(col("n")).as("total")))
+    val all = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    all.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(total)
+      .select(col("digit"), col("n"),
+        element_at(array(benfordFp.map(lit): _*), col("digit"))
+          .as("expected_fp"),
+        when(col("total") > 0, expr("(n * 1000000) DIV total"))
+          .otherwise(lit(null)).as("observed_fp"))
+      .withColumn("dev_fp", abs(col("observed_fp") - col("expected_fp")))
+  }
 }

@@ -77,4 +77,27 @@ class ProfilerSpec extends SparkTestBase {
     val d2 = dig(base.union(base))
     assert(d2._2 == 0L && d2._1 == 6L && d2._3 == d0._3 * 2)
   }
+
+  test("benford: hand-built histogram, digit-string extraction, exclusions") {
+    import org.apache.spark.sql.functions._
+    // values: first digits 1,1,1,2,9; 0 and negatives excluded
+    val d = Seq(1L, 15L, 1234567890123L, 200L, 9L, 0L, -300L).toDF("v")
+    val r = Profiler.benford(d, col("v"))
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r.keySet == (1 to 9).toSet) // all digits present
+    assert(r(1) == ((3L, 301030L, 600000L, 298970L)))
+    assert(r(2) == ((1L, 176091L, 200000L, 23909L)))
+    assert(r(9) == ((1L, 45757L, 200000L, 154243L)))
+    assert(r(5) == ((0L, 79181L, 0L, 79181L))) // zero-count digit emitted
+    // the expected table sums to exactly one million — no residual
+    assert(r.values.map(_._2).sum == 1000000L)
+    // a perfect Benford sample (counts proportional to expectation)
+    // would zero every deviation; approximate with the table itself
+    val scaled = (1 to 9).flatMap(dg =>
+      Seq.fill(r(dg)._2.toInt / 45757)(math.pow(10, dg.toString.length).toLong * dg))
+    val perfect = Profiler.benford(scaled.toDF("v"), col("v"))
+      .agg(max(col("dev_fp"))).head().getLong(0)
+    assert(perfect < 50000L) // integer-rounded proportions stay close
+  }
 }
