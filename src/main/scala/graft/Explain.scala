@@ -100,8 +100,15 @@ object Explain {
     }
     if (toFile) {
       val out = "docs/plans/headline_plans.txt"
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        sb.toString)
+      // plan literals can carry control bytes (the NUL kendall
+      // sentinel, tableDigest's SOH separators) — escape them so
+      // the committed dump stays text to grep/diff
+      val clean = sb.toString.flatMap {
+        case c if c < ' ' && c != '\n' && c != '\t' =>
+          f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), clean)
       println(s"[explain] wrote ${names.size} plans to $out")
     }
     spark.stop()
