@@ -1494,6 +1494,15 @@ object SparkEntry {
       graft.ops.Trend.autocorrFixed(events(s, dir), "ts", "event_type",
         binSeconds = 3600L, lag = 24)),
 
+    // CUSUM changepoint localization (ops.Trend.cusumChangepoint):
+    // WHERE q169/q193 say a feed changed, this says WHEN — the split
+    // maximizing |S_t·B − t·S_B| over the zero-filled day span (Page
+    // 1954, integer form; ties to the earliest day), with exact
+    // fixed-point before/after daily means for the human reading.
+    "q199_changepoint" -> ((s, dir) =>
+      graft.ops.Trend.cusumChangepoint(events(s, dir), "event_type",
+        "ts", anchor = "2024-01-01")),
+
     // Character-diversity quality gate (functions.exprs
     // .char_entropy_proxy / char_distinct_cp): whole-bit entropy
     // proxy Σ count·floor(log2 count) plus distinct code points, one
@@ -6017,6 +6026,37 @@ object SparkEntry {
         |        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
         |      * 16384.0) AS BIGINT) END AS corr_code
         |FROM m""".stripMargin,
+
+    // q169's daily CTE + the zero-filled span + the integer CUSUM
+    // argmax (dev DESC, t ASC) and the same fixed-point means.
+    "q199_changepoint" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |sp AS (SELECT k, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |g AS (SELECT k, lo, CAST(unnest(range(lo, hi + 1)) AS BIGINT)
+        |    AS day FROM sp),
+        |dense AS (SELECT g.k, g.lo, g.day, COALESCE(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.k = g.k AND d.day = g.day),
+        |st AS (SELECT k, lo, day - lo + 1 AS t, SUM(y) OVER w AS st,
+        |  COUNT(*) OVER (PARTITION BY k) AS b,
+        |  SUM(y) OVER (PARTITION BY k) AS sb
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY k ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |best AS (SELECT * FROM (SELECT *,
+        |    abs(st*b - t*sb) AS dev,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY abs(st*b - t*sb) DESC, t ASC) AS rn
+        |  FROM st) WHERE rn = 1)
+        |SELECT k AS event_type, CAST(b AS BIGINT) AS n_bins,
+        |  CAST(lo + t - 1 AS BIGINT) AS split_bin,
+        |  CAST(dev AS BIGINT) AS dev_num,
+        |  CAST(st * 1000000 // t AS BIGINT) AS mean_before_fp,
+        |  CAST(CASE WHEN b > t THEN (sb - st) * 1000000 // (b - t) END
+        |    AS BIGINT) AS mean_after_fp
+        |FROM best""".stripMargin,
 
     // One row per CHARACTER, histogram per doc, then the whole-bit
     // proxy: floor(log2 n) = length(bin(n)) - 1 — the same integer

@@ -115,6 +115,65 @@ object Trend {
     * observed span per key; a key with a pathological span (one
     * event in 1970, one today) costs span/binSeconds rows — bound
     * the scan's time range upstream, as any telemetry query does. */
+  /** CUSUM changepoint localization over per-key daily volume — WHERE
+    * [[dailyTrend]]/[[autocorrFixed]] say "this feed changed", this
+    * says WHEN: the split t maximizing the centered prefix deviation
+    *
+    *   dev_t = |S_t·B − t·S_B|,  t = 1..B
+    *
+    * (Page 1954's CUSUM statistic, integer form: S_t the prefix sum
+    * of daily counts over the zero-filled day span, B the span
+    * length, S_B the total — dev is |prefix − expected-under-no-
+    * change| scaled by B, so every product is ≤ total·span and stays
+    * exact in int64 far past any real feed). Ties break to the
+    * EARLIEST day. Output per key: (key, n_bins, split_bin — change
+    * begins the bin AFTER it, days since `anchor` — dev_num, and the
+    * exact before/after daily means in 10⁻⁶ units for the human
+    * reading). A constant feed reads dev_num = 0 at split_bin = 1.
+    *
+    * Shape: the corpus collapses to (key, day) counts in one
+    * map-side-combined aggregate; everything after runs at
+    * day-span cardinality under key-partitioned windows. */
+  def cusumChangepoint(df: DataFrame, keyCol: String, tsCol: String,
+                       anchor: String = "1970-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)), lit(anchor).cast("date"))
+          .cast("long").as("day"))
+      .groupBy(col("k"), col("day")).agg(count(lit(1)).as("y"))
+    val spans = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val dense = spans
+      .select(col("k"), col("lo"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("k", "day"), "left")
+      .select(col("k"), col("lo"), col("day"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val wCum = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("k")
+    val stepped = dense
+      .withColumn("t", col("day") - col("lo") + 1L)
+      .withColumn("st", sum(col("y")).over(wCum))
+      .withColumn("b", count(lit(1)).over(wAll))
+      .withColumn("sb", sum(col("y")).over(wAll))
+      .withColumn("dev", abs(col("st") * col("b") - col("t") * col("sb")))
+    stepped.groupBy(col("k").as(keyCol))
+      .agg(max(col("b")).as("n_bins"), max(col("sb")).as("__sb"),
+        max(col("lo")).as("__lo"),
+        min(struct((-col("dev")).as("nd"), col("t").as("t"),
+          col("st").as("st"))).as("m"))
+      .select(col(keyCol), col("n_bins"),
+        (col("__lo") + col("m.t") - 1L).as("split_bin"),
+        (-col("m.nd")).as("dev_num"),
+        call_function("div", col("m.st") * lit(1000000L), col("m.t"))
+          .as("mean_before_fp"),
+        when(col("n_bins") > col("m.t"),
+          call_function("div", (col("__sb") - col("m.st")) * lit(1000000L),
+            col("n_bins") - col("m.t"))).as("mean_after_fp"))
+  }
+
   def autocorrFixed(events: DataFrame, tsCol: String, typeCol: String,
                     binSeconds: Long, lag: Int,
                     scale: Int = 16384): DataFrame = {

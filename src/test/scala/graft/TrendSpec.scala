@@ -127,4 +127,40 @@ class TrendSpec extends SparkTestBase {
     assert(Trend.autocorrFixed(flat, "ts", "k", 3600L, lag = 1)
       .head().getAs[Long]("corr_code") == 0L)
   }
+
+  test("cusumChangepoint: hand-computed level shift, gaps, constant feed") {
+    // days 1-3: 1 event/day, days 4-6: 9/day. S_t = 1,2,3,12,21,30,
+    // B=6, S_B=30 -> dev_t = 24,48,72,48,24,0: split at t=3 (dev 72),
+    // means 1.0 before / 9.0 after exactly
+    val shift = ev((for {
+      d <- 1 to 6
+      _ <- 1 to (if (d <= 3) 1 else 9)
+    } yield ("a", f"2024-01-0$d%01d 12:00:00")): _*)
+    val r = Trend.cusumChangepoint(shift, "k", "ts", anchor = "2024-01-01")
+      .head()
+    assert(r.getAs[Long]("n_bins") == 6)
+    assert(r.getAs[Long]("split_bin") == 2) // day index: Jan 3 = day 2
+    assert(r.getAs[Long]("dev_num") == 72)
+    assert(r.getAs[Long]("mean_before_fp") == 1000000L)
+    assert(r.getAs[Long]("mean_after_fp") == 9000000L)
+
+    // a missing day zero-fills: days 1,2 one event, day 3 GAP, days
+    // 4,5 five events -> series 1,1,0,5,5: S_t = 1,2,2,7,12, B=5,
+    // dev = |5·S_t - 12·t| = 7,14,26,13,0 -> split t=3 (the gap day)
+    val gap = ev((for {
+      d <- Seq(1, 2, 4, 5); _ <- 1 to (if (d <= 2) 1 else 5)
+    } yield ("g", f"2024-01-0$d%01d 01:00:00")): _*)
+    val g = Trend.cusumChangepoint(gap, "k", "ts", anchor = "2024-01-01")
+      .head()
+    assert(g.getAs[Long]("dev_num") == 26 && g.getAs[Long]("split_bin") == 2)
+
+    // constant feed: dev identically 0, earliest tie wins, after-mean
+    // defined (t=1 < B)
+    val const = ev((for (d <- 1 to 4) yield ("c", f"2024-01-0$d%01d 03:00:00")): _*)
+    val c = Trend.cusumChangepoint(const, "k", "ts", anchor = "2024-01-01")
+      .head()
+    assert(c.getAs[Long]("dev_num") == 0 && c.getAs[Long]("split_bin") == 0)
+    assert(c.getAs[Long]("mean_before_fp") == 1000000L)
+    assert(c.getAs[Long]("mean_after_fp") == 1000000L)
+  }
 }
