@@ -1503,6 +1503,15 @@ object SparkEntry {
       graft.ops.Trend.cusumChangepoint(events(s, dir), "event_type",
         "ts", anchor = "2024-01-01")),
 
+    // Corpus concentration (ops.Balance.giniConcentration): the Gini
+    // of per-source token mass — the one-number inequality audit
+    // behind mixture decisions (q137 caps the symptom; this measures
+    // it). Exact integer rank formula, 0 = uniform shares.
+    "q200_gini_concentration" -> ((s, dir) =>
+      graft.ops.Balance.giniConcentration(
+        documents(s, dir).where(col("text").isNotNull),
+        "source", TF.tokenCount(col("text")).cast("long"))),
+
     // Character-diversity quality gate (functions.exprs
     // .char_entropy_proxy / char_distinct_cp): whole-bit entropy
     // proxy Σ count·floor(log2 count) plus distinct code points, one
@@ -6057,6 +6066,22 @@ object SparkEntry {
         |  CAST(CASE WHEN b > t THEN (sb - st) * 1000000 // (b - t) END
         |    AS BIGINT) AS mean_after_fp
         |FROM best""".stripMargin,
+
+    // Same rank formula: groups sorted (measure ASC, name ASC), the
+    // weighted sum and both divisor factors exact.
+    "q200_gini_concentration" ->
+      s"""WITH g AS (SELECT source AS grp,
+         |  CAST(sum(${TF.sql.tokenCount("text")}) AS BIGINT) AS x
+         |  FROM documents WHERE text IS NOT NULL GROUP BY 1),
+         |r AS (SELECT grp, x,
+         |  CAST(row_number() OVER (ORDER BY x ASC, grp ASC) AS BIGINT) AS i,
+         |  CAST(COUNT(*) OVER () AS BIGINT) AS n FROM g)
+         |SELECT CAST(max(n) AS BIGINT) AS n_groups,
+         |  CAST(sum(x) AS BIGINT) AS total,
+         |  CAST(CASE WHEN sum(x) > 0
+         |    THEN sum((2*i - n - 1) * x) * 1000000 // (max(n) * sum(x))
+         |  END AS BIGINT) AS gini_fp
+         |FROM r""".stripMargin,
 
     // One row per CHARACTER, histogram per doc, then the whole-bit
     // proxy: floor(log2 n) = length(bin(n)) - 1 — the same integer

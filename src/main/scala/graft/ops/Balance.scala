@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Length-balanced sampling weights — the "don't let short documents
@@ -80,5 +80,42 @@ object Balance {
       .join(keepers, col(idCol) === col("__keep_id"), "left")
       .select(col(idCol), col(srcCol), col(scoreCol),
         col("__keep_id").isNotNull.as("kept"))
+  }
+
+  /** Gini concentration of a grouped measure — "how unequal is the
+    * corpus across sources?", the one-number audit behind every
+    * mixture decision ([[sourceBudget]] caps the symptom; this
+    * MEASURES it, before and after). Exact integer form of the
+    * classic rank formula over groups sorted by ascending measure
+    * (ties by group name — a total order, so the rank weights are
+    * deterministic):
+    *
+    *   gini_fp = Σᵢ (2i − n − 1)·xᵢ · 10⁶ div (n · Σx)
+    *
+    * 0 = perfectly uniform shares, →10⁶·(n−1)/n = one group holds
+    * everything. No floats: the weighted sum and both divisor factors
+    * are exact longs (envelope n·Σx < 2⁶³ — beyond that, measure in
+    * coarser units). Output one row: (n_groups, total, gini_fp).
+    *
+    * Shape: the corpus collapses to |groups| rows in one
+    * map-side-combined aggregate; the rank window and the two
+    * scalars run at group cardinality. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        measure: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(measure).as("__x"))
+    val w = Window.orderBy(col("__x").asc, col("__g").asc)
+    grouped
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy()))
+      .agg(max(col("__n")).as("n_groups"), sum(col("__x")).as("total"),
+        sum((lit(2L) * col("__i") - col("__n") - 1L) * col("__x"))
+          .as("__ws"))
+      .select(col("n_groups"), col("total"),
+        when(col("total") > 0, call_function("div",
+          col("__ws") * lit(1000000L), col("n_groups") * col("total")))
+          .as("gini_fp"))
   }
 }

@@ -75,4 +75,26 @@ class BalanceSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
       plan.take(1500))
   }
+
+  test("giniConcentration: uniform = 0, total monopoly = (n-1)/n, hand case") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def gini(rows: Seq[(String, Long)]): (Long, Long, Long) = {
+      val r = graft.ops.Balance.giniConcentration(
+        rows.toDF("g", "v"), "g", col("v")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // perfectly uniform: exactly 0
+    assert(gini(Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)))
+      == ((4L, 20L, 0L)))
+    // one group holds everything: (n-1)/n = 3/4 exactly
+    assert(gini(Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 8L)))
+      == ((4L, 8L, 750000L)))
+    // hand case x = (1,2,3,4) sorted: weights (-3,-1,1,3) →
+    // ws = -3-2+3+12 = 10; gini = 10/(4·10) = 0.25 exactly
+    assert(gini(Seq(("a", 4L), ("b", 1L), ("c", 3L), ("d", 2L)))
+      == ((4L, 10L, 250000L)))
+    // multiple rows per group aggregate before ranking
+    assert(gini(Seq(("a", 2L), ("a", 2L), ("b", 4L))) == ((2L, 8L, 0L)))
+  }
 }
