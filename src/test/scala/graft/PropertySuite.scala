@@ -329,4 +329,61 @@ object PropertySuite extends Properties("graft") {
       auc(df) == auc(df.withColumn("score",
         col("score") * 3 + 41))
     }
+
+  // q200: Gini is a SHARE statistic — scaling every measure by the
+  // same k must leave the fixed-point code bit-identical (exact
+  // because floor(k·a / (k·b)) = floor(a/b)), and the code always
+  // lies in [0, 1e6).
+  property("gini_fp is scale-invariant and bounded") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(Gen.identifier.map(_.take(4)),
+      Gen.choose(0L, 1000L))), Gen.choose(2L, 9L)) { (rows, k) =>
+      if (rows.map(_._2).sum == 0) true
+      else {
+        val df = rows.toDF("g", "v")
+        def g(d: org.apache.spark.sql.DataFrame) =
+          graft.ops.Balance.giniConcentration(d, "g", col("v"))
+            .head().getLong(2)
+        val base = g(df)
+        base == g(df.withColumn("v", col("v") * k)) &&
+          base >= 0L && base < 1000000L
+      }
+    }
+
+  // q189: two identical snapshots have identical ECDFs in every
+  // group — KS must read exactly 0 and never flag, whatever the
+  // data or the partitioning.
+  property("ksDrift of a frame against itself is exactly zero") =
+    Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(-30L, 30L))), Gen.choose(1, 6)) { (rows, parts) =>
+      val df = rows.toDF("g", "v").repartition(parts)
+      graft.ops.Snapshot.ksDrift(df, df, "g", "v")
+        .collect().forall(r => r.getLong(3) == 0L && !r.getBoolean(4))
+    }
+
+  // q192: the PAV fit is a projection onto non-decreasing sequences —
+  // its fitted values are monotone along (x, id), its total mass in
+  // exact fixed point is within per-pool floor loss (< n units) of
+  // the input's, and it is idempotent: feeding the fit back as y
+  // returns it unchanged (already monotone → no pooling).
+  property("isotonic fit is monotone and idempotent") =
+    Prop.forAll(Gen.listOfN(20, Gen.choose(0L, 9L))) { ys =>
+      val rows = ys.zipWithIndex.map { case (y, i) =>
+        ("g", i.toLong, i.toLong, y) }
+      def fit(rs: Seq[(String, Long, Long, Long)]) =
+        rs.toDF("g", "x", "id", "y")
+          .groupBy(col("g"))
+          .agg(graft.functions.aggs.isotonic_fit(
+            struct(col("x"), col("id"), col("y"))).as("f"))
+          .select(explode(col("f")).as("e"))
+          .select(col("e.id"), col("e.fit_fp"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val f1 = fit(rows)
+      val mono = f1.map(_._2).sliding(2).forall(p =>
+        p.length < 2 || p.head <= p.last)
+      // idempotence: the fitted values (already non-decreasing along
+      // the same order) pool nothing on a second pass — every pool is
+      // a singleton, so the second fit is each value re-scaled by 1e6
+      val f2 = fit(f1.map { case (id, v) => ("g", id, id, v) })
+      mono && f2.map(_._2).sameElements(f1.map(_._2 * 1000000L))
+    }
 }
