@@ -68,7 +68,8 @@ object Explain {
     "q189_ks_drift", "q190_chi2_tokens", "q191_label_propagation",
     "q192_isotonic_calibration", "q193_autocorr", "q194_modularity",
     "q195_kcore", "q196_seed_expansion", "q197_matryoshka",
-    "q198_benford", "q199_changepoint", "q200_gini_concentration")
+    "q198_benford", "q199_changepoint", "q200_gini_concentration",
+    "q201_assortativity")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

@@ -1169,6 +1169,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Degree assortativity of the dup graph (ops.LinkAnalysis
+    // .assortativityFixed): Pearson of endpoint degrees over
+    // mirrored edges (Newman 2002) — positive = genuine dense-core
+    // near-dup families, negative = a template hub fanning out to
+    // degree-1 pages. q162's exact moment discipline.
+    "q201_assortativity" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      graft.ops.LinkAnalysis.assortativityFixed(cat.read(s, table))
+    }),
+
     // Semantic eval-set decontamination (sim.Ann.semanticDecon): the
     // embedding-side leakage gate — every train vector's hit count
     // against the held-out probe set at cosine >= 0.35, kept = zero
@@ -5139,6 +5149,32 @@ object SparkEntry {
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
          |FROM e3 GROUP BY 1""".stripMargin
     },
+
+    // The q123 edge list + degree CTE, endpoint degrees joined onto
+    // every mirrored edge, then q162's exact moment SQL.
+    "q201_assortativity" ->
+      s"""WITH ${charPairsCte(0.4)},
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM ed GROUP BY 1),
+         |p AS (SELECT du.deg AS x, dv.deg AS y
+         |  FROM ed e
+         |  JOIN deg du ON du.src = e.src
+         |  JOIN deg dv ON dv.src = e.dst),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x*y) AS BIGINT) AS sxy,
+         |  CAST(sum(x*x) AS BIGINT) AS sxx,
+         |  CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM p)
+         |SELECT n AS n_endpoints,
+         |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0
+         |    ELSE CAST(round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |        * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         |      * 16384.0) AS BIGINT) END AS corr_code
+         |FROM m""".stripMargin,
 
     // q123's round CTEs with the teleport restricted to the seed set:
     // seeds start at 1e6, re-teleport 150000 each round; non-seeds

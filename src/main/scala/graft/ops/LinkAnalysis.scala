@@ -104,6 +104,31 @@ object LinkAnalysis {
     labels
   }
 
+  /** Degree assortativity of an undirected (aCol, bCol) pair frame —
+    * the Pearson correlation of endpoint degrees over all (mirrored)
+    * edges (Newman 2002), in [[graft.ops.Robust.pearsonFixed]]'s
+    * exact-integer fixed point. The one-number topology screen for a
+    * dup graph: genuine near-dup families are assortative (dense
+    * cores link dense cores, code > 0); a template/boilerplate HUB
+    * pattern is disassortative (one high-degree page linking many
+    * degree-1 pages, code < 0) — the same verdict [[triangles]]
+    * gives per cluster, at whole-graph cost: one degree aggregate
+    * and two id-keyed joins. A regular graph (zero degree variance)
+    * reads code 0. */
+  def assortativityFixed(pairs: DataFrame, aCol: String = "id_a",
+                         bCol: String = "id_b",
+                         scale: Int = 16384): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val endp = edges
+      .join(deg.select(col("u"), col("deg").as("x")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("y")), Seq("v"))
+      .select(lit("graph").as("g"), col("x"), col("y"))
+    Robust.pearsonFixed(endp, "g", "x", "y", scale)
+      .select(col("n").as("n_endpoints"), col("corr_code"))
+  }
+
   /** Personalized PageRank over an undirected (aCol, bCol) pair frame
     * — [[pageRankFixed]] with the teleport mass restricted to a SEED
     * set (Jeh & Widom 2003): rank becomes "proximity to the trusted

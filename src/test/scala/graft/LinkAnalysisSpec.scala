@@ -171,4 +171,19 @@ class LinkAnalysisSpec extends SparkTestBase {
       seeds.union(seeds), rounds = 2).as[(Long, Long)].collect().toMap
     assert(dup == r2)
   }
+
+  test("assortativityFixed: star reads exactly -1, path -1/2, clique 0") {
+    def code(pairs: Seq[(Long, Long)]): (Long, Long) = {
+      val r = LinkAnalysis.assortativityFixed(
+        pairs.toDF("id_a", "id_b")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // star K1,3: every mirrored edge pairs degree 3 with degree 1 —
+    // x + y is constant, r = -1 exactly
+    assert(code(Seq((9L, 1L), (9L, 2L), (9L, 3L))) == ((6L, -16384L)))
+    // path 1-2-3-4: hand moments give r = -4/8 = -1/2 exactly
+    assert(code(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((6L, -8192L)))
+    // a clique is regular: zero degree variance -> code 0
+    assert(code(Seq((1L, 2L), (1L, 3L), (2L, 3L))) == ((6L, 0L)))
+  }
 }
