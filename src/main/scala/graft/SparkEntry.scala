@@ -1997,6 +1997,21 @@ object SparkEntry {
     // floor commutes with max/min, so quantized candidate means give
     // the quantized fit exactly (two distinct algorithms, one
     // answer — the q184/q187 discipline).
+    // Reliability diagram (ops.Eval.reliabilityBins): the decile
+    // calibration audit q192's isotonic fit summarizes — per source,
+    // ten equal-count score bands with observed positive rate and
+    // score span; ntile over the (score, id) total order is exact in
+    // both engines.
+    "q202_reliability" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+      val scored = d.select(col("source"), col("doc_id"),
+        graft.functions.exprs.classifier_score(
+          TF.tokens(col("text"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      graft.ops.Eval.reliabilityBins(scored, "source", "score",
+        "doc_id", "y", bins = 10)
+    }),
+
     "q192_isotonic_calibration" -> ((s, dir) => {
       val d = documents(s, dir)
         .where(col("text").isNotNull && col("doc_id") % 3 === 0)
@@ -4969,6 +4984,32 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY source
          |    ORDER BY score, doc_id) AS pct
          |FROM sc""".stripMargin,
+
+    // The q93 score CTE + ntile over the same (score, doc_id) order
+    // and the exact per-band counts.
+    "q202_reliability" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.doc_id, d.source,
+         |  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |b AS (SELECT source, y, score,
+         |  ntile(10) OVER (PARTITION BY source
+         |    ORDER BY score ASC, doc_id ASC) AS band
+         |  FROM sc)
+         |SELECT source, CAST(band AS INTEGER) AS band,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(min(score) AS BIGINT) AS score_lo,
+         |  CAST(max(score) AS BIGINT) AS score_hi,
+         |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS rate_fp
+         |FROM b GROUP BY 1, 2""".stripMargin,
 
     // The q93 score CTE on the eval slice + the minimax identity for
     // the isotonic fit: fit(i) = max_{j<=i} min_{k>=i} of the

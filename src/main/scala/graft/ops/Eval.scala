@@ -388,4 +388,33 @@ object Eval {
         expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL " +
           "ELSE (2000000 * tp) div (2 * tp + fp + fn) END"))
   }
+
+  /** Reliability diagram (calibration curve) per segment — the
+    * binned audit [[graft.functions.aggs.IsotonicFit]]'s fitted
+    * curve (q192) summarizes: rank the scored rows into `bins`
+    * equal-count bands by (score, id) and report each band's
+    * observed positive rate against its score span. A calibrated
+    * classifier's rate climbs with the band; a flat or sawtooth
+    * diagram is the overfit/underfit tell (Niculescu-Mizil & Caruana
+    * 2005's diagnostic). Banding is `ntile` over the (score ASC, id
+    * ASC) total order — both engines define ntile identically
+    * (earlier bands take the remainder), so the bands and every
+    * count are exact; `rate_fp = pos·10⁶ div n` is one integral
+    * division. Output per (segment, band): n, n_pos, score_lo/hi,
+    * rate_fp. One rank window per segment, then a |segments·bins|
+    * aggregate — the q180 shuffle shape. */
+  def reliabilityBins(df: DataFrame, segCol: String, scoreCol: String,
+                      idCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"reliabilityBins: bins must be >= 2, got $bins")
+    val w = Window.partitionBy(col(segCol))
+      .orderBy(col("__s").asc, col(idCol).asc)
+    df.select(col(segCol), col(scoreCol).cast("long").as("__s"),
+        col(idCol), col(labelCol).cast("long").as("__y"))
+      .withColumn("band", ntile(bins).over(w))
+      .groupBy(col(segCol), col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        min(col("__s")).as("score_lo"), max(col("__s")).as("score_hi"))
+      .withColumn("rate_fp", expr("(n_pos * 1000000) DIV n"))
+  }
 }

@@ -146,4 +146,38 @@ class EvalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("reliabilityBins: hand bands, ntile remainder law, exact rates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 8 rows, 4 bands of 2, labels chosen so rates read 0, 1/2, 1/2, 1
+    val d = Seq(
+      ("g", 1L, 10L, 0L), ("g", 2L, 20L, 0L), ("g", 3L, 30L, 0L),
+      ("g", 4L, 40L, 1L), ("g", 5L, 50L, 0L), ("g", 6L, 60L, 1L),
+      ("g", 7L, 70L, 1L), ("g", 8L, 80L, 1L))
+      .toDF("seg", "id", "score", "y")
+    val r = graft.ops.Eval.reliabilityBins(d, "seg", "score", "id", "y",
+        bins = 4)
+      .collect().map(x => x.getInt(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6)))).toMap
+    assert(r(1) == ((2L, 0L, 10L, 20L, 0L)))
+    assert(r(2) == ((2L, 1L, 30L, 40L, 500000L)))
+    assert(r(3) == ((2L, 1L, 50L, 60L, 500000L)))
+    assert(r(4) == ((2L, 2L, 70L, 80L, 1000000L)))
+    // ntile remainder law: 5 rows into 2 bands -> sizes 3 and 2
+    val odd = Seq(("g", 1L, 1L, 0L), ("g", 2L, 2L, 0L), ("g", 3L, 3L, 1L),
+      ("g", 4L, 4L, 1L), ("g", 5L, 5L, 1L)).toDF("seg", "id", "score", "y")
+    val o = graft.ops.Eval.reliabilityBins(odd, "seg", "score", "id", "y",
+        bins = 2)
+      .collect().map(x => x.getInt(1) -> x.getLong(2)).toMap
+    assert(o == Map(1 -> 3L, 2 -> 2L))
+    // score ties sequence by id, so bands stay deterministic
+    val tied = Seq(("g", 1L, 7L, 0L), ("g", 2L, 7L, 1L),
+      ("g", 3L, 7L, 0L), ("g", 4L, 7L, 1L)).toDF("seg", "id", "score", "y")
+    val t = graft.ops.Eval.reliabilityBins(tied, "seg", "score", "id", "y",
+        bins = 2)
+      .collect().map(x => x.getInt(1) -> x.getLong(3)).toMap
+    assert(t == Map(1 -> 1L, 2 -> 1L)) // ids (1,2) then (3,4)
+  }
 }
