@@ -1997,6 +1997,20 @@ object SparkEntry {
     // floor commutes with max/min, so quantized candidate means give
     // the quantized fit exactly (two distinct algorithms, one
     // answer — the q184/q187 discipline).
+    // Per-source pass-rate significance (ops.Robust.rateSignificance):
+    // two-proportion z vs the rest of the corpus over the q93
+    // classifier gate (score >= 0) — the significance layer a
+    // curation monitor needs before acting on a rate dip; counts
+    // exact, z one pinned IEEE op sequence, degenerate cases NULL.
+    "q203_rate_significance" -> ((s, dir) => {
+      val d = documents(s, dir).where(col("text").isNotNull)
+      val scored = d.select(col("source"),
+        graft.functions.exprs.classifier_score(
+          TF.tokens(col("text"))).as("score"))
+      graft.ops.Robust.rateSignificance(scored, "source",
+        col("score") >= 0)
+    }),
+
     // Reliability diagram (ops.Eval.reliabilityBins): the decile
     // calibration audit q192's isotonic fit summarizes — per source,
     // ten equal-count score bands with observed positive rate and
@@ -4984,6 +4998,36 @@ object SparkEntry {
          |  percent_rank() OVER (PARTITION BY source
          |    ORDER BY score, doc_id) AS pct
          |FROM sc""".stripMargin,
+
+    // The q93 score CTE + exact per-source counts + the same pinned
+    // z op sequence.
+    "q203_rate_significance" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TF.sql.tokens("text")}) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |  ((${Fnv64Sql.tokHash} % 1048576) * 2654435761 // 65536) % 65536
+         |    - 32768 AS w FROM toks),
+         |s AS (SELECT doc_id, sum(w) AS score FROM w GROUP BY 1),
+         |sc AS (SELECT d.source,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+         |  WHERE d.text IS NOT NULL),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS k FROM sc GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+         |  CAST(sum(k) AS BIGINT) AS tk FROM per)
+         |SELECT source, n, k,
+         |  CAST(k * 1000000 // n AS BIGINT) AS rate_fp,
+         |  CAST(CASE WHEN t.tn > n AND t.tk > 0 AND t.tk < t.tn THEN
+         |    round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+         |        - (CAST(t.tk - k AS DOUBLE) / CAST(t.tn - n AS DOUBLE)))
+         |      / sqrt((CAST(t.tk AS DOUBLE) / CAST(t.tn AS DOUBLE))
+         |        * (1.0 - CAST(t.tk AS DOUBLE) / CAST(t.tn AS DOUBLE))
+         |        * (1.0 / CAST(n AS DOUBLE)
+         |          + 1.0 / CAST(t.tn - n AS DOUBLE)))
+         |      * 10000.0) END AS BIGINT) AS z_code
+         |FROM per, t""".stripMargin,
 
     // The q93 score CTE + ntile over the same (score, doc_id) order
     // and the exact per-band counts.

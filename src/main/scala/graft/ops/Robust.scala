@@ -78,4 +78,47 @@ object Robust {
               * lit(scale.toDouble))
             .cast("long")).as("corr_code"))
   }
+
+  /** Per-group two-proportion z-test against the REST of the corpus —
+    * "which sources significantly under- (or over-) perform the
+    * corpus pass rate", the significance layer over any boolean gate
+    * (quality verdicts, dedup keeps, parse successes). For group g
+    * with k_g passes of n_g rows vs the complement's k_r of n_r:
+    *
+    *   z = (p_g − p_r) / √(p̂(1−p̂)(1/n_g + 1/n_r)),  p̂ pooled
+    *
+    * emitted as `z_code = round(z·10⁴)` — counts are exact longs and
+    * the z arithmetic is ONE pinned IEEE op sequence (the
+    * [[pearsonFixed]] discipline), identical in the SQL replay, so
+    * the code is bit-stable. Degenerate cases read NULL, never a
+    * fabricated 0: an empty complement, or a pooled rate of exactly
+    * 0 or 1 (no variance to test against). |z| ≥ 1.96 is the usual
+    * 5% two-sided flag; the raw counts ride along so consumers can
+    * pick their own threshold. One map-side-combined aggregate at
+    * group cardinality plus one broadcast total — the corpus is
+    * scanned once. */
+  def rateSignificance(df: DataFrame, groupCol: String,
+                       pass: Column, scale: Int = 10000): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(pass.cast("long")).as("k"))
+    val tot = broadcast(per.agg(sum(col("n")).as("__tn"),
+      sum(col("k")).as("__tk")))
+    per.crossJoin(tot)
+      .select(col(groupCol), col("n"), col("k"),
+        expr("(k * 1000000) DIV n").as("rate_fp"),
+        when(col("__tn") > col("n") && col("__tk") > 0
+            && col("__tk") < col("__tn"),
+          round(
+            ((col("k").cast("double") / col("n").cast("double"))
+              - ((col("__tk") - col("k")).cast("double")
+                / (col("__tn") - col("n")).cast("double")))
+            / sqrt(
+                (col("__tk").cast("double") / col("__tn").cast("double"))
+                * (lit(1.0) - col("__tk").cast("double")
+                    / col("__tn").cast("double"))
+                * (lit(1.0) / col("n").cast("double")
+                  + lit(1.0) / (col("__tn") - col("n")).cast("double")))
+            * lit(scale.toDouble)).cast("long")).as("z_code"))
+  }
 }

@@ -49,4 +49,26 @@ class RobustSpec extends SparkTestBase {
       .as[(Option[String], Long)].collect().toMap
     assert(meds == Map(Some("a") -> 10L, None -> 1L))
   }
+
+  test("rateSignificance: hand-computed z, symmetry, degenerate nulls") {
+    import org.apache.spark.sql.functions._
+    def run(rows: Seq[(String, Boolean)]) =
+      graft.ops.Robust.rateSignificance(
+        rows.toDF("g", "p"), "g", col("p"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // a: 8/10 pass, b: 2/10 -> pooled 0.5,
+    // z_a = 0.6 / sqrt(0.25 * 0.2) = 2.68328... -> 26833; b mirrors
+    val rows = Seq.fill(8)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(2)(("b", true)) ++ Seq.fill(8)(("b", false))
+    val r = run(rows)
+    assert(r("a") == ((10L, 8L, 800000L, Some(26833L))))
+    assert(r("b") == ((10L, 2L, 200000L, Some(-26833L))))
+    // single group: no complement -> NULL z
+    assert(run(Seq(("x", true), ("x", false)))("x")._4.isEmpty)
+    // everything passes: pooled rate 1, no variance -> NULL z
+    val all = run(Seq(("a", true), ("a", true), ("b", true)))
+    assert(all.values.forall(_._4.isEmpty))
+  }
 }
