@@ -159,4 +159,43 @@ class EmptyInputSpec extends SparkTestBase {
       Seq(graft.ops.Linkage.Field("l", col("a_l") === col("b_l"),
         5L, -1L)), 3L).count() == 0)
   }
+
+  test("r12 graph family returns empty on an empty pair frame") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    import graft.ops.LinkAnalysis
+    assert(LinkAnalysis.labelPropagation(noPairs).count() == 0)
+    assert(LinkAnalysis.kCore(noPairs, k = 2).count() == 0)
+    assert(LinkAnalysis.personalizedPageRank(noPairs,
+      Seq(1L).toDF("id")).count() == 0)
+    assert(LinkAnalysis.assortativityFixed(noPairs).count() == 0)
+    // modularity with an empty labels frame on an empty graph
+    assert(LinkAnalysis.modularity(noPairs,
+      Seq.empty[(Long, Long)].toDF("id", "label")).count() == 0)
+  }
+
+  test("r12 stat/drift family degrades to empty or sane rows on empty input") {
+    val noRows = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(graft.ops.Snapshot.ksDrift(noRows, noRows, "g", "v")
+      .count() == 0)
+    assert(graft.ops.Balance.giniConcentration(noRows, "g", col("v"))
+      .head().isNullAt(2)) // 0 groups, null gini, no crash
+    assert(graft.ops.Robust.rateSignificance(noRows, "g", col("v") > 0)
+      .count() == 0)
+    val noEvents = Seq.empty[(String, java.sql.Timestamp)].toDF("k", "ts")
+    assert(graft.ops.Trend.autocorrFixed(noEvents, "ts", "k", 3600L, 1)
+      .count() == 0)
+    assert(graft.ops.Trend.cusumChangepoint(noEvents, "k", "ts")
+      .count() == 0)
+    assert(graft.text.Vocab.chiSquareTokens(noDocs, "text",
+      col("lang") === "en", topK = 5).count() == 0)
+    assert(graft.ops.Profiler.benford(Seq.empty[Long].toDF("v"),
+      col("v")).collect().forall(r => r.getLong(1) == 0 && r.isNullAt(3)))
+    assert(graft.sim.Ann.knnJoinScaled(noVecs, k = 3).count() == 0)
+    // isotonic over an empty group set yields no rows after explode
+    assert(Seq.empty[(String, Long, Long, Long)].toDF("g", "x", "id", "y")
+      .groupBy(col("g"))
+      .agg(graft.functions.aggs.isotonic_fit(
+        struct(col("x"), col("id"), col("y"))).as("f"))
+      .count() == 0)
+  }
 }
