@@ -69,7 +69,8 @@ object Explain {
     "q192_isotonic_calibration", "q193_autocorr", "q194_modularity",
     "q195_kcore", "q196_seed_expansion", "q197_matryoshka",
     "q198_benford", "q199_changepoint", "q200_gini_concentration",
-    "q201_assortativity", "q202_reliability", "q203_rate_significance")
+    "q201_assortativity", "q202_reliability", "q203_rate_significance",
+    "q204_coverage")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

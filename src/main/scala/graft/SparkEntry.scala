@@ -1513,6 +1513,14 @@ object SparkEntry {
       graft.ops.Trend.cusumChangepoint(events(s, dir), "event_type",
         "ts", anchor = "2024-01-01")),
 
+    // Feed-outage report (ops.Trend.coverageReport): per type over
+    // its day span — active/silent day counts and the LONGEST
+    // consecutive silent run via gaps-and-islands (one 14-day outage
+    // is an incident; fourteen scattered quiet days are a thin feed).
+    "q204_coverage" -> ((s, dir) =>
+      graft.ops.Trend.coverageReport(events(s, dir), "event_type",
+        "ts", anchor = "2024-01-01")),
+
     // Corpus concentration (ops.Balance.giniConcentration): the Gini
     // of per-source token mass — the one-number inequality audit
     // behind mixture decisions (q137 caps the symptom; this measures
@@ -6187,6 +6195,32 @@ object SparkEntry {
         |  CAST(CASE WHEN b > t THEN (sb - st) * 1000000 // (b - t) END
         |    AS BIGINT) AS mean_after_fp
         |FROM best""".stripMargin,
+
+    // q199's daily + densify CTEs, zero-run islands via day − rn.
+    "q204_coverage" ->
+      """WITH daily AS (SELECT event_type AS k,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |    AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |sp AS (SELECT k, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |g AS (SELECT k, CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS day
+        |  FROM sp),
+        |dense AS (SELECT g.k, g.day, COALESCE(d.y, 0) AS y
+        |  FROM g LEFT JOIN daily d ON d.k = g.k AND d.day = g.day),
+        |zr AS (SELECT k, max(len) AS longest_gap FROM (
+        |  SELECT k, grp, count(*) AS len FROM (
+        |    SELECT k, day, day - row_number() OVER (
+        |      PARTITION BY k ORDER BY day) AS grp
+        |    FROM dense WHERE y = 0) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.k AS event_type, CAST(count(*) AS BIGINT) AS span_days,
+        |  CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  CAST(COALESCE(max(zr.longest_gap), 0) AS BIGINT) AS longest_gap
+        |FROM dense d LEFT JOIN zr ON zr.k = d.k
+        |GROUP BY 1""".stripMargin,
 
     // Same rank formula: groups sorted (measure ASC, name ASC), the
     // weighted sum and both divisor factors exact.

@@ -95,6 +95,45 @@ object Trend {
         col("slope_milli").as("slope_milli_med"))
   }
 
+  /** Temporal coverage report per key — the feed-outage detector:
+    * over each key's [first, last] day span, how many days actually
+    * carried data, how many were silent, and the LONGEST consecutive
+    * silent run (one 14-day outage is an incident; fourteen scattered
+    * quiet days are a low-volume feed — `n_missing` alone can't tell
+    * them apart). Gap runs come from the classic gaps-and-islands
+    * grouping (`day − row_number` is constant within a consecutive
+    * zero run) over the zero-filled span — all integer, no session
+    * windows. Output: (key, span_days, n_active, n_missing,
+    * longest_gap). Shape: one (key, day) map-side aggregate at corpus
+    * scale, then day-span cardinality. */
+  def coverageReport(df: DataFrame, keyCol: String, tsCol: String,
+                     anchor: String = "1970-01-01"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .select(col(keyCol).as("k"),
+        datediff(to_date(col(tsCol)), lit(anchor).cast("date"))
+          .cast("long").as("day"))
+      .groupBy(col("k"), col("day")).agg(count(lit(1)).as("y"))
+    val dense = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      .join(daily, Seq("k", "day"), "left")
+      .select(col("k"), col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val zeroRuns = dense.filter(col("y") === 0)
+      .withColumn("grp", col("day") - row_number().over(
+        Window.partitionBy("k").orderBy("day")))
+      .groupBy(col("k"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("k")).agg(max(col("len")).as("longest_gap"))
+    dense.groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("span_days"),
+        sum((col("y") > 0).cast("long")).as("n_active"),
+        sum((col("y") === 0).cast("long")).as("n_missing"))
+      .join(zeroRuns.withColumnRenamed("k", keyCol), Seq(keyCol), "left")
+      .select(col(keyCol), col("span_days"), col("n_active"),
+        col("n_missing"), coalesce(col("longest_gap"), lit(0L))
+          .as("longest_gap"))
+  }
+
   /** Lag-L autocorrelation of per-key event volume — the seasonality
     * detector behind "is this feed daily-periodic?" (lag 24 on hourly
     * bins) and the alarm-tuning input [[graft.ops.Bursts]]' trailing

@@ -163,4 +163,25 @@ class TrendSpec extends SparkTestBase {
     assert(c.getAs[Long]("mean_before_fp") == 1000000L)
     assert(c.getAs[Long]("mean_after_fp") == 1000000L)
   }
+
+  test("coverageReport: gap runs vs scattered quiet days, full coverage") {
+    // key a: active 1,2, silent 3-5 (run of 3), active 6, silent 7,
+    // active 8 → span 8, active 4, missing 4, longest 3
+    val a = ev(Seq(1, 2, 6, 8).map(d => ("a", f"2024-01-0$d%01d 10:00:00")): _*)
+    // key b: same missing COUNT (4) but scattered singles over span 9:
+    // active 1,3,5,7,9 → longest gap 1
+    val b = ev(Seq(1, 3, 5, 7, 9).map(d => ("b", f"2024-01-0$d%01d 10:00:00")): _*)
+    val r = Trend.coverageReport(a.union(b), "k", "ts",
+        anchor = "2024-01-01")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("a") == ((8L, 4L, 4L, 3L)))
+    assert(r("b") == ((9L, 5L, 4L, 1L)))
+    // a fully-covered key reads zero missing, zero gap
+    val full = ev((1 to 3).map(d => ("c", f"2024-01-0$d%01d 00:30:00")): _*)
+    val f = Trend.coverageReport(full, "k", "ts", anchor = "2024-01-01")
+      .head()
+    assert(f.getAs[Long]("n_missing") == 0 &&
+      f.getAs[Long]("longest_gap") == 0)
+  }
 }
