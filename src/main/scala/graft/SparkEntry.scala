@@ -1299,6 +1299,15 @@ object SparkEntry {
       graft.text.Vocab.chiSquareTokens(documents(s, dir), "text",
         col("lang") === "en", topK = 50, minDf = 5)),
 
+    // Source vocabulary-overlap matrix (text.Vocab
+    // .vocabOverlapMatrix): Jaccard over per-source token SETS —
+    // q82 catches shared documents, this catches shared LANGUAGE
+    // (two crawls of one template ecosystem); low overlap buys
+    // mixture breadth. Unordered pairs, one integral division.
+    "q205_vocab_overlap" -> ((s, dir) =>
+      graft.text.Vocab.vocabOverlapMatrix(documents(s, dir),
+        "text", "source")),
+
     // Corpus snapshot reconciliation (ops.Snapshot.diff): two
     // deterministically-derived snapshots of the documents table
     // (old drops doc_id%7==0; new drops %5==0 and revises %11==0)
@@ -4323,6 +4332,25 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (
          |    ORDER BY lift_fp DESC, n_pair DESC, pair ASC) AS cr FROM sc)
          |WHERE cr <= 20""".stripMargin,
+
+    // Distinct (source, token) presence + token-keyed self-join +
+    // the same one-division Jaccard.
+    "q205_vocab_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT source AS src, token FROM (
+         |  SELECT source, unnest(${TF.sql.tokens("text")}) AS token
+         |  FROM documents WHERE text IS NOT NULL)),
+         |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS sz
+         |  FROM v GROUP BY 1),
+         |i AS (SELECT a.src AS src_a, b.src AS src_b,
+         |  CAST(count(*) AS BIGINT) AS inter
+         |  FROM v a JOIN v b ON a.token = b.token AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, i.inter,
+         |  sa.sz AS sz_a, sb.sz AS sz_b,
+         |  CAST(i.inter * 1000000 // (sa.sz + sb.sz - i.inter) AS BIGINT)
+         |    AS jaccard_fp
+         |FROM i JOIN sz sa ON sa.src = i.src_a
+         |JOIN sz sb ON sb.src = i.src_b""".stripMargin,
 
     // The 2×2 chi-square replayed in HUGEINT: same presence counts
     // (list_distinct ≡ array_distinct for counting), same two

@@ -310,6 +310,40 @@ object Vocab {
     * distributed sort-limit. `minDf` prunes the hapax tail before
     * any arithmetic; tokens present in EVERY document are excluded
     * (degenerate margin). Ties: (df DESC, token ASC). */
+  /** Pairwise vocabulary overlap between sources — the Jaccard
+    * matrix over per-source token SETS: two feeds with near-identical
+    * vocabularies are redundant in a mixture (q82's doc-level overlap
+    * catches shared DOCUMENTS; this catches shared LANGUAGE — two
+    * crawls of different pages from one template ecosystem), while a
+    * low-overlap source buys [[diversityProfile]]-style breadth.
+    * Exact: distinct (source, token) presence, token-keyed self-join
+    * for intersections (fan-out per token ≤ |sources|²/2 — sources
+    * are feeds, a bounded set, so the joined frame stays
+    * vocabulary-sized), `jaccard_fp = inter·10⁶ div (union)` one
+    * integral division. Unordered pairs (src_a < src_b). */
+  def vocabOverlapMatrix(docs: DataFrame, textCol: String,
+                         srcCol: String): DataFrame = {
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(col(srcCol).as("src"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("token"))
+      .distinct()
+    val sizes = vocab.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    vocab.join(vocab.select(col("src").as("src_b"), col("token")),
+        Seq("token"))
+      .filter(col("src") < col("src_b"))
+      .groupBy(col("src").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes).select(col("src").as("src_a"),
+        col("sz").as("sz_a")), Seq("src_a"))
+      .join(broadcast(sizes).select(col("src").as("src_b"),
+        col("sz").as("sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        col("sz_a"), col("sz_b"),
+        expr("(inter * 1000000) DIV (sz_a + sz_b - inter)")
+          .as("jaccard_fp"))
+  }
+
   def chiSquareTokens(docs: DataFrame, textCol: String, label: Column,
                       topK: Int, minDf: Long = 5): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)

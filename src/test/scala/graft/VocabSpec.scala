@@ -165,6 +165,25 @@ class VocabSpec extends SparkTestBase {
     assert(r("mm") == ((3L, 2L, 6666L, 3)))
   }
 
+  test("vocabOverlapMatrix: hand Jaccard, presence-not-frequency, ordering") {
+    import org.apache.spark.sql.functions.col
+    // a: {x,y,z}, b: {y,z,w}, c: {q} — a∩b = {y,z} → 2/4 = 500000;
+    // c shares nothing → rows only for pairs with intersection
+    val d = Seq(
+      (1L, "x y z", "a"), (2L, "y y z", "b"), (3L, "w", "b"),
+      (4L, "q", "c")).toDF("doc_id", "text", "source")
+    val r = Vocab.vocabOverlapMatrix(d, "text", "source")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r == Map(("a", "b") -> ((2L, 3L, 3L, 500000L))))
+    // identical vocabularies read exactly 1.0, pair emitted once
+    val same = Seq((1L, "m n", "a"), (2L, "n m m", "b"))
+      .toDF("doc_id", "text", "source")
+    val s = Vocab.vocabOverlapMatrix(same, "text", "source").collect()
+    assert(s.length == 1 && s.head.getLong(5) == 1000000L)
+    assert(s.head.getString(0) == "a" && s.head.getString(1) == "b")
+  }
+
   test("chiSquareTokens: minDf prunes before ranking; topK bounds output") {
     import org.apache.spark.sql.functions._
     val d = Seq(
