@@ -2888,6 +2888,35 @@ object SparkEntry {
     // one row per family per partition), never a window over members.
     // Negated-id struct field turns the heap's single descending
     // order into (n_tokens DESC, id ASC).
+    // Dedup ROI forecast: the token mass keep-best-copy dedup (q91)
+    // would remove, as one summary row — families' total tokens minus
+    // their best member's, over the corpus total. The number that
+    // decides whether the dedup pass is WORTH its cluster hours
+    // before anyone schedules it.
+    "q206_dedup_savings" -> ((s, dir) => {
+      val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
+      val comps = graft.dedup.Curation.componentsFromCatalog(s, cat, table)
+      val fam = comps.join(
+          documents(s, dir).select(col("doc_id").as("id"),
+            TF.tokenCount(col("text")).as("n_tokens")), Seq("id"))
+        .groupBy(col("component"))
+        .agg(sum(col("n_tokens")).as("ft"), max(col("n_tokens")).as("kt"),
+          count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_families"),
+          coalesce(sum(col("m")), lit(0L)).as("n_dup_docs"),
+          coalesce(sum(col("ft") - col("kt")), lit(0L))
+            .as("tokens_removable"))
+      documents(s, dir).where(col("text").isNotNull)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("tokens_total"))
+        .crossJoin(broadcast(fam))
+        .select(col("n_docs"), col("n_families"), col("n_dup_docs"),
+          col("tokens_total"), col("tokens_removable"),
+          when(col("tokens_total") > 0,
+            expr("(tokens_removable * 1000000) DIV tokens_total"))
+            .as("savings_fp"))
+    }),
+
     "q91_canonical_docs" -> ((s, dir) => {
       val (cat, table) = pairGraphTable(s, dir, threshold = 0.4)
       val comps = graft.dedup.Curation.componentsFromCatalog(s, cat, table)
@@ -6707,6 +6736,31 @@ object SparkEntry {
          |SELECT component, id AS canonical_id, n_tokens,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rnk = 1""".stripMargin,
+
+    // The q91 family closure folded to corpus totals: removable =
+    // family tokens minus the best member's, over the corpus sum.
+    "q206_dedup_savings" ->
+      s"""WITH RECURSIVE
+         |${componentsCte(0.4)},
+         |t AS (SELECT c.component, ${TF.sql.tokenCount("text")} AS n
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |fam AS (SELECT component, CAST(sum(n) AS BIGINT) AS ft,
+         |    CAST(max(n) AS BIGINT) AS kt, CAST(count(*) AS BIGINT) AS m
+         |  FROM t GROUP BY 1),
+         |fa AS (SELECT CAST(count(*) AS BIGINT) AS n_families,
+         |  CAST(COALESCE(sum(m), 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(COALESCE(sum(ft - kt), 0) AS BIGINT) AS tokens_removable
+         |  FROM fam),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(${TF.sql.tokenCount("text")}) AS BIGINT)
+         |    AS tokens_total
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT tot.n_docs, fa.n_families, fa.n_dup_docs,
+         |  tot.tokens_total, fa.tokens_removable,
+         |  CAST(CASE WHEN tot.tokens_total > 0
+         |    THEN fa.tokens_removable * 1000000 // tot.tokens_total
+         |  END AS BIGINT) AS savings_fp
+         |FROM tot, fa""".stripMargin,
 
     // Naive window form + per-domain supply totals; integer division
     // keeps every epoch count exact on both engines.
