@@ -161,7 +161,8 @@ object Bench {
     // r9 pollution case) — AFTER the in-JVM builds so q90's child
     // finds the parent-built prefix index in the shared store.
     val childQueryNames = Seq("q24_ngram_jaccard_pairs",
-      "q43_curated_corpus", "q48_ann_ivf_kmeans", "q90_indexed_pairs")
+      "q43_curated_corpus", "q48_ann_ivf_kmeans", "q90_indexed_pairs",
+      "q207_containment")
     val childQueryRows = childQueryNames
       .map(q => runChild("query", q, Seq(q)))
       .foldLeft(Map.empty[String, Double])(_ ++ _)

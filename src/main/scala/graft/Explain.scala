@@ -70,7 +70,8 @@ object Explain {
     "q195_kcore", "q196_seed_expansion", "q197_matryoshka",
     "q198_benford", "q199_changepoint", "q200_gini_concentration",
     "q201_assortativity", "q202_reliability", "q203_rate_significance",
-    "q204_coverage", "q205_vocab_overlap", "q206_dedup_savings")
+    "q204_coverage", "q205_vocab_overlap", "q206_dedup_savings",
+    "q207_containment")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

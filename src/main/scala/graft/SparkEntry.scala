@@ -2888,6 +2888,23 @@ object SparkEntry {
     // one row per family per partition), never a window over members.
     // Negated-id struct field turns the heap's single descending
     // order into (n_tokens DESC, id ASC).
+    // Asymmetric containment gate (Dedup.containmentPairs): which
+    // BATCH docs (doc_id < 50 — one tick's arrivals under monotone
+    // ids) are >= 4/5 n-gram-contained in
+    // some corpus doc — the excerpt/quote detector symmetric Jaccard
+    // structurally misses (a paragraph quoted in a long page:
+    // Jaccard tiny, containment ~1). Rational threshold, one-sided
+    // prefix filter over the corpus gram index, exact verify; the
+    // ingest-shaped deployment the operator's cost note mandates.
+    "q207_containment" -> ((s, dir) => {
+      val sets = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.dedup.Dedup.charNgrams(col("text"), 5).as("set"))
+      graft.dedup.Dedup.containmentPairs(
+        sets.filter(col("doc_id") < 50), sets,
+        "doc_id", tNum = 4, tDen = 5)
+    }),
+
     // Dedup ROI forecast: the token mass keep-best-copy dedup (q91)
     // would remove, as one summary row — families' total tokens minus
     // their best member's, over the corpus total. The number that
@@ -6736,6 +6753,30 @@ object SparkEntry {
          |SELECT component, id AS canonical_id, n_tokens,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rnk = 1""".stripMargin,
+
+    // charPairs' norm/gram/count CTEs, intersections mirrored into
+    // both directions, the rational predicate on the inner size.
+    "q207_containment" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT doc_id, t,
+        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN length(t) <= 5 THEN t
+        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS ovl
+        |  FROM g a JOIN g b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dird AS (SELECT id_a AS inner_id, id_b AS outer_id, ovl FROM inter
+        |  UNION ALL SELECT id_b, id_a, ovl FROM inter)
+        |SELECT d.inner_id, d.outer_id, c.sz AS sz_inner, d.ovl,
+        |  CAST(d.ovl * 1000000 // c.sz AS BIGINT) AS containment_fp
+        |FROM dird d JOIN counts c ON c.doc_id = d.inner_id
+        |WHERE d.inner_id < 50 AND d.ovl * 5 >= 4 * c.sz""".stripMargin,
 
     // The q91 family closure folded to corpus totals: removable =
     // family tokens minus the best member's, over the corpus sum.

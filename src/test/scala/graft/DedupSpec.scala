@@ -214,4 +214,38 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("containmentPairs: excerpt found where symmetric Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    // doc 1 = {a,b,c}; doc 2 ⊇ doc 1 with 7 extra grams: containment
+    // 1→2 is 3/3 = 1.0 while Jaccard is 3/10 — far below any usable
+    // symmetric threshold. doc 3 shares one gram with 1 (1/3 < 3/5).
+    def set(ts: String*) = ts.toArray
+    val base = Seq(
+      (1L, set("a", "b", "c")),
+      (2L, set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (3L, set("a", "x", "y"))).toDF("doc_id", "set")
+    val r = Dedup.containmentPairs(base, base, "doc_id", tNum = 3, tDen = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // only 1→2 passes: full containment, exact fp
+    assert(r == Map((1L, 2L) -> ((3L, 3L, 1000000L))))
+    // directionality: 2→1 is 3/10 < 3/5, absent — asymmetric indeed
+    assert(!r.contains((2L, 1L)))
+    // boundary: ovl·tDen == tNum·sz passes exactly (3/5 of 5 = 3)
+    val edge = Seq(
+      (1L, set("a", "b", "c", "d", "e")),
+      (2L, set("a", "b", "c", "q", "r", "s", "t"))).toDF("doc_id", "set")
+    val e = Dedup.containmentPairs(edge, edge, "doc_id", 3, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(4)).toMap
+    assert(e == Map((1L, 2L) -> 600000L))
+    // batch-vs-corpus shape: restricting the inner side restricts
+    // DIRECTIONS, not the corpus evidence — and an inner doc whose
+    // grams are unseen in the corpus (df 0) must not crash the prefix
+    val batch = Seq((1L, set("a", "b", "c")), (9L, set("zz", "qq", "uu")))
+      .toDF("doc_id", "set")
+    val bc = Dedup.containmentPairs(batch, base, "doc_id", 3, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bc == Set((1L, 2L))) // 1 contained in corpus doc 2; 9 nowhere
+  }
 }
