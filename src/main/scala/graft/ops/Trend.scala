@@ -134,26 +134,6 @@ object Trend {
           .as("longest_gap"))
   }
 
-  /** Lag-L autocorrelation of per-key event volume — the seasonality
-    * detector behind "is this feed daily-periodic?" (lag 24 on hourly
-    * bins) and the alarm-tuning input [[graft.ops.Bursts]]' trailing
-    * baseline assumes. Bins events like Bursts (`epoch_us div
-    * binSeconds·10^6`), DENSIFIES every key's [min, max] bin range
-    * with zero counts first — autocorrelation over only-present bins
-    * would silently skip the gaps that ARE the signal — then pairs
-    * each bin with its lag-L successor and hands the (x, y) series to
-    * [[Robust.pearsonFixed]] (integer moments, one guarded IEEE
-    * division, `corr_code = round(r·scale)`; zero variance → 0).
-    *
-    * Output: (event_type, n, corr_code) with n the pair count
-    * (span − lag bins). Keys whose whole span is ≤ lag emit nothing
-    * (no pairs exist). Cost: one map-side-combined bin aggregate at
-    * corpus scale, then everything runs at BIN cardinality — the
-    * densify explode, the lag self-join (bin-keyed equi-join), and
-    * the per-key moment fold. The sequence explode is bounded by the
-    * observed span per key; a key with a pathological span (one
-    * event in 1970, one today) costs span/binSeconds rows — bound
-    * the scan's time range upstream, as any telemetry query does. */
   /** CUSUM changepoint localization over per-key daily volume — WHERE
     * [[dailyTrend]]/[[autocorrFixed]] say "this feed changed", this
     * says WHEN: the split t maximizing the centered prefix deviation
@@ -213,6 +193,26 @@ object Trend {
             col("n_bins") - col("m.t"))).as("mean_after_fp"))
   }
 
+  /** Lag-L autocorrelation of per-key event volume — the seasonality
+    * detector behind "is this feed daily-periodic?" (lag 24 on hourly
+    * bins) and the alarm-tuning input [[graft.ops.Bursts]]' trailing
+    * baseline assumes. Bins events like Bursts (`epoch_us div
+    * binSeconds·10^6`), DENSIFIES every key's [min, max] bin range
+    * with zero counts first — autocorrelation over only-present bins
+    * would silently skip the gaps that ARE the signal — then pairs
+    * each bin with its lag-L successor and hands the (x, y) series to
+    * [[Robust.pearsonFixed]] (integer moments, one guarded IEEE
+    * division, `corr_code = round(r·scale)`; zero variance → 0).
+    *
+    * Output: (event_type, n, corr_code) with n the pair count
+    * (span − lag bins). Keys whose whole span is ≤ lag emit nothing
+    * (no pairs exist). Cost: one map-side-combined bin aggregate at
+    * corpus scale, then everything runs at BIN cardinality — the
+    * densify explode, the lag self-join (bin-keyed equi-join), and
+    * the per-key moment fold. The sequence explode is bounded by the
+    * observed span per key; a key with a pathological span (one
+    * event in 1970, one today) costs span/binSeconds rows — bound
+    * the scan's time range upstream, as any telemetry query does. */
   def autocorrFixed(events: DataFrame, tsCol: String, typeCol: String,
                     binSeconds: Long, lag: Int,
                     scale: Int = 16384): DataFrame = {

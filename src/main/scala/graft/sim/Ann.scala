@@ -583,29 +583,14 @@ object Ann {
     * of two. n ≤ 0 and n ≤ refSize both give 0. */
   def planeDoublings(n: Long, refSize: Long): Int = {
     require(refSize > 0, s"planeDoublings: refSize must be positive, got $refSize")
+    // refSize·2^e ≥ n ⟺ refSize > (n−1) >> e — the shift form never
+    // overflows, where (refSize << e) wraps negative for refSize ≥ 2³²
+    // at high e and would silently run the loop to the 32 cap.
     var e = 0
-    while (e < 32 && (refSize << e) < n) e += 1
+    while (e < 32 && refSize <= ((n - 1) >> e)) e += 1
     e
   }
 
-  /** [[knnJoin]] under the standard LSH sizing rule: hold per-bucket
-    * occupancy ~constant by raising the plane count with the corpus —
-    * `nPlanes = basePlanes + planeDoublings(n, refSize)`, one extra
-    * sign bit per corpus doubling past the recall-calibrated reference
-    * size. BENCH_SF1 measured why this is the 100 TB default: the
-    * fixed-plane form fits exponent 1.35 over 1×–10× corpora (2³
-    * buckets/table densify k-fold at a k-fold corpus, so bucket-local
-    * pair work grows k²) while this sizing measures 0.83 and runs
-    * 2.7× faster at 10× — linear-or-better candidate mass at the cost
-    * of recall that must be bought back with `nTables` (RECALL.md).
-    *
-    * Costs ONE count() job up front — the corpus size decides the
-    * plan, exactly as an index build inspects its input. Because
-    * [[graft.sim.Vectors.seededPlanes]] draws planes sequentially from
-    * one seeded stream per table, the planes used at `basePlanes + e`
-    * are a strict prefix-extension of the planes at `basePlanes`:
-    * below `refSize` this is bit-identical to `knnJoin` with the same
-    * `basePlanes` (pinned by KnnScaledSpec). */
   /** Matryoshka truncation audit: recall@k of PREFIX-dimension cosine
     * top-k against the full-dimension ground truth, one row per
     * truncation width — the storage/latency question MRL embeddings
@@ -642,10 +627,33 @@ object Ann {
         .select(lit(d).as("dim"), col("hits"))
     }.reduce(_ unionAll _)
       .crossJoin(nq)
+      // n_queries = 0 only on an empty corpus, where the oracle emits
+      // zero rows — the filter matches that AND keeps the DIV below
+      // from dividing by zero (a throw under spark.sql.ansi.enabled,
+      // a silent null otherwise; both diverge from the oracle).
+      .where(col("n_queries") > 0)
       .select(col("dim"), col("n_queries"), col("hits"),
         expr(s"(hits * 1000000) DIV (${k}L * n_queries)").as("recall_fp"))
   }
 
+  /** [[knnJoin]] under the standard LSH sizing rule: hold per-bucket
+    * occupancy ~constant by raising the plane count with the corpus —
+    * `nPlanes = basePlanes + planeDoublings(n, refSize)`, one extra
+    * sign bit per corpus doubling past the recall-calibrated reference
+    * size. BENCH_SF1 measured why this is the 100 TB default: the
+    * fixed-plane form fits exponent 1.35 over 1×–10× corpora (2³
+    * buckets/table densify k-fold at a k-fold corpus, so bucket-local
+    * pair work grows k²) while this sizing measures 0.83 and runs
+    * 2.7× faster at 10× — linear-or-better candidate mass at the cost
+    * of recall that must be bought back with `nTables` (RECALL.md).
+    *
+    * Costs ONE count() job up front — the corpus size decides the
+    * plan, exactly as an index build inspects its input. Because
+    * [[graft.sim.Vectors.seededPlanes]] draws planes sequentially from
+    * one seeded stream per table, the planes used at `basePlanes + e`
+    * are a strict prefix-extension of the planes at `basePlanes`:
+    * below `refSize` this is bit-identical to `knnJoin` with the same
+    * `basePlanes` (pinned by KnnScaledSpec). */
   def knnJoinScaled(emb: DataFrame, k: Int, basePlanes: Int = 3,
                     refSize: Long = 2000L, nTables: Int = 16, dim: Int = 64,
                     maxBucket: Int = 10000, idCol: String = "vec_id",

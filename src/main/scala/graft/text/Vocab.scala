@@ -285,31 +285,6 @@ object Vocab {
         col("lift_fp"), col("crank"))
   }
 
-  /** Chi-square token–label feature selection: the top-K tokens most
-    * associated with a boolean document label — the feature-selection
-    * pass behind n-gram language-ID models, fastText-style quality
-    * classifiers, and domain-tagger vocabularies (pick the discrimina-
-    * tive features BEFORE training, Yang & Pedersen 1997). Per token,
-    * the 2×2 presence/label contingency (a,b,c,d) yields
-    *
-    *   chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
-    *
-    * emitted as `chi2_fp` in 10^-4 units via two integral divisions
-    * over DECIMAL(38,0) intermediates — the widest product is
-    * (ad−bc)² ≤ N⁴/16, inside 38 digits to N ≈ 2·10⁹ documents and
-    * replayed identically by DuckDB's HUGEINT, so the full ranking
-    * hash-matches (the [[collocations]] discipline; shard corpora
-    * past that envelope). The floor in the first division costs at
-    * most ~10⁴·N/((a+c)(b+d)) fixed-point units — ≲1 chi2 unit even
-    * for heavily imbalanced labels, and identical in both engines.
-    *
-    * Shape: one array_distinct token explode (presence, not
-    * frequency) → ONE map-side-combined (token) aggregate carrying
-    * the label side-sum — vocabulary cardinality, not corpus — then
-    * per-row scalar arithmetic against broadcast totals and a
-    * distributed sort-limit. `minDf` prunes the hapax tail before
-    * any arithmetic; tokens present in EVERY document are excluded
-    * (degenerate margin). Ties: (df DESC, token ASC). */
   /** Pairwise vocabulary overlap between sources — the Jaccard
     * matrix over per-source token SETS: two feeds with near-identical
     * vocabularies are redundant in a mixture (q82's doc-level overlap
@@ -344,6 +319,31 @@ object Vocab {
           .as("jaccard_fp"))
   }
 
+  /** Chi-square token–label feature selection: the top-K tokens most
+    * associated with a boolean document label — the feature-selection
+    * pass behind n-gram language-ID models, fastText-style quality
+    * classifiers, and domain-tagger vocabularies (pick the discrimina-
+    * tive features BEFORE training, Yang & Pedersen 1997). Per token,
+    * the 2×2 presence/label contingency (a,b,c,d) yields
+    *
+    *   chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * emitted as `chi2_fp` in 10^-4 units via two integral divisions
+    * over DECIMAL(38,0) intermediates — the widest product is
+    * (ad−bc)² ≤ N⁴/16, inside 38 digits to N ≈ 2·10⁹ documents and
+    * replayed identically by DuckDB's HUGEINT, so the full ranking
+    * hash-matches (the [[collocations]] discipline; shard corpora
+    * past that envelope). The floor in the first division costs at
+    * most ~10⁴·N/((a+c)(b+d)) fixed-point units — ≲1 chi2 unit even
+    * for heavily imbalanced labels, and identical in both engines.
+    *
+    * Shape: one array_distinct token explode (presence, not
+    * frequency) → ONE map-side-combined (token) aggregate carrying
+    * the label side-sum — vocabulary cardinality, not corpus — then
+    * per-row scalar arithmetic against broadcast totals and a
+    * distributed sort-limit. `minDf` prunes the hapax tail before
+    * any arithmetic; tokens present in EVERY document are excluded
+    * (degenerate margin). Ties: (df DESC, token ASC). */
   def chiSquareTokens(docs: DataFrame, textCol: String, label: Column,
                       topK: Int, minDf: Long = 5): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)

@@ -25,6 +25,20 @@ class KnnScaledSpec extends SparkTestBase {
     assert(Ann.planeDoublings(20000L, 2000L) == 4)
     // capped so a pathological count cannot demand >35 sign bits
     assert(Ann.planeDoublings(Long.MaxValue, 1L) == 32)
+    // refSize >= 2^32: the old (refSize << e) form wrapped negative at
+    // high e, making the loop run to the 32 cap instead of stopping
+    val big = 1L << 33
+    assert(Ann.planeDoublings(big, big) == 0)
+    assert(Ann.planeDoublings(big + 1, big) == 1)
+    assert(Ann.planeDoublings(4 * big, big) == 2)
+    assert(Ann.planeDoublings(Long.MaxValue, Long.MaxValue) == 0)
+  }
+
+  test("matryoshkaRecall: empty corpus emits zero rows (not a div-by-zero)") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(graft.sim.Ann.matryoshkaRecall(e, dims = Seq(1, 2), k = 1)
+      .collect().isEmpty)
   }
 
   test("seeded planes are a per-table LCG prefix: planes(12).take(3) == planes(3)") {

@@ -11,7 +11,7 @@ compare dtypes AND values exactly.
 
 Usage: tools/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pandas as pd
 
@@ -60,6 +60,13 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Subset mode: a SPARK_GRAFT_ONLY Verify run dumps only the named
+    # queries but the full oracle map; compare just what's present so
+    # the per-operator dev loop doesn't pay (or mis-report) the rest.
+    if os.environ.get("GRAFT_CHECK_SUBSET") == "1":
+        oracle = {n: s for n, s in oracle.items()
+                  if os.path.isdir(f"{out_dir}/{n}")}
+        print(f"subset mode: {len(oracle)} queries present")
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -104,7 +111,6 @@ def main(sf_dir, out_dir):
             print(f"OK   {name} ({len(got)} rows)")
     # rows-only outputs still pass through the driver's pandas sort —
     # make sure none of them crashes it (the round-1 q29 failure mode)
-    import os
     for d in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, d)
         if not os.path.isdir(path) or d in oracle:
