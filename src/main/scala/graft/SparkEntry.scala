@@ -2905,6 +2905,24 @@ object SparkEntry {
         "doc_id", tNum = 4, tDen = 5)
     }),
 
+    // The corpus-vs-corpus containment BACKFILL q207's cost note
+    // forbade the exact gate (Dedup.containmentPairsSketch): every
+    // directed >= 3/5-contained pair across the whole corpus, with
+    // each doc contributing only its min(exact prefix, 32) RAREST
+    // grams as candidate keys — constant candidate mass per doc where
+    // the exact form pays (1-t)·|A| (measured 178 s at sf0.1), exact
+    // array_intersect verify on survivors. The q92→q188 pattern
+    // applied to the excerpt gate; oracle replays the capped
+    // df-rarest prefix verbatim, so the compare is bit-exact, not
+    // recall-probabilistic.
+    "q208_containment_corpus" -> ((s, dir) => {
+      val sets = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.dedup.Dedup.charNgrams(col("text"), 5).as("set"))
+      graft.dedup.Dedup.containmentPairsSketch(
+        sets, sets, "doc_id", tNum = 3, tDen = 5, sketchK = 32)
+    }),
+
     // Dedup ROI forecast: the token mass keep-best-copy dedup (q91)
     // would remove, as one summary row — families' total tokens minus
     // their best member's, over the corpus total. The number that
@@ -3924,13 +3942,18 @@ object SparkEntry {
     // rsel replays Ann.planeDoublings in INTEGER arithmetic
     // (smallest e with 2000·2^e ≥ n — no float log2 to disagree at
     // exact powers of two), and the bucket sum masks each table's
-    // planes down to the first r. Everything downstream is q92's
-    // oracle verbatim.
+    // planes down to the first r. Past the prefix (r > 12 ⟺ corpus
+    // > 2000·2^9) the mask would silently cap while Spark keeps
+    // scaling, so rsel ERRORS instead — a loud oracle failure, never
+    // a phantom mismatch. Everything downstream is q92's oracle
+    // verbatim.
     "q188_knn_graph_lsh_scaled" ->
       s"""WITH RECURSIVE ${lshPlanesCte(16, 12, 64)},
          |cnt AS (SELECT COUNT(*) AS n FROM e),
          |rsel AS (
-         |  SELECT 3 + COALESCE(MIN(ee.e), 32) AS r
+         |  SELECT CASE WHEN 3 + COALESCE(MIN(ee.e), 32) > 12
+         |    THEN error('q188 oracle: corpus exceeds the 12-plane CTE prefix (needs r = ' || (3 + COALESCE(MIN(ee.e), 32)) || '); raise lshPlanesCte planes')
+         |    ELSE 3 + COALESCE(MIN(ee.e), 32) END AS r
          |  FROM range(0, 33) ee(e), cnt
          |  WHERE 2000 * (CAST(1 AS BIGINT) << ee.e) >= cnt.n),
          |buckets AS (
@@ -6777,6 +6800,43 @@ object SparkEntry {
         |  CAST(d.ovl * 1000000 // c.sz AS BIGINT) AS containment_fp
         |FROM dird d JOIN counts c ON c.doc_id = d.inner_id
         |WHERE d.inner_id < 50 AND d.ovl * 5 >= 4 * c.sz""".stripMargin,
+
+    // q207's gram CTEs + the capped df-rarest prefix replayed
+    // verbatim (row_number over (df ASC, ng ASC) — a total order per
+    // doc since grams are DISTINCT — cut at least(exact prefix, 32)),
+    // candidates from prefix-vs-full-gram-index, exact intersection
+    // counts on candidates only. Bit-exact twin of the Spark side's
+    // candidate rule: the compare never depends on sketch recall.
+    "q208_containment_corpus" ->
+      """WITH norm AS (SELECT doc_id,
+        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (SELECT doc_id, t,
+        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+        |g AS (SELECT DISTINCT doc_id,
+        |  CASE WHEN length(t) <= 5 THEN t
+        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM g GROUP BY 1),
+        |dfs AS (SELECT ng, CAST(count(*) AS BIGINT) AS df
+        |  FROM g GROUP BY 1),
+        |pref AS (SELECT doc_id, ng FROM (
+        |  SELECT gg.doc_id, gg.ng, c.sz,
+        |    row_number() OVER (PARTITION BY gg.doc_id
+        |      ORDER BY d.df ASC, gg.ng ASC) AS rn
+        |  FROM g gg JOIN dfs d USING (ng) JOIN counts c USING (doc_id))
+        |  WHERE rn <= least(sz - (sz * 3 + 4) // 5 + 1, 32)),
+        |cand AS (SELECT DISTINCT p.doc_id AS inner_id, o.doc_id AS outer_id
+        |  FROM pref p JOIN g o ON o.ng = p.ng AND o.doc_id <> p.doc_id),
+        |inter AS (SELECT cd.inner_id, cd.outer_id,
+        |  CAST(count(*) AS BIGINT) AS ovl
+        |  FROM cand cd JOIN g a ON a.doc_id = cd.inner_id
+        |  JOIN g b ON b.doc_id = cd.outer_id AND b.ng = a.ng
+        |  GROUP BY 1, 2)
+        |SELECT i.inner_id, i.outer_id, c.sz AS sz_inner, i.ovl,
+        |  CAST(i.ovl * 1000000 // c.sz AS BIGINT) AS containment_fp
+        |FROM inter i JOIN counts c ON c.doc_id = i.inner_id
+        |WHERE i.ovl * 5 >= 3 * c.sz""".stripMargin,
 
     // The q91 family closure folded to corpus totals: removable =
     // family tokens minus the best member's, over the corpus sum.

@@ -1380,11 +1380,50 @@ object Dedup {
     * self-join. Deploy it the way an ingest gate actually asks the
     * question: `inner` = the new BATCH, `outer` = the corpus, and a
     * high threshold (t = 4/5 → 20% prefixes) — the declared q207
-    * shape. A full-corpus self-audit at a loose threshold is a
-    * one-shot backfill job, not a per-tick query. `inner` and
-    * `outer` may be the same frame. */
+    * shape. A full-corpus self-audit at a loose threshold belongs to
+    * [[containmentPairsSketch]] (the capped-prefix twin, q208), whose
+    * candidate mass is constant per doc. `inner` and `outer` may be
+    * the same frame. */
   def containmentPairs(inner: DataFrame, outer: DataFrame, idCol: String,
-                       tNum: Long, tDen: Long): DataFrame = {
+                       tNum: Long, tDen: Long): DataFrame =
+    containmentImpl(inner, outer, idCol, tNum, tDen, prefixCap = None)
+
+  /** [[containmentPairs]] with the prefix CAPPED at `sketchK` grams —
+    * the corpus-vs-corpus twin the exact gate's cost note demands
+    * (the q92→q188 / q184→q187 pattern: exact form for the ingest
+    * gate, sketch form for the self-join backfill the exact form
+    * cannot afford). Each inner doc contributes its `min(exact
+    * prefix, sketchK)` RAREST grams as candidate keys, so candidate
+    * mass is O(k·n·df_rare) instead of O((1−t)·Σ|A|·df) — constant
+    * per doc, and still df-rarest-first so the keys stay off
+    * stop-grams. Verification is unchanged: exact `array_intersect`
+    * on survivors, rational threshold, directed output.
+    *
+    * Recall contract: EXACT (the full prefix guarantee) whenever
+    * |A| − ceil(t·|A|) + 1 ≤ sketchK, i.e. |A| ≤ (sketchK−1)·tDen ∕
+    * (tDen−tNum) — at t = 3/5, k = 32 every doc up to 77 grams is
+    * guaranteed. Above that the cap is a heuristic: a true pair is
+    * missed only if ALL k rarest grams of A fall in A's uncontained
+    * (1−t) mass — for an excerpt (whose missing mass is the random
+    * boundary grams) that is ≈ (1−t)^k ≈ 10⁻¹² at t=3/5, k=32.
+    * A bottom-k-by-hash sketch joined sketch-vs-sketch (Broder 1997's
+    * containment estimator) was REJECTED for this seat: its shared-
+    * element count scales with k·t·|A|∕|B|, so the motivating case —
+    * a paragraph inside a long page, |A|∕|B| → 0 — is exactly where
+    * its recall collapses; the one-sided capped prefix is size-ratio
+    * independent. Deterministic (df, gram) ordering keeps the DuckDB
+    * oracle bit-exact — no estimator, no float. */
+  def containmentPairsSketch(inner: DataFrame, outer: DataFrame,
+                             idCol: String, tNum: Long, tDen: Long,
+                             sketchK: Int = 32): DataFrame = {
+    require(sketchK > 0,
+      s"containmentPairsSketch: sketchK must be > 0, got $sketchK")
+    containmentImpl(inner, outer, idCol, tNum, tDen, Some(sketchK))
+  }
+
+  private def containmentImpl(inner: DataFrame, outer: DataFrame,
+                              idCol: String, tNum: Long, tDen: Long,
+                              prefixCap: Option[Int]): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"containmentPairs: threshold must be in (0,1], got $tNum/$tDen")
     def prep(d: DataFrame) = d.select(col(idCol).as("id"), col("set"))
@@ -1407,8 +1446,10 @@ object Dedup {
       .join(dfs, Seq("tok"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("sz") - expr(s"(sz * $tNum + $tDen - 1) DIV $tDen") + 1L)
+      .filter(col("rn") <= prefixCap.fold(
+        col("sz") - expr(s"(sz * $tNum + $tDen - 1) DIV $tDen") + 1L)(k =>
+        least(col("sz") - expr(s"(sz * $tNum + $tDen - 1) DIV $tDen") + 1L,
+          lit(k.toLong))))
       .select(col("id").as("inner_id"), col("tok"))
     val cand = prefixes
       .join(outToks.select(col("id").as("outer_id"), col("tok")),

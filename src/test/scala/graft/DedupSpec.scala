@@ -248,4 +248,54 @@ class DedupSpec extends SparkTestBase {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(bc == Set((1L, 2L))) // 1 contained in corpus doc 2; 9 nowhere
   }
+
+  test("containmentPairsSketch: capped prefix equals exact below the cap, catches excerpts above it") {
+    import org.apache.spark.sql.functions._
+    def set(ts: String*) = ts.toArray
+    // small docs (prefix <= k): the capped form must be BIT-IDENTICAL
+    // to the exact gate — the guaranteed-recall regime
+    val base = Seq(
+      (1L, set("a", "b", "c")),
+      (2L, set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (3L, set("a", "x", "y"))).toDF("doc_id", "set")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val exact = rows(Dedup.containmentPairs(base, base, "doc_id", 3, 5))
+    val capped = rows(Dedup.containmentPairsSketch(base, base, "doc_id",
+      3, 5, sketchK = 32))
+    assert(capped == exact && exact.contains((1L, 2L)))
+    // large excerpt: 100-gram doc fully contained in a 400-gram doc.
+    // Exact prefix would be 41 grams; cap 8 keeps only the 8 rarest —
+    // the excerpt is still found because its grams ARE the host's
+    val big = (0 until 100).map(i => f"g$i%03d")
+    val host = (0 until 400).map(i => f"g$i%03d")
+    val docs = Seq((10L, big.toArray), (20L, host.toArray))
+      .toDF("doc_id", "set")
+    val r = rows(Dedup.containmentPairsSketch(docs, docs, "doc_id", 3, 5,
+      sketchK = 8))
+    assert(r((10L, 20L)) == ((100L, 100L, 1000000L)))
+    assert(!r.contains((20L, 10L))) // 100/400 = 1/4 < 3/5
+    // cap actually bites: candidate keys per doc are bounded by k, so
+    // a doc sharing ONLY non-rarest grams can be missed — construct
+    // the adversarial miss to pin the documented semantics. Inner doc
+    // 30: 10 grams, 6 shared with host 40 (containment 3/5 exactly).
+    // The 4 unshared grams are UNIQUE (df 1 — rarest), so with k = 4
+    // the whole prefix is unshared and no candidate forms.
+    val sharedSix = (0 until 6).map(i => s"s$i")
+    val uniqueFour = (0 until 4).map(i => s"u$i")
+    val filler = (0 until 50).map(i => s"f$i")
+    val adv = Seq((30L, (sharedSix ++ uniqueFour).toArray),
+      (40L, (sharedSix ++ filler).toArray)).toDF("doc_id", "set")
+    val exactAdv = rows(Dedup.containmentPairs(adv, adv, "doc_id", 3, 5))
+    assert(exactAdv.contains((30L, 40L)))
+    val missed = rows(Dedup.containmentPairsSketch(adv, adv, "doc_id",
+      3, 5, sketchK = 4))
+    assert(!missed.contains((30L, 40L)))
+    // ...and a cap at the exact prefix width restores the guarantee
+    // (prefix = 10 - 6 + 1 = 5)
+    val healed = rows(Dedup.containmentPairsSketch(adv, adv, "doc_id",
+      3, 5, sketchK = 5))
+    assert(healed.contains((30L, 40L)))
+  }
 }
