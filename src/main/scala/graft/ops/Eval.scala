@@ -201,18 +201,24 @@ object Eval {
     * ZOrder guard discipline): the O(n²) form's pair algebra counts a
     * null-valued pair in n_pairs but NO class, a semantics nothing
     * downstream should rely on. `idCol` must be UNIQUE within each
-    * segment (not enforced — checking costs a corpus-wide group-by):
-    * the pair form's `a.id < b.id` predicate silently drops
+    * segment: the pair form's `a.id < b.id` predicate silently drops
     * duplicate-id pairs, while this form counts all C(n,2) pairs via
     * the (x, y, id) total order, so duplicated ids make the two forms
-    * diverge without error. Like the pair form, single-row segments
-    * emit nothing (no pairs to classify). n(n−1)/2 is exact through
-    * DECIMAL(38,0) then lands in the oracle's BIGINT. */
+    * diverge without error. Pass `requireUniqueIds = true` to enforce
+    * it in-plan (the ZOrder guard discipline: a raise_error CASE as a
+    * +0 term on `__x`) — opt-in because the check is one extra
+    * (segment, id)-keyed window shuffle over the corpus; turn it on
+    * when ids come from an un-audited upstream, off when the id is a
+    * generated key whose uniqueness is already contractual. Like the
+    * pair form, single-row segments emit nothing (no pairs to
+    * classify). n(n−1)/2 is exact through DECIMAL(38,0) then lands in
+    * the oracle's BIGINT. */
   def kendallBySegmentScalable(df: DataFrame, segCol: String,
                                xCol: String, yCol: String, idCol: String,
                                nBuckets: Int = 32,
                                pin: DataFrame => DataFrame =
-                                 _.localCheckpoint(true)): DataFrame = {
+                                 _.localCheckpoint(true),
+                               requireUniqueIds: Boolean = false): DataFrame = {
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two >= 2, got $nBuckets")
     val rounds = java.lang.Integer.numberOfTrailingZeros(nBuckets)
@@ -223,8 +229,20 @@ object Eval {
         s"kendallBySegmentScalable: null $c — the pair form counts " +
           "null pairs in n_pairs but no class; filter or impute first")))
         .otherwise(col(c).cast("long"))
-    val base = df.select(col(segCol), guarded(xCol).as("__x"),
+    val base0 = df.select(col(segCol), guarded(xCol).as("__x"),
       guarded(yCol).as("__y"), col(idCol).as("__id"))
+    val base = if (!requireUniqueIds) base0 else {
+      val wid = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(segCol), col("__id"))
+      base0
+        .withColumn("__idc", count(lit(1)).over(wid))
+        .withColumn("__x", col("__x") +
+          when(col("__idc") > 1, raise_error(concat(
+            lit("kendallBySegmentScalable: duplicate id within segment: "),
+            col("__id").cast("string"))).cast("long"))
+            .otherwise(lit(0L)))
+        .drop("__idc")
+    }
 
     // -- pair classes that are pure group-bys: one (seg, x, y) cell
     // frame, then tiny marginal rollups (pairsOf = C(c, 2), exact).

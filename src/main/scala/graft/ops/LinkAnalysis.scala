@@ -83,10 +83,19 @@ object LinkAnalysis {
     * rounds under AQE) and two map-side-combined aggregates. Rounds
     * are a fixed small constant (3 here, like [[pageRankFixed]]) —
     * at corpus scale LPA converges in a handful of sweeps and the
-    * fixed count is what the SQL replay pins. */
+    * fixed count is what the SQL replay pins.
+    *
+    * Each round's label frame goes through `pin` (default eager
+    * `localCheckpoint(true)`, [[graft.ops.Eval.kendallBySegmentScalable]]'s
+    * discipline) — without it the logical plan compounds per round
+    * and a lost executor at rounds ≫ 3 recomputes the whole ladder.
+    * Cluster deployments wanting fault tolerance over speed pin
+    * through a parquet catalog write-read instead; output is
+    * pin-independent (LinkAnalysisSpec's catalog-pin test). */
   def labelPropagation(pairs: DataFrame, rounds: Int = 3,
-                       aCol: String = "id_a",
-                       bCol: String = "id_b"): DataFrame = {
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       pin: DataFrame => DataFrame =
+                         _.localCheckpoint(true)): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -97,9 +106,9 @@ object LinkAnalysis {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      labels = votes.groupBy(col("src"))
+      labels = pin(votes.groupBy(col("src"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
-        .select(col("src").as("id"), col("m.l").as("label"))
+        .select(col("src").as("id"), col("m.l").as("label")))
     }
     labels
   }
@@ -144,10 +153,16 @@ object LinkAnalysis {
     * Cost: identical to [[pageRankFixed]] (per round: one edge⋈deg⋈
     * rank join chain + one map-side-combined sum) plus one broadcast
     * semi-join for the seed flag. `seeds` is an id frame; ids absent
-    * from the graph contribute nothing (they have no edges). */
+    * from the graph contribute nothing (they have no edges). Each
+    * round's rank frame goes through `pin` (default eager
+    * `localCheckpoint(true)` — bounds lineage at rounds ≫ 3; swap in
+    * a catalog write-read for executor-loss tolerance, output is
+    * pin-independent). */
   def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
                            rounds: Int = 3, aCol: String = "id_a",
-                           bCol: String = "id_b"): DataFrame = {
+                           bCol: String = "id_b",
+                           pin: DataFrame => DataFrame =
+                             _.localCheckpoint(true)): DataFrame = {
     require(rounds >= 1,
       s"personalizedPageRank: rounds must be >= 1, got $rounds")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -164,11 +179,11 @@ object LinkAnalysis {
         .join(deg, Seq("src"))
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"), expr("r div deg").as("c"))
-      ranks = contrib.groupBy(col("dst"))
+      ranks = pin(contrib.groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .join(seedFlag, col("dst") === col("sid"), "left")
         .select(col("dst").as("id"),
-          (teleport * 150000L + expr("(85 * s) div 100")).as("r"))
+          (teleport * 150000L + expr("(85 * s) div 100")).as("r")))
     }
     ranks.select(col("id"), col("r").as("rank_fixed"))
   }
@@ -190,9 +205,14 @@ object LinkAnalysis {
     * convergence wasn't reached. Cost per round: one map-side
     * degree aggregate + one semi-join of the edge list against the
     * surviving-node frame, both keyed on the id the edge list is
-    * already partitioned by. */
+    * already partitioned by. Each round's surviving edge list goes
+    * through `pin` (default eager `localCheckpoint(true)` — bounds
+    * lineage at rounds ≫ 3; swap in a catalog write-read for
+    * executor-loss tolerance, output is pin-independent). */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 3,
-            aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+            aCol: String = "id_a", bCol: String = "id_b",
+            pin: DataFrame => DataFrame =
+              _.localCheckpoint(true)): DataFrame = {
     require(k >= 1 && rounds >= 1,
       s"kCore: k and rounds must be >= 1, got k=$k rounds=$rounds")
     var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -200,8 +220,8 @@ object LinkAnalysis {
     (1 to rounds).foreach { _ =>
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      e = e.join(keep, Seq("src"))
-        .join(keep.select(col("src").as("dst")), Seq("dst"))
+      e = pin(e.join(keep, Seq("src"))
+        .join(keep.select(col("src").as("dst")), Seq("dst")))
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
   }

@@ -67,6 +67,34 @@ class KendallScalableSpec extends SparkTestBase {
     }
   }
 
+  test("requireUniqueIds: duplicated ids fail loudly; unique ids unchanged") {
+    val clean = Seq(("a", 1L, 3L, 5L), ("a", 2L, 1L, 2L), ("a", 3L, 4L, 4L),
+      ("a", 4L, 2L, 1L)).toDF("seg", "id", "x", "y")
+    // guard ON over unique ids: bit-identical to the default path
+    val guarded = Eval.kendallBySegmentScalable(clean, "seg", "x", "y",
+      "id", 4, requireUniqueIds = true).collect().map(_.toSeq).toSeq
+    val default = Eval.kendallBySegmentScalable(clean, "seg", "x", "y",
+      "id", 4).collect().map(_.toSeq).toSeq
+    assert(guarded == default)
+    // a duplicated id inside one segment: silent divergence without
+    // the guard (documented), a loud in-plan raise_error with it
+    val dup = clean.union(Seq(("a", 2L, 9L, 9L)).toDF("seg", "id", "x", "y"))
+    val e = intercept[Exception] {
+      Eval.kendallBySegmentScalable(dup, "seg", "x", "y", "id", 4,
+        requireUniqueIds = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate id within segment")),
+      messages(e).mkString(" | "))
+    // the same duplicated id in a DIFFERENT segment is legal
+    val other = clean.union(
+      Seq(("b", 2L, 9L, 9L), ("b", 3L, 1L, 1L)).toDF("seg", "id", "x", "y"))
+    assert(Eval.kendallBySegmentScalable(other, "seg", "x", "y", "id", 4,
+      requireUniqueIds = true).collect().length == 2)
+  }
+
   test("monotone, reversed, and all-tied segments match the pair form") {
     val rows =
       (0 until 9).map(i => ("up", i.toLong, i.toLong, (i * 2).toLong)) ++
