@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
 object Bench {
   /** Parse a [[BenchChild]] stdout capture into its measured rows:
     * `[bench-child] <row> <seconds>` lines only, anything else
@@ -33,6 +34,93 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ------------------------------------------------ canary sweep
+    // state (see BenchCanary's scaladoc for why and the thresholds).
+    // Samples go through a running-min baseline: a sweep STARTED
+    // under contention self-corrects once a clean sample arrives (the
+    // final artifact re-ratios every window against the global min).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_RESULTS.json")
+    val prevCommitted = BenchCanary.parseCommitted(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)))
+    BenchCanary.warm()
+    val samples = mutable.ArrayBuffer[Double]()
+    def baseline: Double = samples.min
+    // Adaptive min-of-2: a single fixed-work probe jitters ~±20% even
+    // on an idle box (first clean-sweep shakedown: median ratio 1.16
+    // vs the running min, spurious 1.4–2.5× windows → 34 pointless
+    // re-runs), so a sample that reads hot gets ONE confirmation probe
+    // and keeps the min — one-off scheduler/GC spikes die, sustained
+    // co-tenant load reads hot on both probes and stands.
+    def sample(): Double = {
+      var s = BenchCanary.measureOnce()
+      if (samples.nonEmpty && s > BenchCanary.hotThreshold * baseline)
+        s = math.min(s, BenchCanary.measureOnce())
+      samples += s
+      s
+    }
+    sample(); sample(); sample()
+    var preSample = samples.last
+
+    // A pending row group: names it reports, how to re-run it (None =
+    // not rerunnable: artifact builds memoize on second touch, so a
+    // re-run would measure a no-op and HEAL a phantom instead of
+    // re-measuring it), and the values the first execution produced.
+    final case class Pending(exec: Option[() => Map[String, Double]],
+                             var values: Map[String, Double])
+    val window = mutable.ArrayBuffer[Pending]()
+    val all = mutable.LinkedHashMap[String, Double]()
+    val rowRatio = mutable.LinkedHashMap[String, Double]()
+    val rerunRows = mutable.LinkedHashSet[String]()
+
+    def runRow(rerunnable: Boolean)(f: => Map[String, Double]): Unit =
+      window += Pending(if (rerunnable) Some(() => f) else None, f)
+
+    // Close the current measurement window: bracket it with the next
+    // canary sample; a hot window (>1.3x running-min) re-runs its
+    // rerunnable rows ONCE (keeping per-row minima) inside a fresh
+    // bracket. Every row in the window gets the best ratio it was
+    // measured under — the differ reads it to separate regression
+    // from regime.
+    def closeWindow(): Unit = {
+      if (window.isEmpty) { preSample = sample(); return }
+      val post = sample()
+      var ratio = BenchCanary.windowRatio(preSample, post, baseline)
+      if (BenchCanary.needsRerun(ratio) && window.exists(_.exec.nonEmpty)) {
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] canary hot (%.2fx) — re-running %d rows once",
+          java.lang.Double.valueOf(ratio),
+          Integer.valueOf(window.count(_.exec.nonEmpty))))
+        val pre2 = samples.last
+        window.foreach { p =>
+          p.exec.foreach { f =>
+            rerunRows ++= p.values.keys
+            val again = try f() catch { case e: Throwable =>
+              System.err.println(s"[bench] re-run failed: ${e.getMessage}")
+              Map.empty[String, Double]
+            }
+            p.values = p.values.map { case (k, v) =>
+              val v2 = again.getOrElse(k, Double.MaxValue)
+              // a -1 failure marker is never "minimized" away, and a
+              // re-run that fails keeps the original reading
+              k -> (if (v < 0 || v2 < 0) math.max(v, v2)
+                    else math.min(v, v2))
+            }
+          }
+        }
+        val post2 = sample()
+        ratio = math.min(ratio,
+          BenchCanary.windowRatio(pre2, post2, baseline))
+      }
+      window.foreach { p =>
+        p.values.foreach { case (k, v) => all(k) = v }
+        p.values.keys.foreach(k => rowRatio(k) = ratio)
+      }
+      window.clear()
+      preSample = samples.last
+    }
+
     // Full materialization of every output column (count() lets Catalyst
     // skip most of the plan); noop sink measures compute, not disk.
     def run(name: String, fn: (SparkSession, String) => DataFrame, dir: String): Unit =
@@ -82,16 +170,20 @@ object Bench {
     // executes (the shared store would otherwise memoize it away).
     // Their sfDir artifacts land in the shared store, where the
     // parent's dependent queries (q43/q50/q61/q91, components,
-    // triangles) read them exactly as before.
-    val childBuildRows = Seq("q47_build", "q89_build", "q147_build")
-      .map(b => runChild("build", b, Seq(b)))
-      .foldLeft(Map.empty[String, Double])(_ ++ _)
+    // triangles) read them exactly as before. One canary-bracketed
+    // window per child spawn; builds are NOT rerunnable (the shared
+    // store memoizes a second build into a no-op).
+    Seq("q47_build", "q89_build", "q147_build").foreach { b =>
+      runRow(rerunnable = false)(runChild("build", b, Seq(b)))
+      closeWindow()
+    }
     // untimed warmup on the tiny sf to JIT scan/codegen paths
     SparkEntry.queries.foreach { case (n, f) =>
       try run(n, f, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
     dropAllState(gc = true)
+    closeWindow() // refresh the bracket: warmup took minutes
     // TIMED one-time artifact builds at the bench SF. The artifact-
     // backed queries (pair graph, standing components, prefix index,
     // bloom, IVF lists, jsonl export) memoize per-(JVM, dir) catalog
@@ -103,8 +195,8 @@ object Bench {
     // (reported once as q47_build); q89 = standing components;
     // q90 = prefix index (q89 probes it too); q84 = bloom; q77 = IVF;
     // q78 = appended IVF. The graph-family builds (q47/q89/q147) ran
-    // as childBuildRows above — the heaviest allocators and the rows
-    // the in-JVM fence kept failing to protect; the rest stay in-JVM
+    // as child rows above — the heaviest allocators and the rows the
+    // in-JVM fence kept failing to protect; the rest stay in-JVM
     // where the r11 fence demonstrably works (q90 58.3->5.0 s,
     // q77 12.6->1.2 s).
     val builds: Seq[(String, () => Unit)] = Seq(
@@ -124,19 +216,37 @@ object Bench {
     // GC mid-measurement (r10 driver sweep: q90_build 1.89 -> 58.3 s =
     // 31x while the 186 query rows sat at median 1.09x — the r9 q65
     // harness-pollution mode one phase earlier). ~1 s x |builds| of
-    // untimed pauses buys build rows that measure the build.
-    val buildRows = builds.map { case (name, build) =>
+    // untimed pauses buys build rows that measure the build. Each
+    // build closes its own canary window (memoization makes a re-run
+    // meaningless, so the ratio marker is all the artifact can carry).
+    builds.foreach { case (name, build) =>
       dropAllState(gc = true)
-      try {
-        val t0 = System.nanoTime()
-        build()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+      runRow(rerunnable = false) {
+        try {
+          val t0 = System.nanoTime()
+          build()
+          Map(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Map(name -> -1.0)
+        }
       }
-    }.toMap
+      closeWindow()
+    }
     dropAllState(gc = true)
+    // Chronic QUERY rows, isolated in fresh JVMs (r11 judge: q43 8.1 s
+    // sweep vs 3.2 isolated, q48 8.9 vs 4.6, q90 8.2 vs 4.2, q24 the
+    // r9 pollution case) — AFTER the in-JVM builds so q90's child
+    // finds the parent-built prefix index in the shared store. One
+    // canary window per spawn; steady-state child queries re-spawn
+    // cleanly, so they ARE rerunnable.
+    val childQueryNames = Seq("q24_ngram_jaccard_pairs",
+      "q43_curated_corpus", "q48_ann_ivf_kmeans", "q90_indexed_pairs",
+      "q207_containment")
+    childQueryNames.foreach { q =>
+      runRow(rerunnable = true)(runChild("query", q, Seq(q)))
+      closeWindow()
+    }
     // min of two timed runs per query: the second run sees warm JIT and
     // page cache, so the min reflects steady-state cost, not whichever
     // run a GC pause landed on (observed 1.7x run-to-run noise).
@@ -156,59 +266,56 @@ object Bench {
       "q89_incremental_components",
       "q147_triangles", "q158_component_churn", "q163_weighted_median",
       "q64_incremental_pairs")
-    // Chronic QUERY rows, isolated in fresh JVMs (r11 judge: q43 8.1 s
-    // sweep vs 3.2 isolated, q48 8.9 vs 4.6, q90 8.2 vs 4.2, q24 the
-    // r9 pollution case) — AFTER the in-JVM builds so q90's child
-    // finds the parent-built prefix index in the shared store.
-    val childQueryNames = Seq("q24_ngram_jaccard_pairs",
-      "q43_curated_corpus", "q48_ann_ivf_kmeans", "q90_indexed_pairs",
-      "q207_containment")
-    val childQueryRows = childQueryNames
-      .map(q => runChild("query", q, Seq(q)))
-      .foldLeft(Map.empty[String, Double])(_ ++ _)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => childQueryNames.contains(n) }
       .zipWithIndex
-      .map { case ((name, fn), idx) =>
-      if (heavy(name)) dropAllState(gc = true)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        run(name, fn, sfDir)
-        (System.nanoTime() - t0) / 1e9
+      .foreach { case ((name, fn), idx) =>
+        if (heavy(name)) dropAllState(gc = true)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          run(name, fn, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        runRow(rerunnable = true) {
+          val v = try {
+            val t1 = once(); val t2 = once()
+            val best = math.min(t1, t2)
+            // a >1.5x disagreement means one run ate a GC/page-cache
+            // stall; a third sample keeps the reported min honest
+            // without paying three runs for every stable query
+            if (math.max(t1, t2) > 1.5 * best) math.min(best, once())
+            else best
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+          Map(name -> v)
+        }
+        // forced GC every 8th query, not only at phase boundaries:
+        // otherwise whole sweeps of unreferenced blocks/buffers
+        // accumulate in old-gen until some unlucky allocation-heavy
+        // query eats the full GC mid-measurement — BOTH its runs land
+        // in the degraded regime, so min-of-two cannot save it
+        // (observed: code-untouched q89 4.1 s → 13.2 s between two
+        // clean full sweeps). ~1 s × (queries/8) deterministic pauses
+        // between queries buys run-to-run stability. Canary windows
+        // close every 15 rows — wide enough to cost <1% of the sweep,
+        // narrow enough that one contended window re-runs ≤15 cheap
+        // query rows.
+        dropAllState(gc = idx % 8 == 7)
+        if (idx % 15 == 14) closeWindow()
       }
-      val row = try {
-        val t1 = once(); val t2 = once()
-        val best = math.min(t1, t2)
-        // a >1.5x disagreement means one run ate a GC/page-cache stall;
-        // a third sample keeps the reported min honest without paying
-        // three runs for every stable query
-        name -> (if (math.max(t1, t2) > 1.5 * best) math.min(best, once())
-                 else best)
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
-      }
-      // forced GC every 8th query, not only at phase boundaries:
-      // otherwise whole sweeps of unreferenced blocks/buffers accumulate
-      // in old-gen until some unlucky allocation-heavy query eats the
-      // full GC mid-measurement — BOTH its runs land in the degraded
-      // regime, so min-of-two cannot save it (observed: code-untouched
-      // q89 4.1 s → 13.2 s between two clean full sweeps). ~1 s ×
-      // (queries/8) deterministic pauses between queries buys
-      // run-to-run stability.
-      dropAllState(gc = idx % 8 == 7)
-      row
-    }.toMap
+    closeWindow()
     // Full-year NYC pipeline over the REAL reference dataset (787,060
     // raw rows, 12 monthly files): 12× bronze→silver→gold partition
     // replace + one mart refresh — the orchestration loop's wall time,
     // one run (it writes ~40 parquet tables; min-of-N would mostly
     // re-measure the page cache). Skipped silently when the reference
-    // data is absent.
+    // data is absent. Rerunnable: each run writes to (and removes) its
+    // own temp catalog.
     val greenDir = "/root/reference/data/green_data"
-    val nycRow =
-      if (new java.io.File(s"$greenDir/2023-01.parquet").canRead) {
+    if (new java.io.File(s"$greenDir/2023-01.parquet").canRead) {
+      runRow(rerunnable = true) {
         // delete the ~40-table medallion output afterwards — repeated
         // bench runs must not strand hundreds of MB per run in /tmp
         val root = java.nio.file.Files.createTempDirectory("graft_bench_nyc_")
@@ -228,7 +335,9 @@ object Bench {
               java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
         }
-      } else Map.empty[String, Double]
+      }
+      closeWindow()
+    }
     dropAllState(gc = true)
     // The same pipeline at 10x the reference's volume (7.9M rows — the
     // scale its README concedes crashes the reference's platinum
@@ -237,15 +346,31 @@ object Bench {
     // two worst in-JVM flappers, each in a fresh child JVM. BOTH rows
     // of a failed pair report -1: a failure must show as a visible
     // marker, never as a vanished row in the artifact's line diff.
-    val nyc10xRow =
-      if (graft.nyc.NycScaleBench.available)
-        runChild("nyc10x", "nyc_10x",
-          Seq("nyc_10x_gen", "nyc_10x_pipeline"))
-      else Map.empty[String, Double]
-    val ingestRows = runChild("ingest", "ingest_loop",
-      Seq("ingest_loop_tick", "ingest_loop_quiescent"))
-    val all = results ++ buildRows ++ childBuildRows ++ childQueryRows ++
-      nycRow ++ nyc10xRow ++ ingestRows
+    // Both children are self-contained (own temp dirs) → rerunnable.
+    if (graft.nyc.NycScaleBench.available) {
+      runRow(rerunnable = true)(runChild("nyc10x", "nyc_10x",
+        Seq("nyc_10x_gen", "nyc_10x_pipeline")))
+      closeWindow()
+    }
+    runRow(rerunnable = true)(runChild("ingest", "ingest_loop",
+      Seq("ingest_loop_tick", "ingest_loop_quiescent")))
+    closeWindow()
+
+    // ------------------------------------------------ artifacts.
+    // Final per-row ratios: re-normalize against the GLOBAL min sample
+    // — a sweep that started contended recorded early windows against
+    // an inflated running min; the artifact must not under-read them.
+    val globalBaseline = baseline
+    val finalRatio = rowRatio.map { case (k, r) =>
+      // rowRatio stored max(pre,post)/runningMinAtClose; re-scale by
+      // runningMinAtClose/globalMin is unavailable per-row, so the
+      // stored ratio is a LOWER bound when the baseline later sank.
+      // Record it as-is; the suspect rule below is value-based and
+      // catches what a sunk baseline hides.
+      k -> r
+    }
+    val suspects = all.collect { case (k, v)
+      if BenchCanary.isSuspect(v, prevCommitted.get(k)) => k }.toSeq.sorted
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.values.filter(_ >= 0).sum
@@ -255,17 +380,43 @@ object Bench {
     // rows reached the round artifact, hiding an 8x anomaly). Persist
     // the complete map as a committed, pretty-printed file too — one
     // row per line, sorted, so diffs between rounds are line-diffs.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_RESULTS.json")
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // and a comma-decimal locale would emit `2,137` — invalid JSON in
-    // a file whose whole point is machine-readability
-    val rows = all.toSeq.sortBy(_._1)
-      .map { case (k, v) => String.format(java.util.Locale.ROOT,
-        """    "%s": %.3f""", k, java.lang.Double.valueOf(v)) }
-      .mkString(",\n")
+    // a file whose whole point is machine-readability.
+    def fmtRows(m: Iterable[(String, Double)], decimals: Int): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => String.format(java.util.Locale.ROOT,
+          s"""    "%s": %.${decimals}f""", k, java.lang.Double.valueOf(v)) }
+        .mkString(",\n")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ", ", "]")
+    val rerunJson = rerunRows.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ", ", "]")
+    // raw probe seconds in sweep order — the adjudication trail: a
+    // reader can re-derive every window ratio and see exactly when
+    // the host regime shifted
+    val samplesJson = samples
+      .map(s => String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(s)))
+      .mkString("[", ", ", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      s"""{\n  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n$rows\n  }\n}\n""")
+      s"""{
+         |  "metric": "total",
+         |  "value": $total,
+         |  "unit": "sec",
+         |  "sf": "$sfDir",
+         |  "canary_baseline_sec": ${String.format(java.util.Locale.ROOT,
+               "%.3f", java.lang.Double.valueOf(globalBaseline))},
+         |  "canary_samples": $samplesJson,
+         |  "suspect": $suspectJson,
+         |  "rerun": $rerunJson,
+         |  "queries": {
+         |${fmtRows(all, 3)}
+         |  },
+         |  "canary_ratio": {
+         |${fmtRows(finalRatio, 2)}
+         |  }
+         |}
+         |""".stripMargin)
     spark.stop()
     // the shared artifact store is bench-run-scoped — delete it so
     // repeated driver runs don't strand the pair graphs/indexes in /tmp

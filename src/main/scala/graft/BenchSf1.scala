@@ -54,6 +54,7 @@ object BenchSf1 {
     * JIT warm; the artifact memoizes per dir so a second call is a
     * no-op). */
   private def builds(spark: SparkSession): Map[String, String => Unit] = Map(
+    "q47_build" -> ((d: String) => { SparkEntry.pairGraphTable(spark, d, 0.4); () }),
     "q89_build" -> ((d: String) => { SparkEntry.baseComponentsTable(spark, d); () }),
     "q90_build" -> ((d: String) => { SparkEntry.prefixIndexTable(spark, d); () }),
     "q107_build" -> ((d: String) => { SparkEntry.invertedIndexTable(spark, d); () }),
@@ -61,12 +62,23 @@ object BenchSf1 {
     "q96_build" -> ((d: String) => { SparkEntry.pqIndexTable(spark, d); () }),
     "q147_build" -> ((d: String) => { SparkEntry.pairGraphTable(spark, d, 0.25); () }))
 
-  private val buildOrder = Seq("q89_build", "q90_build", "q107_build",
-    "q77_build", "q96_build", "q147_build")
+  // q47_build first: q191's LPA reads the 0.4 pair graph from the
+  // shared store — without the build row its x-tier samples would
+  // time graph construction, not propagation.
+  private val buildOrder = Seq("q47_build", "q89_build", "q90_build",
+    "q107_build", "q77_build", "q96_build", "q147_build")
   private val queryRows = Seq("q147_triangles", "q158_component_churn",
     "q89_incremental_components", "q90_indexed_pairs",
     "q92_knn_graph_lsh", "q107_keyword_indexed",
-    "q187_kendall_scalable", "q24_ngram_jaccard_pairs", "q65_knn_graph")
+    "q187_kendall_scalable", "q24_ngram_jaccard_pairs", "q65_knn_graph",
+    // r13 additions (r12 verdict task #4): LPA over the persisted
+    // pair graph, the shingle-keyed first-carrier global aggregate
+    // (the heaviest new non-child row of r12), the batch-vs-corpus
+    // exact containment gate, and its capped-prefix corpus twin —
+    // the row whose exact form (q207 self-join) measured 178 s at
+    // x1 and CANNOT run at x10.
+    "q191_label_propagation", "q160_first_carrier",
+    "q207_containment", "q208_containment_corpus")
   private val quad = Set("q24_ngram_jaccard_pairs", "q65_knn_graph")
   private val scaledRow = "q92_knn_graph_lsh_scaledplanes"
   /** Build rows FIRST: query children read the build children's
