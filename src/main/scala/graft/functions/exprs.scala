@@ -349,6 +349,32 @@ object ExprOps {
     c
   }
 
+  /** Intersection size of two STRICTLY-ASCENDING int arrays — one
+    * merge scan, O(|a|+|b|) int compares, zero allocation. The
+    * set-verify kernel for dictionary-encoded gram sets
+    * ([[graft.dedup.Dedup.containmentPairs]]): `array_intersect` on
+    * string arrays builds a hash set PER ROW, which at millions of
+    * candidate pairs is the whole query's cost; two sorted int arrays
+    * intersect in a register loop. Inputs with duplicates would count
+    * each duplicate — callers must encode from DISTINCT sets (a
+    * dictionary over a set is injective, so sorted output is strictly
+    * ascending by construction). */
+  def sortedIntersectCount(x: ArrayData, y: ArrayData): Long = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val a = x.getInt(i)
+      val b = y.getInt(j)
+      if (a == b) { c += 1L; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** [[classifierScore]] with an EXPLICIT weight table — the
     * trained-model form. `w.length` is the feature dimension (power of
     * two; bucket = hash & (len-1), which for 2^20 is exactly
@@ -589,6 +615,30 @@ case class EqCountL(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprOps.eqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sorted-int-array intersection count — see
+  * [[ExprOps.sortedIntersectCount]]. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(ExprOps.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprOps.sortedIntersectCount($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -1081,6 +1131,8 @@ object exprs {
     toCol(DotProductL(toExpr(a), toExpr(b)))
   def eq_count_l(a: Column, b: Column): Column =
     toCol(EqCountL(toExpr(a), toExpr(b)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(toExpr(a), toExpr(b)))
   def adc_sum_l(lut: Column, codes: Column): Column =
     toCol(AdcSumL(toExpr(lut), toExpr(codes)))
   def normalize_l2(c: Column): Column = toCol(NormalizeL2(toExpr(c)))

@@ -249,6 +249,21 @@ class DedupSpec extends SparkTestBase {
     assert(bc == Set((1L, 2L))) // 1 contained in corpus doc 2; 9 nowhere
   }
 
+  test("sorted_intersect_count kernel ≡ array_intersect size on sorted distinct sets") {
+    import graft.functions.exprs
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1, 3, 5, 9), Array(2, 3, 4, 5, 10)),
+      (Array(1, 2, 3), Array(1, 2, 3)),
+      (Array(7, 8), Array(1, 2)),
+      (Array[Int](), Array(1, 2)),
+      (Array(-5, 0, 4), Array(-5, 4))).toDF("a", "b")
+    df.select(
+        exprs.sorted_intersect_count(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("h"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("containmentPairsSketch: capped prefix equals exact below the cap, catches excerpts above it") {
     import org.apache.spark.sql.functions._
     def set(ts: String*) = ts.toArray
