@@ -85,17 +85,19 @@ object LinkAnalysis {
     * at corpus scale LPA converges in a handful of sweeps and the
     * fixed count is what the SQL replay pins.
     *
-    * Each round's label frame goes through `pin` (default eager
-    * `localCheckpoint(true)`, [[graft.ops.Eval.kendallBySegmentScalable]]'s
-    * discipline) — without it the logical plan compounds per round
-    * and a lost executor at rounds ≫ 3 recomputes the whole ladder.
-    * Cluster deployments wanting fault tolerance over speed pin
-    * through a parquet catalog write-read instead; output is
+    * Each round's label frame goes through `pin`. Default IDENTITY:
+    * at the declared fixed rounds (3) the per-round growth is one
+    * join + one aggregate — bounded lineage, and an eager
+    * localCheckpoint default measured a 2.3× slowdown on the q196
+    * sibling for nothing. Raising `rounds` ≫ 3 on a cluster is when
+    * the hook earns its keep: pass `_.localCheckpoint(true)`
+    * ([[graft.ops.Eval.kendallBySegmentScalable]]'s default, whose
+    * ~4×-per-round plan growth DOES need it) or a parquet-catalog
+    * write-read for executor-loss tolerance; output is
     * pin-independent (LinkAnalysisSpec's catalog-pin test). */
   def labelPropagation(pairs: DataFrame, rounds: Int = 3,
                        aCol: String = "id_a", bCol: String = "id_b",
-                       pin: DataFrame => DataFrame =
-                         _.localCheckpoint(true)): DataFrame = {
+                       pin: DataFrame => DataFrame = identity): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -154,15 +156,13 @@ object LinkAnalysis {
     * rank join chain + one map-side-combined sum) plus one broadcast
     * semi-join for the seed flag. `seeds` is an id frame; ids absent
     * from the graph contribute nothing (they have no edges). Each
-    * round's rank frame goes through `pin` (default eager
-    * `localCheckpoint(true)` — bounds lineage at rounds ≫ 3; swap in
-    * a catalog write-read for executor-loss tolerance, output is
-    * pin-independent). */
+    * round's rank frame goes through `pin` (default identity — see
+    * [[labelPropagation]]; pass `_.localCheckpoint(true)` or a
+    * catalog write-read at rounds ≫ 3, output is pin-independent). */
   def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
                            rounds: Int = 3, aCol: String = "id_a",
                            bCol: String = "id_b",
-                           pin: DataFrame => DataFrame =
-                             _.localCheckpoint(true)): DataFrame = {
+                           pin: DataFrame => DataFrame = identity): DataFrame = {
     require(rounds >= 1,
       s"personalizedPageRank: rounds must be >= 1, got $rounds")
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -206,13 +206,12 @@ object LinkAnalysis {
     * degree aggregate + one semi-join of the edge list against the
     * surviving-node frame, both keyed on the id the edge list is
     * already partitioned by. Each round's surviving edge list goes
-    * through `pin` (default eager `localCheckpoint(true)` — bounds
-    * lineage at rounds ≫ 3; swap in a catalog write-read for
-    * executor-loss tolerance, output is pin-independent). */
+    * through `pin` (default identity — see [[labelPropagation]]; pass
+    * `_.localCheckpoint(true)` or a catalog write-read at rounds ≫ 3,
+    * output is pin-independent). */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 3,
             aCol: String = "id_a", bCol: String = "id_b",
-            pin: DataFrame => DataFrame =
-              _.localCheckpoint(true)): DataFrame = {
+            pin: DataFrame => DataFrame = identity): DataFrame = {
     require(k >= 1 && rounds >= 1,
       s"kCore: k and rounds must be >= 1, got k=$k rounds=$rounds")
     var e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
