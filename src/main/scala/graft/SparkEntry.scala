@@ -907,8 +907,9 @@ object SparkEntry {
     // (Ann.knnJoinScaled): one extra hyperplane per corpus doubling
     // past the recall-calibrated reference size, holding per-bucket
     // occupancy ~constant. BENCH_SF1 measured the difference — fixed
-    // planes fit exponent 1.35 over 1×–10× corpora, this rule 0.83 at
-    // 2.7× less wall at 10× — so the scaled form is the 100 TB path
+    // planes fit exponent 1.35–1.42 over 1×–10× corpora, this rule
+    // 0.47–0.83 at 2.7–7.4× less wall at 10× (r12/r13 runs) — so the
+    // scaled form is the 100 TB path
     // and q92 the fixed-recall-point twin. Oracle computes the SAME
     // integer doubling rule in SQL (rsel) and masks the shared
     // 12-plane LCG prefix down to r bits, exploiting that

@@ -643,9 +643,10 @@ object Ann {
     * size. BENCH_SF1 measured why this is the 100 TB default: the
     * fixed-plane form fits exponent 1.35 over 1×–10× corpora (2³
     * buckets/table densify k-fold at a k-fold corpus, so bucket-local
-    * pair work grows k²) while this sizing measures 0.83 and runs
-    * 2.7× faster at 10× — linear-or-better candidate mass at the cost
-    * of recall that must be bought back with `nTables` (RECALL.md).
+    * pair work grows k²) while this sizing measures 0.47–0.83
+    * across the r12/r13 runs and reads 2.7–7.4× faster at 10× —
+    * linear-or-better candidate mass at the cost of recall that must
+    * be bought back with `nTables` (RECALL.md).
     *
     * Costs ONE count() job up front — the corpus size decides the
     * plan, exactly as an index build inspects its input. Because
