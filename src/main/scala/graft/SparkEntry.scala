@@ -2924,6 +2924,20 @@ object SparkEntry {
         sets, sets, "doc_id", tNum = 3, tDen = 5, sketchK = 32)
     }),
 
+    // The curation ACTION the containment detectors feed
+    // (Dedup.excerptDedup): drop every doc >= 3/5-contained in a
+    // LARGER doc — keep the host page, scrub the quote/excerpt the
+    // Jaccard gates structurally keep (tiny symmetric overlap). Size
+    // ties keep the smaller id, so identical-set pairs lose exactly
+    // one member. Survivors among the textual corpus.
+    "q209_excerpt_scrub" -> ((s, dir) => {
+      val sets = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.dedup.Dedup.charNgrams(col("text"), 5).as("set"))
+      graft.dedup.Dedup.excerptDedup(sets, "doc_id", tNum = 3, tDen = 5)
+        .select(col("doc_id"))
+    }),
+
     // Dedup ROI forecast: the token mass keep-best-copy dedup (q91)
     // would remove, as one summary row — families' total tokens minus
     // their best member's, over the corpus total. The number that
@@ -3170,6 +3184,37 @@ object SparkEntry {
 
   private val discPrice = "(l_extendedprice*(1-l_discount))"
   private val charge    = "(l_extendedprice*(1-l_discount)*(1+l_tax))"
+
+  /** The q208/q209 shared replay: gram CTEs + capped df-rarest
+    * prefix + candidate generation + exact intersection counts —
+    * factored so the scrub's oracle can never drift from the pair
+    * oracle's candidate rule. */
+  private val containmentCorpusCtes =
+    """norm AS (SELECT doc_id,
+      |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |idx AS (SELECT doc_id, t,
+      |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
+      |g AS (SELECT DISTINCT doc_id,
+      |  CASE WHEN length(t) <= 5 THEN t
+      |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
+      |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      |  FROM g GROUP BY 1),
+      |dfs AS (SELECT ng, CAST(count(*) AS BIGINT) AS df
+      |  FROM g GROUP BY 1),
+      |pref AS (SELECT doc_id, ng FROM (
+      |  SELECT gg.doc_id, gg.ng, c.sz,
+      |    row_number() OVER (PARTITION BY gg.doc_id
+      |      ORDER BY d.df ASC, gg.ng ASC) AS rn
+      |  FROM g gg JOIN dfs d USING (ng) JOIN counts c USING (doc_id))
+      |  WHERE rn <= least(sz - (sz * 3 + 4) // 5 + 1, 32)),
+      |cand AS (SELECT DISTINCT p.doc_id AS inner_id, o.doc_id AS outer_id
+      |  FROM pref p JOIN g o ON o.ng = p.ng AND o.doc_id <> p.doc_id),
+      |inter AS (SELECT cd.inner_id, cd.outer_id,
+      |  CAST(count(*) AS BIGINT) AS ovl
+      |  FROM cand cd JOIN g a ON a.doc_id = cd.inner_id
+      |  JOIN g b ON b.doc_id = cd.outer_id AND b.ng = a.ng
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** Hyperplane-LSH plane replay for the q23/q25/q92 oracles: the
     * planes come from `scala.util.Random(seed)` = java.util.Random's
@@ -6809,35 +6854,26 @@ object SparkEntry {
     // counts on candidates only. Bit-exact twin of the Spark side's
     // candidate rule: the compare never depends on sketch recall.
     "q208_containment_corpus" ->
-      """WITH norm AS (SELECT doc_id,
-        |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |idx AS (SELECT doc_id, t,
-        |  unnest(range(1, greatest(length(t)-4, 1)+1)) AS i FROM norm),
-        |g AS (SELECT DISTINCT doc_id,
-        |  CASE WHEN length(t) <= 5 THEN t
-        |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
-        |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-        |  FROM g GROUP BY 1),
-        |dfs AS (SELECT ng, CAST(count(*) AS BIGINT) AS df
-        |  FROM g GROUP BY 1),
-        |pref AS (SELECT doc_id, ng FROM (
-        |  SELECT gg.doc_id, gg.ng, c.sz,
-        |    row_number() OVER (PARTITION BY gg.doc_id
-        |      ORDER BY d.df ASC, gg.ng ASC) AS rn
-        |  FROM g gg JOIN dfs d USING (ng) JOIN counts c USING (doc_id))
-        |  WHERE rn <= least(sz - (sz * 3 + 4) // 5 + 1, 32)),
-        |cand AS (SELECT DISTINCT p.doc_id AS inner_id, o.doc_id AS outer_id
-        |  FROM pref p JOIN g o ON o.ng = p.ng AND o.doc_id <> p.doc_id),
-        |inter AS (SELECT cd.inner_id, cd.outer_id,
-        |  CAST(count(*) AS BIGINT) AS ovl
-        |  FROM cand cd JOIN g a ON a.doc_id = cd.inner_id
-        |  JOIN g b ON b.doc_id = cd.outer_id AND b.ng = a.ng
-        |  GROUP BY 1, 2)
-        |SELECT i.inner_id, i.outer_id, c.sz AS sz_inner, i.ovl,
-        |  CAST(i.ovl * 1000000 // c.sz AS BIGINT) AS containment_fp
-        |FROM inter i JOIN counts c ON c.doc_id = i.inner_id
-        |WHERE i.ovl * 5 >= 3 * c.sz""".stripMargin,
+      s"""WITH $containmentCorpusCtes
+         |SELECT i.inner_id, i.outer_id, c.sz AS sz_inner, i.ovl,
+         |  CAST(i.ovl * 1000000 // c.sz AS BIGINT) AS containment_fp
+         |FROM inter i JOIN counts c ON c.doc_id = i.inner_id
+         |WHERE i.ovl * 5 >= 3 * c.sz""".stripMargin,
+
+    // q208's pipeline + the keep-superset drop rule (size ties keep
+    // the smaller id), anti-joined back to the textual corpus.
+    "q209_excerpt_scrub" ->
+      s"""WITH $containmentCorpusCtes,
+         |base AS (SELECT i.inner_id, i.outer_id, c.sz AS sz_inner
+         |  FROM inter i JOIN counts c ON c.doc_id = i.inner_id
+         |  WHERE i.ovl * 5 >= 3 * c.sz),
+         |losers AS (SELECT DISTINCT b.inner_id
+         |  FROM base b JOIN counts c2 ON c2.doc_id = b.outer_id
+         |  WHERE b.sz_inner < c2.sz
+         |     OR (b.sz_inner = c2.sz AND b.inner_id > b.outer_id))
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.text IS NOT NULL
+         |  AND d.doc_id NOT IN (SELECT inner_id FROM losers)""".stripMargin,
 
     // The q91 family closure folded to corpus totals: removable =
     // family tokens minus the best member's, over the corpus sum.

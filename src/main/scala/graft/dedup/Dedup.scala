@@ -1421,6 +1421,35 @@ object Dedup {
     containmentImpl(inner, outer, idCol, tNum, tDen, Some(sketchK))
   }
 
+  /** Keep-superset excerpt dedup — the curation ACTION the
+    * containment detectors feed: drop every doc ≥ tNum/tDen-contained
+    * in a LARGER doc (ties on size keep the smaller id, so a
+    * mutually-contained pair — identical gram sets — loses exactly
+    * one member, never both). The policy complement of
+    * [[Curation.dropNearDups]]: Jaccard dedup treats a quote and its
+    * host page as distinct (tiny symmetric overlap); this drops the
+    * quote and keeps the page. Pairwise semantics like
+    * [[semanticDedup]] — in a containment CHAIN (A in B in C) whose
+    * middle host B drops, A drops on its own (A, B) evidence even
+    * when (A, C) sits under threshold; content is still represented
+    * by C's side of the chain. Input is (idCol, set); rows failing
+    * the pair stage's sz > 0 filter (empty sets) are never inner nor
+    * outer, so they SURVIVE — an empty doc is not an excerpt.
+    * Candidates come from [[containmentPairsSketch]]'s capped prefix,
+    * so the whole scrub inherits its 0.62 measured exponent. */
+  def excerptDedup(d: DataFrame, idCol: String, tNum: Long, tDen: Long,
+                   sketchK: Int = 32): DataFrame = {
+    val pairs = containmentPairsSketch(d, d, idCol, tNum, tDen, sketchK)
+    val outSz = d.select(col(idCol).as("outer_id"),
+      size(col("set")).cast("long").as("sz_outer"))
+    val losers = pairs.join(outSz, Seq("outer_id"))
+      .filter(col("sz_inner") < col("sz_outer") ||
+        (col("sz_inner") === col("sz_outer") &&
+          col("inner_id") > col("outer_id")))
+      .select(col("inner_id").as(idCol)).distinct()
+    d.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Shared engine of both containment forms, built on DICTIONARY-
     * ENCODED gram sets. Grams rank into dense int ids by the global
     * (df ASC, gram ASC) order — ONE vocabulary-cardinality sort,

@@ -264,6 +264,37 @@ class DedupSpec extends SparkTestBase {
       .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("excerptDedup: drops the quote keeps the page; equal sets keep min id; chains scrub") {
+    import org.apache.spark.sql.functions._
+    def set(ts: String*) = ts.toArray
+    def kept(d: org.apache.spark.sql.DataFrame, t: (Long, Long)) =
+      Dedup.excerptDedup(d, "doc_id", t._1, t._2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // excerpt 1 ⊂ page 2 at containment 1.0: quote dropped, page kept;
+    // doc 3 shares one gram (1/3 < 3/5) — untouched
+    val base = Seq(
+      (1L, set("a", "b", "c")),
+      (2L, set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (3L, set("a", "x", "y"))).toDF("doc_id", "set")
+    assert(kept(base, (3L, 5L)) == Set(2L, 3L))
+    // identical sets: mutual containment 1.0 both ways — exactly ONE
+    // survives, the smaller id (the tie rule), never zero
+    val twins = Seq((7L, set("p", "q", "r")), (4L, set("p", "q", "r")))
+      .toDF("doc_id", "set")
+    assert(kept(twins, (3L, 5L)) == Set(4L))
+    // chain A ⊂ B ⊂ C: A and B both drop (A on its own (A,C) or (A,B)
+    // evidence), C alone survives
+    val chain = Seq(
+      (1L, set("a", "b", "c")),
+      (2L, set("a", "b", "c", "d", "e")),
+      (3L, set("a", "b", "c", "d", "e", "f", "g"))).toDF("doc_id", "set")
+    assert(kept(chain, (3L, 5L)) == Set(3L))
+    // empty sets never pair — they survive (an empty doc is no excerpt)
+    val withEmpty = base.union(Seq((9L, Array.empty[String]))
+      .toDF("doc_id", "set"))
+    assert(kept(withEmpty, (3L, 5L)) == Set(2L, 3L, 9L))
+  }
+
   test("containmentPairsSketch: capped prefix equals exact below the cap, catches excerpts above it") {
     import org.apache.spark.sql.functions._
     def set(ts: String*) = ts.toArray
