@@ -44,19 +44,44 @@ object Bench {
       "BENCH_RESULTS.json")
     val prevCommitted = BenchCanary.parseCommitted(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outPath)))
+    // Dev/diagnostic subset: SPARK_GRAFT_BENCH_ONLY="q207,nyc_10x"
+    // runs only the named rows (substring match on the reported row
+    // names) under the full canary discipline — the loaded-sweep
+    // experiments that validate the re-run wiring can't afford the
+    // 40-minute full sweep per trial. NEVER set for a committed
+    // artifact: a subset file would lie about the sweep total.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(rowNames: String*): Boolean =
+      only.forall(sel => rowNames.exists(n => sel.exists(n.contains)))
     BenchCanary.warm()
-    val samples = mutable.ArrayBuffer[Double]()
-    def baseline: Double = samples.min
+    val samples = mutable.ArrayBuffer[BenchCanary.Probe]()
+    def baseAlu: Double = samples.map(_.alu).min
+    def baseBw: Double = samples.map(_.bw).min
+    // A window's contention ratio: the hotter COMPONENT of the hotter
+    // bracket. The ALU spin sees CPU oversubscription; the stream
+    // probe sees the memory-bandwidth/page-cache contention that
+    // inflated 11 r13 rows while every ALU window read <=1.29.
+    def probeRatio(pre: BenchCanary.Probe,
+                   post: BenchCanary.Probe): (Double, Double) =
+      (BenchCanary.windowRatio(pre.alu, post.alu, baseAlu),
+        BenchCanary.windowRatio(pre.bw, post.bw, baseBw))
     // Adaptive min-of-2: a single fixed-work probe jitters ~±20% even
     // on an idle box (first clean-sweep shakedown: median ratio 1.16
     // vs the running min, spurious 1.4–2.5× windows → 34 pointless
-    // re-runs), so a sample that reads hot gets ONE confirmation probe
-    // and keeps the min — one-off scheduler/GC spikes die, sustained
-    // co-tenant load reads hot on both probes and stands.
-    def sample(): Double = {
-      var s = BenchCanary.measureOnce()
-      if (samples.nonEmpty && s > BenchCanary.hotThreshold * baseline)
-        s = math.min(s, BenchCanary.measureOnce())
+    // re-runs), so a sample with a hot component gets ONE
+    // confirmation probe and keeps the per-component min — one-off
+    // scheduler/GC spikes die, sustained co-tenant load reads hot on
+    // both probes and stands.
+    def sample(): BenchCanary.Probe = {
+      var s = BenchCanary.measureBoth()
+      if (samples.nonEmpty && (s.alu > BenchCanary.hotThreshold * baseAlu ||
+          s.bw > BenchCanary.hotThreshold * baseBw)) {
+        val s2 = BenchCanary.measureBoth()
+        s = BenchCanary.Probe(math.min(s.alu, s2.alu),
+          math.min(s.bw, s2.bw))
+      }
       samples += s
       s
     }
@@ -66,56 +91,86 @@ object Bench {
     // A pending row group: names it reports, how to re-run it (None =
     // not rerunnable: artifact builds memoize on second touch, so a
     // re-run would measure a no-op and HEAL a phantom instead of
-    // re-measuring it), and the values the first execution produced.
+    // re-measuring it), the values the last execution kept, and
+    // whether this window already re-ran it (one re-run per row per
+    // window, whichever rule asks first).
     final case class Pending(exec: Option[() => Map[String, Double]],
-                             var values: Map[String, Double])
+                             var values: Map[String, Double],
+                             var reran: Boolean = false)
     val window = mutable.ArrayBuffer[Pending]()
     val all = mutable.LinkedHashMap[String, Double]()
-    val rowRatio = mutable.LinkedHashMap[String, Double]()
+    // per-row (combined, alu, bw) ratio of the bracket that produced
+    // the KEPT value — a row whose re-run failed or lost the min
+    // keeps its first bracket's ratio, so a contended reading can
+    // never wear a clean bracket's stamp
+    val rowRatio = mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val rerunRows = mutable.LinkedHashSet[String]()
 
     def runRow(rerunnable: Boolean)(f: => Map[String, Double]): Unit =
       window += Pending(if (rerunnable) Some(() => f) else None, f)
 
     // Close the current measurement window: bracket it with the next
-    // canary sample; a hot window (>1.3x running-min) re-runs its
-    // rerunnable rows ONCE (keeping per-row minima) inside a fresh
-    // bracket. Every row in the window gets the best ratio it was
-    // measured under — the differ reads it to separate regression
-    // from regime.
+    // canary sample. Two independent re-run triggers, each firing the
+    // same single re-run (per-row minima kept, -1 failure markers
+    // never minimized away):
+    //  1. window rule — EITHER probe component >1.3x its running-min
+    //     baseline re-runs every rerunnable row in the window;
+    //  2. value rule — a rerunnable row past 2x its previously
+    //     committed band re-runs even under cool windows (the r13
+    //     blind spot: 11 rows inflated by contention no probe
+    //     bracketed; probes sample BETWEEN rows, and some contention
+    //     shapes — a co-tenant's page-cache eviction storm — fire
+    //     inside a row and are gone by its close).
+    // Rows still past 2x after their re-run keep the suspect marker
+    // (computed at artifact time, below). Every row is stamped with
+    // the ratio of the bracket that produced its KEPT value.
     def closeWindow(): Unit = {
       if (window.isEmpty) { preSample = sample(); return }
       val post = sample()
-      var ratio = BenchCanary.windowRatio(preSample, post, baseline)
-      if (BenchCanary.needsRerun(ratio) && window.exists(_.exec.nonEmpty)) {
+      val (alu1, bw1) = probeRatio(preSample, post)
+      val stamp = mutable.Map[String, (Double, Double, Double)]()
+      window.foreach(_.values.keys.foreach(k =>
+        stamp(k) = (math.max(alu1, bw1), alu1, bw1)))
+      def rerunPass(select: Pending => Boolean, why: String): Unit = {
+        val targets = window.filter(p =>
+          p.exec.nonEmpty && !p.reran && select(p))
+        if (targets.isEmpty) return
         System.err.println(String.format(java.util.Locale.ROOT,
-          "[bench] canary hot (%.2fx) — re-running %d rows once",
-          java.lang.Double.valueOf(ratio),
-          Integer.valueOf(window.count(_.exec.nonEmpty))))
+          "[bench] %s — re-running %d rows once", why,
+          Integer.valueOf(targets.size)))
         val pre2 = samples.last
-        window.foreach { p =>
-          p.exec.foreach { f =>
-            rerunRows ++= p.values.keys
-            val again = try f() catch { case e: Throwable =>
-              System.err.println(s"[bench] re-run failed: ${e.getMessage}")
-              Map.empty[String, Double]
-            }
-            p.values = p.values.map { case (k, v) =>
-              val v2 = again.getOrElse(k, Double.MaxValue)
-              // a -1 failure marker is never "minimized" away, and a
-              // re-run that fails keeps the original reading
-              k -> (if (v < 0 || v2 < 0) math.max(v, v2)
-                    else math.min(v, v2))
-            }
+        val keptFromRerun = mutable.Set[String]()
+        targets.foreach { p =>
+          p.reran = true
+          rerunRows ++= p.values.keys
+          val again = try p.exec.get() catch { case e: Throwable =>
+            System.err.println(s"[bench] re-run failed: ${e.getMessage}")
+            Map.empty[String, Double]
+          }
+          p.values = p.values.map { case (k, v) =>
+            val v2 = again.getOrElse(k, Double.MaxValue)
+            if (v < 0 || v2 < 0) k -> math.max(v, v2)
+            else if (v2 < v) { keptFromRerun += k; k -> v2 }
+            else k -> v
           }
         }
         val post2 = sample()
-        ratio = math.min(ratio,
-          BenchCanary.windowRatio(pre2, post2, baseline))
+        val (alu2, bw2) = probeRatio(pre2, post2)
+        keptFromRerun.foreach(k =>
+          stamp(k) = (math.max(alu2, bw2), alu2, bw2))
       }
+      if (BenchCanary.needsRerun(math.max(alu1, bw1)))
+        rerunPass(_ => true, String.format(java.util.Locale.ROOT,
+          "canary hot (alu %.2fx, bw %.2fx)",
+          java.lang.Double.valueOf(alu1), java.lang.Double.valueOf(bw1)))
+      rerunPass(p => p.values.exists { case (k, v) =>
+          BenchCanary.isSuspect(v, prevCommitted.get(k)) },
+        "row(s) past 2x committed band under a cool window")
       window.foreach { p =>
-        p.values.foreach { case (k, v) => all(k) = v }
-        p.values.keys.foreach(k => rowRatio(k) = ratio)
+        p.values.foreach { case (k, v) =>
+          all(k) = v
+          rowRatio(k) = stamp(k)
+        }
       }
       window.clear()
       preSample = samples.last
@@ -173,15 +228,19 @@ object Bench {
     // triangles) read them exactly as before. One canary-bracketed
     // window per child spawn; builds are NOT rerunnable (the shared
     // store memoizes a second build into a no-op).
-    Seq("q47_build", "q89_build", "q147_build").foreach { b =>
-      runRow(rerunnable = false)(runChild("build", b, Seq(b)))
-      closeWindow()
-    }
-    // untimed warmup on the tiny sf to JIT scan/codegen paths
-    SparkEntry.queries.foreach { case (n, f) =>
-      try run(n, f, "/root/testdata/sf0.001")
-      catch { case _: Throwable => () }
-    }
+    Seq("q47_build", "q89_build", "q147_build")
+      .filter(b => wanted(b)).foreach { b =>
+        runRow(rerunnable = false)(runChild("build", b, Seq(b)))
+        closeWindow()
+      }
+    // untimed warmup on the tiny sf to JIT scan/codegen paths (subset
+    // runs warm only their own rows — a dev trial can't afford the
+    // full-inventory warmup)
+    SparkEntry.queries.filter { case (n, _) => wanted(n) }
+      .foreach { case (n, f) =>
+        try run(n, f, "/root/testdata/sf0.001")
+        catch { case _: Throwable => () }
+      }
     dropAllState(gc = true)
     closeWindow() // refresh the bracket: warmup took minutes
     // TIMED one-time artifact builds at the bench SF. The artifact-
@@ -219,7 +278,8 @@ object Bench {
     // untimed pauses buys build rows that measure the build. Each
     // build closes its own canary window (memoization makes a re-run
     // meaningless, so the ratio marker is all the artifact can carry).
-    builds.foreach { case (name, build) =>
+    builds.filter { case (name, _) => wanted(name) }
+      .foreach { case (name, build) =>
       dropAllState(gc = true)
       runRow(rerunnable = false) {
         try {
@@ -243,7 +303,7 @@ object Bench {
     val childQueryNames = Seq("q24_ngram_jaccard_pairs",
       "q43_curated_corpus", "q48_ann_ivf_kmeans", "q90_indexed_pairs",
       "q207_containment")
-    childQueryNames.foreach { q =>
+    childQueryNames.filter(q => wanted(q)).foreach { q =>
       runRow(rerunnable = true)(runChild("query", q, Seq(q)))
       closeWindow()
     }
@@ -268,15 +328,21 @@ object Bench {
       "q64_incremental_pairs")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => childQueryNames.contains(n) }
+      .filter { case (n, _) => wanted(n) }
       .zipWithIndex
       .foreach { case ((name, fn), idx) =>
-        if (heavy(name)) dropAllState(gc = true)
         def once(): Double = {
           val t0 = System.nanoTime()
           run(name, fn, sfDir)
           (System.nanoTime() - t0) / 1e9
         }
         runRow(rerunnable = true) {
+          // the heavy-row clean-heap fence lives INSIDE the
+          // rerunnable closure: a canary-triggered re-run must get
+          // the same pre-measurement GC as the first run, or it
+          // re-measures the degraded old-gen regime it exists to
+          // escape
+          if (heavy(name)) dropAllState(gc = true)
           val v = try {
             val t1 = once(); val t2 = once()
             val best = math.min(t1, t2)
@@ -314,7 +380,8 @@ object Bench {
     // data is absent. Rerunnable: each run writes to (and removes) its
     // own temp catalog.
     val greenDir = "/root/reference/data/green_data"
-    if (new java.io.File(s"$greenDir/2023-01.parquet").canRead) {
+    if (new java.io.File(s"$greenDir/2023-01.parquet").canRead &&
+        wanted("nyc_full_year_pipeline")) {
       runRow(rerunnable = true) {
         // delete the ~40-table medallion output afterwards — repeated
         // bench runs must not strand hundreds of MB per run in /tmp
@@ -347,28 +414,25 @@ object Bench {
     // of a failed pair report -1: a failure must show as a visible
     // marker, never as a vanished row in the artifact's line diff.
     // Both children are self-contained (own temp dirs) → rerunnable.
-    if (graft.nyc.NycScaleBench.available) {
+    if (graft.nyc.NycScaleBench.available &&
+        wanted("nyc_10x_gen", "nyc_10x_pipeline")) {
       runRow(rerunnable = true)(runChild("nyc10x", "nyc_10x",
         Seq("nyc_10x_gen", "nyc_10x_pipeline")))
       closeWindow()
     }
-    runRow(rerunnable = true)(runChild("ingest", "ingest_loop",
-      Seq("ingest_loop_tick", "ingest_loop_quiescent")))
-    closeWindow()
+    if (wanted("ingest_loop_tick", "ingest_loop_quiescent")) {
+      runRow(rerunnable = true)(runChild("ingest", "ingest_loop",
+        Seq("ingest_loop_tick", "ingest_loop_quiescent")))
+      closeWindow()
+    }
 
     // ------------------------------------------------ artifacts.
-    // Final per-row ratios: re-normalize against the GLOBAL min sample
-    // — a sweep that started contended recorded early windows against
-    // an inflated running min; the artifact must not under-read them.
-    val globalBaseline = baseline
-    val finalRatio = rowRatio.map { case (k, r) =>
-      // rowRatio stored max(pre,post)/runningMinAtClose; re-scale by
-      // runningMinAtClose/globalMin is unavailable per-row, so the
-      // stored ratio is a LOWER bound when the baseline later sank.
-      // Record it as-is; the suspect rule below is value-based and
-      // catches what a sunk baseline hides.
-      k -> r
-    }
+    // rowRatio stored (combined, alu, bw) against the running-min
+    // baselines at close time — a LOWER bound when a baseline later
+    // sank; recorded as-is, the value-based suspect rule catches what
+    // a sunk baseline hides. The suspect list is what's STILL past 2x
+    // its committed band after the value-triggered re-run above.
+    val globalBaseline = baseAlu
     val suspects = all.collect { case (k, v)
       if BenchCanary.isSuspect(v, prevCommitted.get(k)) => k }.toSeq.sorted
     val qs = all.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -391,12 +455,13 @@ object Bench {
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ", ", "]")
     val rerunJson = rerunRows.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ", ", "]")
-    // raw probe seconds in sweep order — the adjudication trail: a
-    // reader can re-derive every window ratio and see exactly when
-    // the host regime shifted
-    val samplesJson = samples
+    // raw probe seconds in sweep order, per component — the
+    // adjudication trail: a reader can re-derive every window ratio,
+    // see exactly when the host regime shifted, and attribute WHICH
+    // resource (CPU vs memory bandwidth) was contended
+    def samplesJson(pick: BenchCanary.Probe => Double): String = samples
       .map(s => String.format(java.util.Locale.ROOT, "%.3f",
-        java.lang.Double.valueOf(s)))
+        java.lang.Double.valueOf(pick(s))))
       .mkString("[", ", ", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       s"""{
@@ -406,14 +471,23 @@ object Bench {
          |  "sf": "$sfDir",
          |  "canary_baseline_sec": ${String.format(java.util.Locale.ROOT,
                "%.3f", java.lang.Double.valueOf(globalBaseline))},
-         |  "canary_samples": $samplesJson,
+         |  "canary_baseline_bw_sec": ${String.format(java.util.Locale.ROOT,
+               "%.3f", java.lang.Double.valueOf(baseBw))},
+         |  "canary_samples": ${samplesJson(_.alu)},
+         |  "canary_samples_bw": ${samplesJson(_.bw)},
          |  "suspect": $suspectJson,
          |  "rerun": $rerunJson,
          |  "queries": {
          |${fmtRows(all, 3)}
          |  },
          |  "canary_ratio": {
-         |${fmtRows(finalRatio, 2)}
+         |${fmtRows(rowRatio.map { case (k, r) => k -> r._1 }, 2)}
+         |  },
+         |  "canary_ratio_alu": {
+         |${fmtRows(rowRatio.map { case (k, r) => k -> r._2 }, 2)}
+         |  },
+         |  "canary_ratio_bw": {
+         |${fmtRows(rowRatio.map { case (k, r) => k -> r._3 }, 2)}
          |  }
          |}
          |""".stripMargin)

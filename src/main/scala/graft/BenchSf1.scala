@@ -78,7 +78,13 @@ object BenchSf1 {
     // the row whose exact form (q207 self-join) measured 178 s at
     // x1 and CANNOT run at x10.
     "q191_label_propagation", "q160_first_carrier",
-    "q207_containment", "q208_containment_corpus")
+    "q207_containment", "q208_containment_corpus",
+    // r14 additions (r13 verdict task #3): the two heaviest
+    // steady-state rows without their own measured exponents — the
+    // keep-superset excerpt scrub (inherits q208's candidates but
+    // adds the size join + anti-join) and the embedding-threshold
+    // semantic dedup.
+    "q209_excerpt_scrub", "q58_semantic_dedup")
   private val quad = Set("q24_ngram_jaccard_pairs", "q65_knn_graph")
   private val scaledRow = "q92_knn_graph_lsh_scaledplanes"
   /** Build rows FIRST: query children read the build children's

@@ -36,8 +36,13 @@ object QBench {
         .foreach(_.unpersist(blocking = false))
       System.gc(); Thread.sleep(500)
     }
+    // untimed warm-up excluded from the printed list: the first run
+    // reads 3–15x steady state (JIT + page-cache fill — observed q15
+    // 6.27 then 0.40–0.66), and anyone quoting run #1 gets a phantom
+    val warm = { val r = once(); drop(); r }
     val runs = Seq.fill(5) { val r = once(); drop(); r }
-    println(f"[qbench] $name ${runs.map(r => f"$r%.2f").mkString(" ")} min=${runs.min}%.2f")
+    println(f"[qbench] $name ${runs.map(r => f"$r%.2f").mkString(" ")} " +
+      f"min=${runs.min}%.2f (warm-up $warm%.2f excluded)")
     spark.stop()
   }
 }

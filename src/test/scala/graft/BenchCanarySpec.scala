@@ -92,4 +92,14 @@ class BenchCanarySpec extends AnyFunSuite {
     val s = BenchCanary.measureOnce(nThreads = 2, iters = 1000000L)
     assert(s > 0 && s < 30)
   }
+
+  test("measureBandwidth returns positive wall seconds; buffers reused") {
+    // tiny buffers so the unit test doesn't allocate 256 MiB
+    val s1 = BenchCanary.measureBandwidth(nThreads = 2, passes = 2,
+      bufLongs = 1 << 12)
+    val s2 = BenchCanary.measureBandwidth(nThreads = 2, passes = 2,
+      bufLongs = 1 << 12)
+    assert(s1 > 0 && s1 < 30)
+    assert(s2 > 0 && s2 < 30)
+  }
 }
