@@ -1468,16 +1468,36 @@ object Dedup {
     *
     * Inner grams absent from the outer vocabulary drop at the encode
     * join: they cannot contribute to any intersection, and `sz` (the
-    * containment denominator) is taken from the RAW set size before
-    * encoding, so thresholds are unchanged. (The string form instead
-    * let them occupy prefix slots; dropping them admits strictly more
-    * candidates — same verified output, no recall loss.) */
+    * containment denominator) is taken from the DISTINCT set size
+    * before encoding, so thresholds are unchanged. Inputs get
+    * `array_distinct` up front — the engine is SET semantics
+    * throughout (the pre-encoding `array_intersect` form deduplicated
+    * its intersection implicitly; a duplicated input element now
+    * counts once in both the numerator and the denominator instead of
+    * once and twice).
+    *
+    * The vocabulary rank is the PARALLEL two-phase form
+    * ([[graft.ops.Quantiles.segmentedRowNumber]] over one constant
+    * segment — boundary sketch, per-bucket windows, tiny offset
+    * frame), never one unpartitioned `row_number` window: bounded for
+    * char-n-gram vocabularies, but this engine exposes `set` as a
+    * generic column, and a word-shingle vocabulary at corpus scale is
+    * billions of grams — a single-partition sort there is a driver-
+    * adjacent scale-killer. The sketch key packs df with the first
+    * two code points of the gram (a monotone coarsening of the
+    * (df ASC, gram ASC) rank order — rounding a monotone map is still
+    * monotone), so even a df-degenerate vocabulary (the word-gram
+    * long tail where most dfs are 1) splits across buckets instead of
+    * collapsing into one. Remaining contract: gids are ints for the
+    * merge kernel, so vocabularies past 2³¹ distinct grams need a
+    * wider kernel first (guarded below). */
   private def containmentImpl(inner: DataFrame, outer: DataFrame,
                               idCol: String, tNum: Long, tDen: Long,
                               prefixCap: Option[Int]): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"containmentPairs: threshold must be in (0,1], got $tNum/$tDen")
-    def prep(d: DataFrame) = d.select(col(idCol).as("id"), col("set"))
+    def prep(d: DataFrame) = d.select(col(idCol).as("id"),
+        array_distinct(col("set")).as("set"))
       .withColumn("sz", size(col("set")).cast("long"))
       .filter(col("sz") > 0)
     val in = prep(inner)
@@ -1485,14 +1505,28 @@ object Dedup {
     val outToks = out.select(col("id"), explode(col("set")).as("tok"))
     // token order from the OUTER (corpus) side's dfs: rarest-first
     // keeps the candidate join key off stop-grams; any fixed order is
-    // sound, df(outer) is the one that predicts candidate mass. The
-    // unpartitioned window runs at VOCABULARY cardinality (distinct
-    // grams), not corpus cardinality — bounded for char-n-grams,
-    // and the df aggregate above it already shrank the data.
-    val vocab = outToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok"), row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").asc, col("tok").asc)).as("gid"))
+    // sound, df(outer) is the one that predicts candidate mass.
+    // Global rank by (df ASC, tok ASC) via the parallel two-phase
+    // machinery (see class scaladoc) — the sketch key is a numeric
+    // monotone coarsening of that order (df in the high bits, the
+    // gram's first two code points below), so ranks are exact and no
+    // bucket degenerates even when most dfs tie.
+    val dfs = outToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val vkey = col("df").cast("double") * lit(math.pow(2, 42)) +
+      coalesce(ascii(col("tok")).cast("double"), lit(0.0)) *
+        lit(math.pow(2, 21)) +
+      coalesce(ascii(substring(col("tok"), 2, 1)).cast("double"), lit(0.0))
+    val vocab = graft.ops.Quantiles.segmentedRowNumber(
+        dfs.withColumn("__vk", vkey).withColumn("__g", lit(0)),
+        "__g", "__vk", Seq(col("df").asc, col("tok").asc),
+        nBuckets = 64)
+      .select(col("tok"),
+        // int gids feed the merge kernel; a vocabulary past 2^31
+        // grams must fail loudly, never wrap into colliding gids
+        when(col("__rn") > Int.MaxValue,
+          raise_error(lit("containment: vocabulary exceeds 2^31 grams " +
+            "— the int-gid merge kernel cannot encode it")))
+          .otherwise(col("__rn")).cast("int").as("gid"))
     def encode(d: DataFrame) = d
       .select(col("id"), col("sz"), explode(col("set")).as("tok"))
       .join(vocab, Seq("tok"))

@@ -249,6 +249,39 @@ class DedupSpec extends SparkTestBase {
     assert(bc == Set((1L, 2L))) // 1 contained in corpus doc 2; 9 nowhere
   }
 
+  test("containmentPairs: wide df-degenerate vocabulary ranks exactly; duplicate elements count once") {
+    import org.apache.spark.sql.functions._
+    // 2,000-word vocabulary where ~all dfs tie at 1 (the word-gram
+    // long-tail shape that collapses a df-keyed bucket split): 20
+    // disjoint 50-word hosts, each with a 25-word excerpt. The
+    // two-phase rank must stay exact — every excerpt→host pair at
+    // containment 1.0, hosts themselves 25/50 = 0.5 < 3/5 in the
+    // reverse direction, cross-family pairs impossible (disjoint).
+    val hosts = (0 until 20).map { i =>
+      (100L + i, (0 until 50).map(j => s"w${i * 100 + j}").toArray)
+    }
+    val excerpts = (0 until 20).map { i =>
+      (i.toLong, (0 until 25).map(j => s"w${i * 100 + j}").toArray)
+    }
+    // duplicated elements behave as their distinct set (set semantics):
+    // host 100's first 25 words, each twice — sz_inner 25, fp exact 1.0
+    val dup = Seq((500L,
+      (0 until 25).flatMap(j => Seq(s"w$j", s"w$j")).toArray))
+    val d = (hosts ++ excerpts ++ dup).toDF("doc_id", "set")
+    val r = Dedup.containmentPairs(d, d, "doc_id", tNum = 3, tDen = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val expected =
+      (0 until 20).map(i => (i.toLong, 100L + i) ->
+        ((25L, 25L, 1000000L))).toMap ++
+      // dup doc ≡ excerpt 0's set: contained in host 100, and mutually
+      // containment-1.0 with excerpt 0 (both directions)
+      Map((500L, 100L) -> ((25L, 25L, 1000000L)),
+        (500L, 0L) -> ((25L, 25L, 1000000L)),
+        (0L, 500L) -> ((25L, 25L, 1000000L)))
+    assert(r == expected)
+  }
+
   test("sorted_intersect_count kernel ≡ array_intersect size on sorted distinct sets") {
     import graft.functions.exprs
     import org.apache.spark.sql.functions._

@@ -156,6 +156,25 @@ class PlanSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q207: no single-partition exchange ever carries vocabulary rows") {
+    // the r13 form ranked the vocabulary with an unpartitioned
+    // row_number window — one Exchange SinglePartition sorting every
+    // distinct gram through one task. The two-phase rank's only
+    // remaining single-partition exchange is the offsets window over
+    // the BUCKET-COUNT frame (≤ nBuckets rows, driver-scale whatever
+    // the corpus): assert every such exchange feeds from the __bkt
+    // aggregate, never from raw vocab/gram rows.
+    val p = finalPlan(q("q207_containment"))
+    val singles = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(singles.nonEmpty, "expected the tiny bucket-frame exchange")
+    singles.foreach { e =>
+      assert(e.child.toString.contains("__bkt"),
+        s"single-partition exchange over a non-bucket-frame input:\n$e")
+    }
+  }
+
   test("q33: set-op classification is one scan + one exchange") {
     val df = q("q33_set_ops")
     assert(scans(df).size == 1,

@@ -386,4 +386,50 @@ object PropertySuite extends Properties("graft") {
       val f2 = fit(f1.map { case (id, v) => ("g", id, id, v) })
       mono && f2.map(_._2).sameElements(f1.map(_._2 * 1000000L))
     }
+
+  // Chain semantics at arbitrary depth: A ⊂ B ⊂ C with B dropped must
+  // still drop A on (A,B) evidence — pairwise, never transitive-
+  // survivor. The brute force replays the documented rule exactly
+  // (directed containment on distinct sets, keep-superset with the
+  // min-id tie, empty sets survive). Set sizes stay ≤ 40, so the
+  // sketchK=32 capped prefix is the EXACT prefix at t = 3/5 (exact
+  // below 77 grams) and recall is guaranteed, not probabilistic.
+  property("excerptDedup == brute-force keep-superset scrub on random nested chains") = {
+    val genToks = Gen.listOfN(40, Gen.choose(0, 99))
+      .map(_.distinct.map(i => s"t$i"))
+    val genFree = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 99)).map(_.distinct.map(i => s"t$i")))
+    val genCase = for {
+      c1 <- genToks; c2 <- genToks
+      k1 <- Gen.choose(2, 4); k2 <- Gen.choose(2, 4)
+      free <- Gen.listOfN(2, genFree)
+      idSeed <- Gen.choose(0, 1000)
+    } yield (c1, k1, c2, k2, free, idSeed)
+    Prop.forAll(genCase) { case (c1, k1, c2, k2, free, idSeed) =>
+      // nested prefixes of one random token order = a containment
+      // chain; equal cut points yield identical sets (the twins case)
+      def chain(toks: List[String], k: Int): List[List[String]] =
+        if (toks.isEmpty) Nil
+        else (1 to k).map(i =>
+          toks.take(math.max(1, i * toks.size / k))).toList
+      val sets = (chain(c1, k1) ++ chain(c2, k2) ++ free).zipWithIndex
+        .map { case (s, i) =>
+          // 7919 invertible mod the prime 104729: ids distinct, and
+          // the shuffle exercises the min-id tie rule both ways
+          ((i.toLong * 7919 + idSeed) % 104729) -> s
+        }
+      val got = graft.dedup.Dedup.excerptDedup(
+          sets.map { case (id, s) => (id, s.toArray) }.toDF("doc_id", "set"),
+          "doc_id", 3, 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val docs = sets.map { case (id, s) => id -> s.toSet }
+      val losers = (for {
+        (ia, a) <- docs; (ib, b) <- docs
+        if ia != ib && a.nonEmpty && b.nonEmpty
+        if (a & b).size.toLong * 5 >= 3L * a.size
+        if a.size < b.size || (a.size == b.size && ia > ib)
+      } yield ia).toSet
+      got == (docs.map(_._1).toSet -- losers)
+    }
+  }
 }
