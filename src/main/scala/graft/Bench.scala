@@ -242,6 +242,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     dropAllState(gc = true)
+    System.err.println("[bench] warmup done")
     closeWindow() // refresh the bracket: warmup took minutes
     // TIMED one-time artifact builds at the bench SF. The artifact-
     // backed queries (pair graph, standing components, prefix index,
