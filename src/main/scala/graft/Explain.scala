@@ -71,7 +71,8 @@ object Explain {
     "q198_benford", "q199_changepoint", "q200_gini_concentration",
     "q201_assortativity", "q202_reliability", "q203_rate_significance",
     "q204_coverage", "q205_vocab_overlap", "q206_dedup_savings",
-    "q207_containment", "q208_containment_corpus", "q209_excerpt_scrub")
+    "q207_containment", "q208_containment_corpus", "q209_excerpt_scrub",
+    "q210_containment_words")
 
   def main(args: Array[String]): Unit = {
     val toFile = args.headOption.contains("headline")

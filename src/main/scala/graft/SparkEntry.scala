@@ -2938,6 +2938,22 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // The containment detector at WORD granularity — the vocabulary
+    // regime the char-gram form never meets: an open-ended
+    // word-shingle space whose df distribution long-tails at 1,
+    // exactly the shape the two-phase dictionary rank exists for (a
+    // df-keyed bucket split collapses when ~all dfs tie; the
+    // sketch key's code-point refinement keeps the buckets even).
+    // Same capped df-rarest prefix (k=32), same rational threshold;
+    // sets are distinct 3-word shingles of the whitespace tokens.
+    "q210_containment_words" -> ((s, dir) => {
+      val sets = documents(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.dedup.Dedup.shingles(col("text"), 3).as("set"))
+      graft.dedup.Dedup.containmentPairsSketch(
+        sets, sets, "doc_id", tNum = 3, tDen = 5, sketchK = 32)
+    }),
+
     // Dedup ROI forecast: the token mass keep-best-copy dedup (q91)
     // would remove, as one summary row — families' total tokens minus
     // their best member's, over the corpus total. The number that
@@ -3185,10 +3201,34 @@ object SparkEntry {
   private val discPrice = "(l_extendedprice*(1-l_discount))"
   private val charge    = "(l_extendedprice*(1-l_discount)*(1+l_tax))"
 
-  /** The q208/q209 shared replay: gram CTEs + capped df-rarest
-    * prefix + candidate generation + exact intersection counts —
-    * factored so the scrub's oracle can never drift from the pair
-    * oracle's candidate rule. */
+  /** Candidate + verify tail shared by every containment oracle
+    * (q208/q209/q210): expects upstream CTEs `g(doc_id, ng)` — the
+    * DISTINCT gram set — and `counts(doc_id, sz)`. Replays the
+    * capped df-rarest prefix verbatim (row_number over (df ASC, ng
+    * ASC) — a total order per doc since grams are distinct — cut at
+    * least(exact prefix, cap)), candidates from prefix-vs-full-gram
+    * index, exact intersection counts on candidates only. Factored
+    * so no containment oracle can drift from the others' candidate
+    * rule. */
+  private def containmentTailCtes(tNum: Int, tDen: Int, cap: Int): String =
+    s"""dfs AS (SELECT ng, CAST(count(*) AS BIGINT) AS df
+       |  FROM g GROUP BY 1),
+       |pref AS (SELECT doc_id, ng FROM (
+       |  SELECT gg.doc_id, gg.ng, c.sz,
+       |    row_number() OVER (PARTITION BY gg.doc_id
+       |      ORDER BY d.df ASC, gg.ng ASC) AS rn
+       |  FROM g gg JOIN dfs d USING (ng) JOIN counts c USING (doc_id))
+       |  WHERE rn <= least(sz - (sz * $tNum + ${tDen - 1}) // $tDen + 1, $cap)),
+       |cand AS (SELECT DISTINCT p.doc_id AS inner_id, o.doc_id AS outer_id
+       |  FROM pref p JOIN g o ON o.ng = p.ng AND o.doc_id <> p.doc_id),
+       |inter AS (SELECT cd.inner_id, cd.outer_id,
+       |  CAST(count(*) AS BIGINT) AS ovl
+       |  FROM cand cd JOIN g a ON a.doc_id = cd.inner_id
+       |  JOIN g b ON b.doc_id = cd.outer_id AND b.ng = a.ng
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q208/q209 shared replay: char-5-gram CTEs + the shared
+    * containment tail at t = 3/5, cap 32. */
   private val containmentCorpusCtes =
     """norm AS (SELECT doc_id,
       |  regexp_replace(lower(text), '\s+', ' ', 'g') AS t
@@ -3200,21 +3240,26 @@ object SparkEntry {
       |       ELSE substring(t, CAST(i AS INTEGER), 5) END AS ng FROM idx),
       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
       |  FROM g GROUP BY 1),
-      |dfs AS (SELECT ng, CAST(count(*) AS BIGINT) AS df
-      |  FROM g GROUP BY 1),
-      |pref AS (SELECT doc_id, ng FROM (
-      |  SELECT gg.doc_id, gg.ng, c.sz,
-      |    row_number() OVER (PARTITION BY gg.doc_id
-      |      ORDER BY d.df ASC, gg.ng ASC) AS rn
-      |  FROM g gg JOIN dfs d USING (ng) JOIN counts c USING (doc_id))
-      |  WHERE rn <= least(sz - (sz * 3 + 4) // 5 + 1, 32)),
-      |cand AS (SELECT DISTINCT p.doc_id AS inner_id, o.doc_id AS outer_id
-      |  FROM pref p JOIN g o ON o.ng = p.ng AND o.doc_id <> p.doc_id),
-      |inter AS (SELECT cd.inner_id, cd.outer_id,
-      |  CAST(count(*) AS BIGINT) AS ovl
-      |  FROM cand cd JOIN g a ON a.doc_id = cd.inner_id
-      |  JOIN g b ON b.doc_id = cd.outer_id AND b.ng = a.ng
-      |  GROUP BY 1, 2)""".stripMargin
+      |""".stripMargin + containmentTailCtes(3, 5, 32)
+
+  /** q210's head: 3-word shingles of the whitespace token array
+    * (q59's shingle CTE pattern — fewer than 3 tokens yield one
+    * all-tokens shingle, mirroring WordShingles' short-doc rule),
+    * feeding the same containment tail as q208/q209. */
+  private def containmentWordCtes =
+    s"""toks AS (SELECT doc_id, ${TF.sql.tokens("text")} AS T
+       |  FROM documents WHERE text IS NOT NULL),
+       |base AS (SELECT doc_id, T, len(T) AS m FROM toks),
+       |idx AS (SELECT doc_id, T, m,
+       |  unnest(range(1, greatest(m-2, 1)+1)) AS i FROM base),
+       |g AS (SELECT DISTINCT doc_id,
+       |  CASE WHEN m < 3 THEN array_to_string(T, ' ')
+       |       ELSE array_to_string(
+       |         list_slice(T, CAST(i AS INTEGER), CAST(i AS INTEGER)+2), ' ')
+       |  END AS ng FROM idx),
+       |counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |  FROM g GROUP BY 1),
+       |""".stripMargin + containmentTailCtes(3, 5, 32)
 
   /** Hyperplane-LSH plane replay for the q23/q25/q92 oracles: the
     * planes come from `scala.util.Random(seed)` = java.util.Random's
@@ -6874,6 +6919,15 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d
          |WHERE d.text IS NOT NULL
          |  AND d.doc_id NOT IN (SELECT inner_id FROM losers)""".stripMargin,
+
+    // q208's select over the word-shingle head — the tail CTEs are
+    // the same factored text, so the candidate rule cannot drift.
+    "q210_containment_words" ->
+      s"""WITH $containmentWordCtes
+         |SELECT i.inner_id, i.outer_id, c.sz AS sz_inner, i.ovl,
+         |  CAST(i.ovl * 1000000 // c.sz AS BIGINT) AS containment_fp
+         |FROM inter i JOIN counts c ON c.doc_id = i.inner_id
+         |WHERE i.ovl * 5 >= 3 * c.sz""".stripMargin,
 
     // The q91 family closure folded to corpus totals: removable =
     // family tokens minus the best member's, over the corpus sum.
