@@ -1527,9 +1527,16 @@ object Dedup {
           raise_error(lit("containment: vocabulary exceeds 2^31 grams " +
             "— the int-gid merge kernel cannot encode it")))
           .otherwise(col("__rn")).cast("int").as("gid"))
+      // materialized: the rank machinery reads its df-aggregate input
+      // three times and the encode joins read the rank twice more —
+      // without this the corpus-scale groupBy(tok) re-executes per
+      // consumer (measured 436 s vs 73 s at x10). The frame is
+      // vocabulary-cardinality (tiny); blocks reclaimed by the
+      // ContextCleaner when the result frame dies.
+      .localCheckpoint(true)
     def encode(d: DataFrame) = d
       .select(col("id"), col("sz"), explode(col("set")).as("tok"))
-      .join(vocab, Seq("tok"))
+      .join(broadcast(vocab), Seq("tok"))
       .groupBy(col("id"), col("sz"))
       .agg(sort_array(collect_list(col("gid"))).as("gids"))
     val inEnc = encode(in)
