@@ -1336,8 +1336,26 @@ object Dedup {
     * edges arrived with the delta) count in `n_docs` but not
     * `n_old_members`. */
   def componentChurn(pairs: DataFrame, oldPairs: DataFrame): DataFrame = {
-    val compNew = connectedComponents(pairs)
-    val compOld = connectedComponents(oldPairs)
+    // The two label-propagation fixpoints are independent driver-side
+    // round loops over different graphs; running them sequentially
+    // leaves the cluster half-idle through both convergence tails
+    // (each round is a small keyed join + one count action). Overlap
+    // them from two driver threads — Spark schedules concurrent jobs
+    // FIFO, so the second fixpoint back-fills executors the first
+    // one's rounds leave idle. Results are unchanged: each fixpoint
+    // is self-contained and the join below is a barrier.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (compNew, compOld0) =
+      try {
+        val fNew = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = connectedComponents(pairs)
+        })
+        val fOld = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = connectedComponents(oldPairs)
+        })
+        (fNew.get(), fOld.get())
+      } finally pool.shutdown()
+    val compOld = compOld0
       .select(col("id").as("__oid"), col("component").as("component_old"))
     compNew.join(compOld, col("id") === col("__oid"), "left")
       .groupBy(col("component"))
@@ -1534,13 +1552,24 @@ object Dedup {
       // vocabulary-cardinality (tiny); blocks reclaimed by the
       // ContextCleaner when the result frame dies.
       .localCheckpoint(true)
+    // Each encoded side feeds TWO consumers (inEnc: prefix slice +
+    // verify join-back; outEnc: candidate index + verify join-back),
+    // and the self-join forms (q208/q209/q210 pass the same frame
+    // twice) would otherwise execute the encode subtree — gram
+    // explode, broadcast dictionary join, collect_list hash
+    // aggregate, per-doc sort — FOUR times for one logical pass.
+    // Materialize each distinct side once (same eager-checkpoint
+    // discipline as the vocab above; doc-cardinality frame, blocks
+    // reclaimed by the ContextCleaner), and reuse the corpus encode
+    // verbatim when inner IS outer.
     def encode(d: DataFrame) = d
       .select(col("id"), col("sz"), explode(col("set")).as("tok"))
       .join(broadcast(vocab), Seq("tok"))
       .groupBy(col("id"), col("sz"))
       .agg(sort_array(collect_list(col("gid"))).as("gids"))
-    val inEnc = encode(in)
+      .localCheckpoint(true)
     val outEnc = encode(out)
+    val inEnc = if (inner eq outer) outEnc else encode(in)
     // prefix length: sz − ceil(t·sz) + 1, ceil in exact integers,
     // capped for the sketch form — a slice of the ascending gid array
     val prefLen = prefixCap.fold(

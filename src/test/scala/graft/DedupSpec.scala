@@ -377,4 +377,27 @@ class DedupSpec extends SparkTestBase {
       3, 5, sketchK = 5))
     assert(healed.contains((30L, 40L)))
   }
+
+  test("containment: self-join encode reuse is output-identical to the two-object form") {
+    import org.apache.spark.sql.functions._
+    // the engine encodes ONCE when inner IS outer (reference
+    // equality); passing an equal-but-distinct frame takes the
+    // two-encode path — both must produce the same directed pairs,
+    // sizes, overlaps and fingerprints
+    def set(ts: String*) = ts.toArray
+    val base = Seq(
+      (1L, set("a", "b", "c")),
+      (2L, set("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      (3L, set("a", "x", "y")),
+      (4L, set("d", "e", "f", "g", "h"))).toDF("doc_id", "set")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    assert(rows(Dedup.containmentPairs(base, base, "doc_id", 3, 5)) ==
+      rows(Dedup.containmentPairs(base, base.toDF(), "doc_id", 3, 5)))
+    assert(rows(Dedup.containmentPairsSketch(base, base, "doc_id", 3, 5,
+        sketchK = 2)) ==
+      rows(Dedup.containmentPairsSketch(base, base.toDF(), "doc_id", 3, 5,
+        sketchK = 2)))
+  }
 }
