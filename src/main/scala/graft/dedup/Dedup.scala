@@ -1282,6 +1282,12 @@ object Dedup {
     // assignment is what keeps recall up: a near-dup pair split by one
     // cell boundary still meets in a second-choice cell (the IVF
     // nProbe idea applied to the corpus side).
+    // materialized once: both self-join branches below consume this
+    // frame, and without the pin each branch re-executes the ENTIRE
+    // assignment subtree — the Lloyd rounds, the |corpus|×k centroid
+    // cross join and the heap aggregate (the containment engine's
+    // encode-once lesson; the frame is probes·|corpus| rows, blocks
+    // reclaimed by the ContextCleaner when the result frame dies)
     val assigned = corpus.crossJoin(broadcast(cent))
       .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
       .groupBy(col("id"))
@@ -1291,6 +1297,7 @@ object Dedup {
       .select(col("id"), col("v"),
         explode(col("cells")).as("cell"))
       .select((-col("cell").getField("nc")).as("cid"), col("id"), col("v"))
+      .localCheckpoint(true)
     val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cid"))

@@ -303,10 +303,7 @@ object NycPipeline {
     * reference's per-month upsert cadence. */
   def runYear(spark: SparkSession, cfg: Config,
               months: Seq[String] = months2023): Unit = {
-    // 3 in flight: enough to fill the straggler tail, not so many
-    // that partition writes fight for the same cores (guide-of-thumb
-    // for overlapping independent jobs from one driver)
-    inPool(3, months) { m =>
+    inPool(poolWidth, months) { m =>
       bronzeMonth(spark, cfg, m)
       silverMonth(spark, cfg, m)
     }
@@ -314,13 +311,23 @@ object NycPipeline {
     upsertDims(spark, cfg, cfg.catalog.read(spark, "silver_trips"))
     val dd = cfg.catalog.read(spark, "dim_date")
     val dt = cfg.catalog.read(spark, "dim_type")
-    inPool(3, months) { m =>
+    inPool(poolWidth, months) { m =>
       val fact = Nyc.factBuild(monthSilver(spark, cfg, m), dd, dt, None)
       cfg.catalog.replacePartitions(fact.withColumn("month_key", lit(m)),
         "fact_nyc", partitionBy = Seq("month_key"))
     }
     platinum(spark, cfg)
   }
+
+  /** Backfill pool width: how many months are in flight at once.
+    * Default 6, A/B-measured on the 10× year (3 → 6 cut both gen and
+    * pipeline ~12%; 8 ≈ 6): each month-unit here is a short
+    * driver-planning + commit-bound job, so more in flight pays until
+    * driver-side planning serializes. On a real cluster, size it to
+    * the executor slack left by one month's write (the guide's
+    * 2-3-jobs advice) — overridable via -Dgraft.nyc.poolWidth. */
+  private def poolWidth: Int =
+    sys.props.getOrElse("graft.nyc.poolWidth", "6").toInt
 
   /** Run `f` over `items` from a fixed pool of `n` driver threads,
     * propagating the first failure after all work settles. */

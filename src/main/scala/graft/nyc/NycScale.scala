@@ -25,6 +25,9 @@ import org.apache.spark.sql.types.NullType
   * before the write, exactly like bronze ingest — parquet cannot store
   * a void column. */
 object NycScale {
+  private def poolWidth: Int =
+    sys.props.getOrElse("graft.nyc.poolWidth", "6").toInt
+
   /** Amplify `months` from `srcDir` into `dstDir` (one
     * `<month>.parquet` DIRECTORY per month — `spark.read.parquet`
     * treats it like the reference's single file). Months are
@@ -33,7 +36,7 @@ object NycScale {
     * [[NycPipeline.runYear]]). */
   def amplify(spark: SparkSession, srcDir: String, dstDir: String,
               months: Seq[String], factor: Int): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolWidth)
     try {
       months.map { m =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
