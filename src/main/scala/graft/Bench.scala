@@ -226,11 +226,16 @@ object Bench {
     // Their sfDir artifacts land in the shared store, where the
     // parent's dependent queries (q43/q50/q61/q91, components,
     // triangles) read them exactly as before. One canary-bracketed
-    // window per child spawn; builds are NOT rerunnable (the shared
-    // store memoizes a second build into a no-op).
+    // window per child spawn. RERUNNABLE since r15: the child's build
+    // path passes force=true, which bypasses the exists-memo and
+    // rebuilds the artifact in place (overwrite semantics, identical
+    // content) — so a canary/value-triggered re-run re-measures the
+    // real build instead of being impossible. Build rows were the one
+    // row class contention could inflate with no honest re-run (r12
+    // q147_build 97.7 s vs 10.3 isolated; r14 76.4 vs 12.4 committed).
     Seq("q47_build", "q89_build", "q147_build")
       .filter(b => wanted(b)).foreach { b =>
-        runRow(rerunnable = false)(runChild("build", b, Seq(b)))
+        runRow(rerunnable = true)(runChild("build", b, Seq(b)))
         closeWindow()
       }
     // untimed warmup on the tiny sf to JIT scan/codegen paths (subset
@@ -259,16 +264,19 @@ object Bench {
     // in-JVM fence kept failing to protect; the rest stay in-JVM
     // where the r11 fence demonstrably works (q90 58.3->5.0 s,
     // q77 12.6->1.2 s).
+    // force = true: the first run builds exactly as before (nothing
+    // exists yet in the run-scoped store); a canary/value-triggered
+    // RE-RUN rebuilds honestly instead of timing the memo's no-op.
     val builds: Seq[(String, () => Unit)] = Seq(
-      "q90_build" -> (() => SparkEntry.prefixIndexTable(spark, sfDir)),
-      "q84_build" -> (() => SparkEntry.bloomIndexTable(spark, sfDir)),
-      "q77_build" -> (() => SparkEntry.ivfIndexTable(spark, sfDir)),
-      "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir)),
-      "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir)),
-      "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir)),
-      "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir)),
-      "q167_build" -> (() => SparkEntry.orcExport(spark, sfDir)),
-      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir)))
+      "q90_build" -> (() => SparkEntry.prefixIndexTable(spark, sfDir, force = true)),
+      "q84_build" -> (() => SparkEntry.bloomIndexTable(spark, sfDir, force = true)),
+      "q77_build" -> (() => SparkEntry.ivfIndexTable(spark, sfDir, force = true)),
+      "q78_build" -> (() => SparkEntry.ivfAppendedIndexTable(spark, sfDir, force = true)),
+      "q96_build" -> (() => SparkEntry.pqIndexTable(spark, sfDir, force = true)),
+      "q98_build" -> (() => SparkEntry.pqAppendedIndexTable(spark, sfDir, force = true)),
+      "q107_build" -> (() => SparkEntry.invertedIndexTable(spark, sfDir, force = true)),
+      "q167_build" -> (() => SparkEntry.orcExport(spark, sfDir, force = true)),
+      "q171_build" -> (() => SparkEntry.bucketedTables(spark, sfDir, force = true)))
     // Every build row gets the SAME guaranteed-clean-heap fence the
     // heavy queries get below: twelve one-shot artifact builds back to
     // back are allocation-heavy and UNREPEATED (no min-of-two can mask
@@ -281,8 +289,12 @@ object Bench {
     // meaningless, so the ratio marker is all the artifact can carry).
     builds.filter { case (name, _) => wanted(name) }
       .foreach { case (name, build) =>
-      dropAllState(gc = true)
-      runRow(rerunnable = false) {
+      // RERUNNABLE since r15 (force=true rebuilds honestly — see the
+      // child builds above); the clean-heap fence lives INSIDE the
+      // closure so a re-run gets the same pre-measurement GC as the
+      // first run (the heavy-query discipline below).
+      runRow(rerunnable = true) {
+        dropAllState(gc = true)
         try {
           val t0 = System.nanoTime()
           build()

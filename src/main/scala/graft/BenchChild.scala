@@ -61,13 +61,18 @@ object BenchChild {
     val rows: Seq[(String, Double)] = kind match {
       case "build" =>
         val row = args(1)
+        // force = true: a parent-triggered re-run respawns this child
+        // against a store that already holds the artifact — the build
+        // must re-execute (overwrite, identical content), not time the
+        // exists-memo's no-op. First spawns see an empty store, where
+        // force is a no-op.
         val build: String => Unit = row match {
           case "q47_build" =>
-            d => { SparkEntry.pairGraphTable(spark, d, 0.4); () }
+            d => { SparkEntry.pairGraphTable(spark, d, 0.4, force = true); () }
           case "q89_build" =>
-            d => { SparkEntry.baseComponentsTable(spark, d); () }
+            d => { SparkEntry.baseComponentsTable(spark, d, force = true); () }
           case "q147_build" =>
-            d => { SparkEntry.pairGraphTable(spark, d, 0.25); () }
+            d => { SparkEntry.pairGraphTable(spark, d, 0.25, force = true); () }
           case other => sys.error(s"unknown build row: $other")
         }
         // JIT warm via the same build at the tiny sf — dir-keyed

@@ -300,15 +300,25 @@ object SparkEntry {
       case None =>
         java.nio.file.Files.createTempDirectory("graft_artifacts_").toString
     }
+  // The `force` flag on every *Table/artifact build below bypasses the
+  // exists-memo and rebuilds unconditionally (every build writes in
+  // overwrite mode, so a forced rebuild is idempotent). Only Bench's
+  // build ROWS pass it: a canary/value-triggered re-run of a build row
+  // must re-execute the build, not time the memo's no-op — without
+  // force, build rows were the one row class contention could inflate
+  // with no honest re-measurement possible (r12 q147_build 97.7 s vs
+  // 10.3 isolated; r14 76.4 s vs 12.4 committed). Query-side callers
+  // keep the memoized default.
   private[graft] def pairGraphTable(s: SparkSession, dir: String,
-                                    threshold: Double): (graft.catalog.ParquetCatalog, String) = {
+                                    threshold: Double,
+                                    force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     // round, not truncate: (0.29*100).toInt == 28 in binary64, which
     // would collide with threshold 0.28's graph and silently serve
     // pairs built at the wrong cutoff
     val table = "dup_pairs_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
       "_t" + math.round(threshold * 1000)
-    if (!cat.exists(s, table))
+    if (force || !cat.exists(s, table))
       graft.dedup.Curation.materializePairs(documents(s, dir), "doc_id", "text",
         cat, table, ngramN = 5, threshold = threshold)
     (cat, table)
@@ -318,12 +328,12 @@ object SparkEntry {
     * (doc_id % 10 != 0) char-5-gram pair graph at 0.4 — the state a
     * daily-ingest pipeline carries between batches, materialized once
     * per (JVM, source dir) like the pair graph itself. */
-  private[graft] def baseComponentsTable(s: SparkSession,
-                                         dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def baseComponentsTable(s: SparkSession, dir: String,
+                                         force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val table = "base_components_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
       "_t400"
-    if (!cat.exists(s, table)) {
+    if (force || !cat.exists(s, table)) {
       val corpus = documents(s, dir).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set"))
       val pairs = Dedup.exactSimilarityPairs(corpus, "doc_id", threshold = 0.4)
@@ -335,12 +345,12 @@ object SparkEntry {
 
   /** q90's persisted prefix index over the corpus side of the q64
     * split, built once per (JVM, source dir). */
-  private[graft] def prefixIndexTable(s: SparkSession,
-                                      dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def prefixIndexTable(s: SparkSession, dir: String,
+                                      force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val table = "prefix_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
       "_t400"
-    if (!cat.exists(s, table))
+    if (force || !cat.exists(s, table))
       Dedup.buildPrefixIndex(
         documents(s, dir).filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), Dedup.charNgrams(col("text"), 5).as("set")),
@@ -3003,11 +3013,11 @@ object SparkEntry {
 
   /** q84's per-(JVM, source-dir) persisted corpus bloom — built once,
     * like the pair graph and the IVF index. */
-  private[graft] def bloomIndexTable(s: SparkSession,
-                                     dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def bloomIndexTable(s: SparkSession, dir: String,
+                                     force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val table = "bloom_fp_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!cat.exists(s, table))
+    if (force || !cat.exists(s, table))
       graft.ops.BloomGate.buildBloomIndex(
         documents(s, dir).withColumn("fp", TF.fingerprint(col("text"))),
         "fp", cat, table, expectedItems = 65536L)
@@ -3029,11 +3039,11 @@ object SparkEntry {
   /** q96/q97's persisted PQ index (sim.Pq.buildPqIndex) — same
     * build-once artifact discipline as [[ivfIndexTable]]; the codes
     * table is written last, so its _SUCCESS fences the whole index. */
-  private[graft] def pqIndexTable(s: SparkSession,
-                                  dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def pqIndexTable(s: SparkSession, dir: String,
+                                  force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val prefix = "pq_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(
+    if (force || !new java.io.File(
         new java.io.File(artifactRoot, s"${prefix}_codes"), "_SUCCESS").exists())
       graft.sim.Pq.buildPqIndex(embeddings(s, dir), cat, prefix,
         m = 16, k = 64, dim = 64, iters = 2)
@@ -3045,12 +3055,12 @@ object SparkEntry {
     * codebooks and appended (Pq.appendToPqIndex). READY marker as in
     * [[ivfAppendedIndexTable]] — build and append both write the
     * codes table, so its _SUCCESS cannot fence the whole artifact. */
-  private[graft] def pqAppendedIndexTable(s: SparkSession,
-                                          dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def pqAppendedIndexTable(s: SparkSession, dir: String,
+                                          force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val prefix = "pqa_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val ready = new java.io.File(artifactRoot, s"${prefix}_READY")
-    if (!ready.exists()) {
+    if (force || !ready.exists()) {
       val e = embeddings(s, dir)
       graft.sim.Pq.buildPqIndex(e.filter(col("vec_id") % 10 =!= 0), cat,
         prefix, m = 16, k = 64, dim = 64, iters = 2)
@@ -3064,19 +3074,19 @@ object SparkEntry {
   /** q107's persisted inverted index, memoized per (JVM, dir) like
     * every index artifact here. Meta is written AFTER postings, so
     * its _SUCCESS implies the whole index committed. */
-  private[graft] def invertedIndexTable(s: SparkSession,
-                                        dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def invertedIndexTable(s: SparkSession, dir: String,
+                                        force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val prefix = "inv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    if (!new java.io.File(
+    if (force || !new java.io.File(
         new java.io.File(artifactRoot, s"${prefix}_meta"), "_SUCCESS").exists())
       graft.text.Retrieval.buildIndex(documents(s, dir), "doc_id", "text",
         cat, prefix, nBuckets = 64)
     (cat, prefix)
   }
 
-  private[graft] def ivfIndexTable(s: SparkSession,
-                                   dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def ivfIndexTable(s: SparkSession, dir: String,
+                                   force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val prefix = "ivf_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     // completeness = the lists' _SUCCESS marker, not bare directory
@@ -3085,7 +3095,7 @@ object SparkEntry {
     // every later call on a half-written index (q72's jsonl artifact
     // guards the same window). Lists are written AFTER centroids, so
     // their marker implies the whole index committed.
-    if (!new java.io.File(
+    if (force || !new java.io.File(
         new java.io.File(artifactRoot, s"${prefix}_lists"), "_SUCCESS").exists())
       graft.sim.Ann.buildIvfIndex(embeddings(s, dir), cat, prefix,
         nCentroids = 16)
@@ -3099,12 +3109,12 @@ object SparkEntry {
     * A crash anywhere before that re-enters here, and the rebuild is
     * idempotent: `buildIvfIndex` overwrites the lists, discarding any
     * partial append before it is replayed. */
-  private[graft] def ivfAppendedIndexTable(s: SparkSession,
-                                           dir: String): (graft.catalog.ParquetCatalog, String) = {
+  private[graft] def ivfAppendedIndexTable(s: SparkSession, dir: String,
+                                           force: Boolean = false): (graft.catalog.ParquetCatalog, String) = {
     val cat = new graft.catalog.ParquetCatalog(artifactRoot)
     val prefix = "ivfa_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     val ready = new java.io.File(artifactRoot, s"${prefix}_READY")
-    if (!ready.exists()) {
+    if (force || !ready.exists()) {
       val e = embeddings(s, dir)
       // the base slice keeps vec_ids 0..15, so its default centroids
       // equal the full corpus' first-16 seed — the oracle's quantizer
@@ -3139,9 +3149,10 @@ object SparkEntry {
 
   /** q167's artifact build, exposed so Bench can time the ORC export
     * as an explicit `q167_build` row. */
-  private[graft] def orcExport(s: SparkSession, dir: String): String = {
+  private[graft] def orcExport(s: SparkSession, dir: String,
+                               force: Boolean = false): String = {
     val out = orcDir(dir)
-    if (!new java.io.File(out, "_SUCCESS").exists())
+    if (force || !new java.io.File(out, "_SUCCESS").exists())
       graft.sources.Sources.writeOrc(documents(s, dir), out)
     out
   }
@@ -3172,10 +3183,11 @@ object SparkEntry {
     * that every later join on the bucket key runs exchange-free.
     * Catalog table names must be identifiers, so the dir is folded to
     * a lowercase tag. */
-  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+  private[graft] def bucketedTables(s: SparkSession, dir: String,
+                                    force: Boolean = false): (String, String) = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val (ot, ct) = (s"bkt_orders_$tag", s"bkt_customer_$tag")
-    if (!graft.catalog.Bucketed.exists(s, ot)) {
+    if (force || !graft.catalog.Bucketed.exists(s, ot)) {
       graft.catalog.Bucketed.write(orders(s, dir), ot,
         s"$artifactRoot/$ot", "o_custkey", buckets = 8)
       graft.catalog.Bucketed.write(customer(s, dir), ct,

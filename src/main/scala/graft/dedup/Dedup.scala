@@ -1287,8 +1287,9 @@ object Dedup {
     // assignment subtree — the Lloyd rounds, the |corpus|×k centroid
     // cross join and the heap aggregate (the containment engine's
     // encode-once lesson; the frame is probes·|corpus| rows, blocks
-    // reclaimed by the ContextCleaner when the result frame dies)
-    val assigned = corpus.crossJoin(broadcast(cent))
+    // reclaimed by the ContextCleaner when the result frame dies).
+    // Pin semantics / fault-tolerance trade: [[graft.ops.Pins.pin]].
+    val assigned = graft.ops.Pins.pin(corpus.crossJoin(broadcast(cent))
       .withColumn("csim", Vectors.cosine(col("v"), col("cv")))
       .groupBy(col("id"))
       .agg(first(col("v")).as("v"),
@@ -1296,8 +1297,7 @@ object Dedup {
           struct(col("csim").as("s"), (-col("cid")).as("nc")), probes).as("cells"))
       .select(col("id"), col("v"),
         explode(col("cells")).as("cell"))
-      .select((-col("cell").getField("nc")).as("cid"), col("id"), col("v"))
-      .localCheckpoint(true)
+      .select((-col("cell").getField("nc")).as("cid"), col("id"), col("v")))
     val a = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cid"))
@@ -1557,8 +1557,10 @@ object Dedup {
       // without this the corpus-scale groupBy(tok) re-executes per
       // consumer (measured 436 s vs 73 s at x10). The frame is
       // vocabulary-cardinality (tiny); blocks reclaimed by the
-      // ContextCleaner when the result frame dies.
-      .localCheckpoint(true)
+      // ContextCleaner when the result frame dies. Pin semantics and
+      // the fault-tolerance trade: [[graft.ops.Pins.pin]]
+      // (graft.checkpoint.reliable swaps in the DFS-backed form).
+      .transform(graft.ops.Pins.pin)
     // Each encoded side feeds TWO consumers (inEnc: prefix slice +
     // verify join-back; outEnc: candidate index + verify join-back),
     // and the self-join forms (q208/q209/q210 pass the same frame
@@ -1569,12 +1571,11 @@ object Dedup {
     // discipline as the vocab above; doc-cardinality frame, blocks
     // reclaimed by the ContextCleaner), and reuse the corpus encode
     // verbatim when inner IS outer.
-    def encode(d: DataFrame) = d
+    def encode(d: DataFrame) = graft.ops.Pins.pin(d
       .select(col("id"), col("sz"), explode(col("set")).as("tok"))
       .join(broadcast(vocab), Seq("tok"))
       .groupBy(col("id"), col("sz"))
-      .agg(sort_array(collect_list(col("gid"))).as("gids"))
-      .localCheckpoint(true)
+      .agg(sort_array(collect_list(col("gid"))).as("gids")))
     val outEnc = encode(out)
     val inEnc = if (inner eq outer) outEnc else encode(in)
     // prefix length: sz − ceil(t·sz) + 1, ceil in exact integers,
