@@ -1527,7 +1527,21 @@ object Dedup {
       .filter(col("sz") > 0)
     val in = prep(inner)
     val out = prep(outer)
-    val outToks = out.select(col("id"), explode(col("set")).as("tok"))
+    // The exploded outer gram table is pinned ONCE and feeds both the
+    // df aggregate (via the vocab rank) and the corpus encode below —
+    // without the pin each of those jobs re-ran the tokenize
+    // (regex-normalize + n-gram expression + array_distinct + explode
+    // over the whole corpus), and the vocab job additionally re-ran it
+    // per internal consumer of the df aggregate (interleaved same-
+    // window A/B at sf0.1: q207 4.7 → 4.2–4.3 s min-of-5, the vocab
+    // job 2.2 → 0.8 s and the encode job 1.8 → 0.7 s with the pin).
+    // The pinned frame is flat (id, sz, tok) at gram-mass cardinality
+    // — at corpus scale that is real executor storage (spilling to
+    // disk), traded against repeated full tokenize passes;
+    // [[graft.ops.Pins.pin]]'s reliable mode applies here like every
+    // other pin.
+    val outToks = graft.ops.Pins.pin(
+      out.select(col("id"), col("sz"), explode(col("set")).as("tok")))
     // token order from the OUTER (corpus) side's dfs: rarest-first
     // keeps the candidate join key off stop-grams; any fixed order is
     // sound, df(outer) is the one that predicts candidate mass.
@@ -1571,13 +1585,27 @@ object Dedup {
     // discipline as the vocab above; doc-cardinality frame, blocks
     // reclaimed by the ContextCleaner), and reuse the corpus encode
     // verbatim when inner IS outer.
-    def encode(d: DataFrame) = graft.ops.Pins.pin(d
-      .select(col("id"), col("sz"), explode(col("set")).as("tok"))
+    def encodeToks(toks: DataFrame) = toks
       .join(broadcast(vocab), Seq("tok"))
       .groupBy(col("id"), col("sz"))
-      .agg(sort_array(collect_list(col("gid"))).as("gids")))
-    val outEnc = encode(out)
-    val inEnc = if (inner eq outer) outEnc else encode(in)
+      .agg(sort_array(collect_list(col("gid"))).as("gids"))
+    def encodePlan(d: DataFrame) = encodeToks(
+      d.select(col("id"), col("sz"), explode(col("set")).as("tok")))
+    // the corpus encode reads the PINNED gram table — no re-tokenize
+    val outEnc = graft.ops.Pins.pin(encodeToks(outToks))
+    // PROPORTIONAL pin (r14 verdict): the exact-gate form (prefixCap
+    // empty) is by contract batch-vs-corpus — `inner` is the small
+    // ingest batch, and re-running its encode subtree for the two
+    // consumers costs less than an extra eager materialization
+    // barrier (measured at sf0.1: the lazy inner encode returns q207
+    // to its pre-barrier band while q208/q209/q210 — self-joins that
+    // reuse outEnc — keep the encode-once win). The sketch form keeps
+    // the pin for a distinct inner too: there inner is corpus-scale
+    // by contract.
+    val inEnc =
+      if (inner eq outer) outEnc
+      else if (prefixCap.isEmpty) encodePlan(in)
+      else graft.ops.Pins.pin(encodePlan(in))
     // prefix length: sz − ceil(t·sz) + 1, ceil in exact integers,
     // capped for the sketch form — a slice of the ascending gid array
     val prefLen = prefixCap.fold(
