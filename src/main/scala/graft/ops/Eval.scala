@@ -187,9 +187,12 @@ object Eval {
     *     way q52 raises its bucket count. Parallelism is
     *     |segments|·nBuckets throughout.
     *
-    * Each rank round is pinned through `pin` — by default an eager
-    * `localCheckpoint(true)`, which truncates the ~4^rounds logical
-    * plan growth but stores blocks on executors, so it is NOT
+    * Each rank round is pinned through `pin` — by default a LAZY
+    * `localCheckpoint(false)`, which truncates the ~4^rounds logical
+    * plan growth while deferring block materialization to the next
+    * round's first consumer (interleaved A/B at sf0.1: lazy 6.4–6.7 s
+    * vs eager 7.3–7.5 s min-of-5 — eager paid a dedicated job per
+    * round). Blocks still land on executors, so it is NOT
     * executor-loss-tolerant: on a real cluster a lost executor fails
     * the job. Cluster deployments pass a reliable pin instead — a
     * write-read through the table catalog (see KendallScalableSpec's
@@ -217,7 +220,7 @@ object Eval {
                                xCol: String, yCol: String, idCol: String,
                                nBuckets: Int = 32,
                                pin: DataFrame => DataFrame =
-                                 _.localCheckpoint(true),
+                                 _.localCheckpoint(false),
                                requireUniqueIds: Boolean = false): DataFrame = {
     require(nBuckets >= 2 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two >= 2, got $nBuckets")
@@ -281,7 +284,7 @@ object Eval {
 
     // merge rounds: rank under (y, ord) within (seg, bucket >> r);
     // ord is unique per segment, so every rank is tie-free. Each
-    // round is pinned via `pin` (default eager localCheckpoint) —
+    // round is pinned via `pin` (default lazy localCheckpoint) —
     // segmentedRowNumber branches its input's lineage (bounds,
     // offsets), so chaining log2(B) calls lazily grows the LOGICAL
     // plan ~4^rounds and analysis time with it; the pin truncates to

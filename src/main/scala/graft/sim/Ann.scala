@@ -144,8 +144,13 @@ object Ann {
         .agg(graft.functions.aggs.vec_mean_fixed(col("v"), scale = 9).as("cv"))
       // empty clusters retain their previous centroid (left anti side)
       val kept = centroids.join(means, Seq("cid"), "left_anti")
-      centroids = means.unionByName(kept)
-        .localCheckpoint(true) // truncate per-round lineage (see Dedup.connectedComponents)
+      // LAZY checkpoint: truncates per-round lineage (see
+      // Dedup.connectedComponents) but defers materialization to the
+      // next round's broadcast build — which is the first consumer
+      // anyway — instead of paying a dedicated job per round
+      // (measured: trainCodebooks' identical loop dropped ~1 s of
+      // pure job overhead per iteration pair at sf0.1)
+      centroids = means.unionByName(kept).localCheckpoint(false)
       i += 1
     }
     centroids

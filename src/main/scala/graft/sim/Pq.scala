@@ -99,7 +99,10 @@ object Pq {
         .agg(graft.functions.aggs.vec_mean_fixed(col("sv"), scale = 9).as("cv"))
       // empty cells keep their previous centroid
       val kept = centroids.join(means, Seq("block", "cid"), "left_anti")
-      centroids = means.unionByName(kept).localCheckpoint(true)
+      // lazy: the next round's broadcast build (or the caller's final
+      // consumer) materializes the blocks — same lineage truncation,
+      // one fewer job per round (see Ann.lloydRounds)
+      centroids = means.unionByName(kept).localCheckpoint(false)
       i += 1
     }
     val w = Window.partitionBy(col("block")).orderBy(col("cid"))
