@@ -1620,11 +1620,30 @@ object Dedup {
       .filter(col("inner_id") =!= col("outer_id"))
       .select(col("inner_id"), col("outer_id"))
       .distinct()
+    // VERIFY join strategy, decided like the jaccard engine's
+    // broadcastIndex (guide §3.1): the candidate-pair stream is the
+    // big side (corpus-vs-corpus at sf0.1: 16.1M pairs, and the
+    // second sort-merge join re-shuffles it CARRYING the first side's
+    // gid array — ~850 B per pair), while each encode side is one row
+    // per DOC. The pinned gram table's row count is a one-job,
+    // block-metadata-cheap size signal: deserialized encode bytes
+    // ≲ 12·grams (4 B gid + id/sz/array overhead amortized), so
+    // broadcast the doc-encode sides when that fits the shared
+    // broadcast cap — the pair stream then never shuffles with
+    // payloads attached. Past the cap (corpus-scale gram mass) the
+    // partitioned sort-merge form stands, exactly like the jaccard
+    // engine's fallback. The lazy inner encode (exact gate) is the
+    // ingest BATCH by contract — always broadcastable.
+    val gramMass = outToks.count()
+    val docSidesFit = 12L * gramMass <= IndexSizing.cap(inner.sparkSession)
+    def vside(df: DataFrame, isBatch: Boolean) =
+      if (docSidesFit || isBatch) broadcast(df) else df
     cand
-      .join(inEnc.select(col("id").as("inner_id"),
-        col("gids").as("g_a"), col("sz").as("sz_inner")), Seq("inner_id"))
-      .join(outEnc.select(col("id").as("outer_id"),
-        col("gids").as("g_b")), Seq("outer_id"))
+      .join(vside(inEnc.select(col("id").as("inner_id"),
+        col("gids").as("g_a"), col("sz").as("sz_inner")),
+        isBatch = prefixCap.isEmpty && !(inner eq outer)), Seq("inner_id"))
+      .join(vside(outEnc.select(col("id").as("outer_id"),
+        col("gids").as("g_b")), isBatch = false), Seq("outer_id"))
       .withColumn("ovl", graft.functions.exprs.sorted_intersect_count(
         col("g_a"), col("g_b")))
       .filter(col("ovl") * tDen >= lit(tNum) * col("sz_inner"))
